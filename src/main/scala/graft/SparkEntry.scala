@@ -1,13 +1,363 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is one operator from SURVEY.md §2.2; every entry
+  * in [[oracleSql]] is the equivalent ANSI SQL the driver runs in DuckDB on
+  * the same parquet tables (omitted only for the non-SQL-expressible
+  * diversity ops, group W). Column names and types are aligned on both
+  * sides per the §7.4 determinism protocol.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A/B: scans, projections, filters
+    "scan_project_filter" -> Relational.scanProjectFilter _,
+    // C: joins
+    "join_nation_revenue" -> Relational.joinNationRevenue _,
+    "q3_top_orders" -> Relational.q3TopOrders _,
+    "semi_anti_customers" -> Relational.semiAntiCustomers _,
+    "range_join_promo" -> Relational.rangeJoinPromo _,
+    "asof_join_events" -> EventOps.asofJoinEvents _,
+    // D: aggregations
+    "q1_pricing_summary" -> Relational.q1PricingSummary _,
+    "agg_distinct_users" -> Relational.aggDistinctUsers _,
+    "rollup_orders" -> Relational.rollupOrders _,
+    "grouping_sets_lineitem" -> Relational.groupingSetsLineitem _,
+    // E: window functions
+    "win_topk_parts" -> EventOps.winTopkParts _,
+    "win_running_user" -> EventOps.winRunningUser _,
+    "win_lag_delta" -> EventOps.winLagDelta _,
+    // G: set ops
+    "setop_parts" -> Relational.setopParts _,
+    // H: scalar / date / json / array functions
+    "scalar_funcs" -> ScalarOps.scalarFuncs _,
+    "date_funcs" -> ScalarOps.dateFuncs _,
+    "json_props" -> EventOps.jsonProps _,
+    "array_map_funcs" -> ScalarOps.arrayMapFuncs _,
+    // S: event-time windows (batch forms; streaming parity in graft.streaming)
+    "tumbling_window" -> EventOps.tumblingWindow _,
+    "sliding_window" -> EventOps.slidingWindow _,
+    "sessionize" -> EventOps.sessionize _,
+    // V: vectors & text (LLM-data-pipeline surface)
+    "cos_topk" -> VectorOps.cosTopk _,
+    "knn_label_vote" -> VectorOps.knnLabelVote _,
+    "dedup_docs_exact" -> TextOps.dedupDocsExact _,
+    "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
+    "text_tokens" -> TextOps.textTokens _,
+    "text_stats_lang" -> TextOps.textStatsLang _,
+    // W: diversity core (no oracle — property-tested, SURVEY.md §2.2-W)
+    "gmm_diverse_k32" -> DiversityOps.gmmDiverseK32 _,
+    "remote_edge_div" -> DiversityOps.remoteEdgeDiv _,
+    "remote_clique_div" -> DiversityOps.remoteCliqueDiv _,
+    "coreset_stream" -> DiversityOps.coresetStream _
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "scan_project_filter" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "join_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q3_top_orders" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, o_orderdate AS od, o_orderpriority,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_orderkey, od, o_orderpriority)
+        |SELECT l_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate, o_orderpriority, revenue
+        |FROM g
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "semi_anti_customers" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""".stripMargin,
+
+    "range_join_promo" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "asof_join_events" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_event_id, user_id, epoch_us(ts) AS s_ts_us FROM events WHERE event_type = 'signup'),
+        |j AS (SELECT p.event_id, p.ts_us, s.s_event_id, s.s_ts_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY s.s_ts_us DESC NULLS LAST, s.s_event_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.s_ts_us <= p.ts_us)
+        |SELECT event_id, ts_us, s_event_id, s_ts_us
+        |FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "agg_distinct_users" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "rollup_orders" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  FROM orders
+        |  GROUP BY ROLLUP (o_orderstatus, o_orderpriority))
+        |SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(n AS BIGINT) AS n, total
+        |FROM r
+        |ORDER BY status, priority""".stripMargin,
+
+    "grouping_sets_lineitem" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem
+        |  GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()))
+        |SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(n AS BIGINT) AS n, sum_qty
+        |FROM r
+        |ORDER BY flag, status""".stripMargin,
+
+    "win_topk_parts" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part)
+        |SELECT p_brand, CAST(rnk AS BIGINT) AS "rank", p_partkey, round(p_retailprice, 2) AS p_retailprice
+        |FROM r WHERE rnk <= 3
+        |ORDER BY p_brand, "rank"""".stripMargin,
+
+    "win_running_user" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM e
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "win_lag_delta" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta_us
+        |FROM e
+        |ORDER BY event_id""".stripMargin,
+
+    "setop_parts" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |    EXCEPT
+        |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A') t1) AS n_except,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |    INTERSECT
+        |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A') t2) AS n_intersect,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |    UNION
+        |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A') t3) AS n_union""".stripMargin,
+
+    "scalar_funcs" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  upper(n_name) AS upper_name,
+        |  CAST(length(n_name) AS BIGINT) AS name_len,
+        |  substr(n_name, 1, 6) AS name_pfx,
+        |  n_name || '_' || CAST(n_regionkey AS VARCHAR) AS name_region,
+        |  CAST(n_nationkey % 7 AS BIGINT) AS mod7,
+        |  round(sqrt(CAST(n_nationkey AS DOUBLE)), 6) AS sqrt_key,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+        |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_day,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_day,
+        |  CAST(date_diff('day', CAST(min(o_orderdate) AS DATE), CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS span_days,
+        |  strftime(date_trunc('month', min(o_orderdate)), '%Y-%m-%d') AS month_start,
+        |  CAST(sum(CAST(extract(dow FROM o_orderdate) AS BIGINT)) AS BIGINT) AS dow_sum,
+        |  strftime(CAST(max(o_orderdate) AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY y, m""".stripMargin,
+
+    "json_props" ->
+      """WITH t AS (SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_k,
+        |  round(avg(k), 6) AS avg_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "array_map_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS ssq,
+        |  round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6) AS head4_sum,
+        |  round(list_sum(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE))), 6) AS l1_norm
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "tumbling_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY ws_us, event_type""".stripMargin,
+
+    "sliding_window" ->
+      """WITH e AS (SELECT ts, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (k * 15) MINUTE) AS ws_us,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(k)
+        |GROUP BY 1
+        |ORDER BY ws_us""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |x AS (SELECT user_id, event_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts FROM e),
+        |y AS (SELECT user_id, event_id, ts_us,
+        |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT user_id, event_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM y),
+        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |    max(ts_us) - min(ts_us) AS span_us FROM z GROUP BY user_id, session_id)
+        |SELECT user_id,
+        |  CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  round(avg(n_events), 6) AS avg_events,
+        |  CAST(max(span_us) AS BIGINT) AS max_span_us,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events_total
+        |FROM sess
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "cos_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 50),
+        |t AS (SELECT vec_id AS t_id, CAST(embedding AS DOUBLE[]) AS t_emb FROM embeddings),
+        |s AS (SELECT q_id, t_id, round(list_dot_product(q_emb, t_emb), 6) AS sim
+        |  FROM t CROSS JOIN q WHERE t_id <> q_id),
+        |r AS (SELECT q_id, t_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, t_id) AS rnk FROM s)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS "rank", t_id, sim
+        |FROM r WHERE rnk <= 5
+        |ORDER BY q_id, "rank"""".stripMargin,
+
+    "knn_label_vote" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 50),
+        |t AS (SELECT vec_id AS t_id, label AS t_label, CAST(embedding AS DOUBLE[]) AS t_emb FROM embeddings),
+        |s AS (SELECT q_id, t_id, t_label, round(list_dot_product(q_emb, t_emb), 6) AS sim
+        |  FROM t CROSS JOIN q WHERE t_id <> q_id),
+        |nn AS (SELECT q_id, t_label,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, t_id) AS rnk FROM s),
+        |votes AS (SELECT q_id, t_label, count(*) AS n_votes FROM nn WHERE rnk <= 10 GROUP BY q_id, t_label),
+        |best AS (SELECT q_id, t_label, n_votes,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, t_label) AS vr FROM votes)
+        |SELECT q_id, CAST(t_label AS BIGINT) AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+        |FROM best WHERE vr = 1
+        |ORDER BY q_id""".stripMargin,
+
+    "dedup_docs_exact" ->
+      """WITH g AS (SELECT min(doc_id) AS survivor, count(*) AS n FROM documents GROUP BY text)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(survivor) AS BIGINT) AS survivor_id_sum,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        |FROM g""".stripMargin,
+
+    "dedup_docs_minhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |hx AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+        |  FROM sh CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS hs(h)
+        |  GROUP BY doc_id, h),
+        |sig AS (SELECT doc_id, h // 2 AS band,
+        |    min(CASE WHEN h % 2 = 0 THEN mh END) || min(CASE WHEN h % 2 = 1 THEN mh END) AS sig
+        |  FROM hx GROUP BY doc_id, h // 2)
+        |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "text_tokens" ->
+      """WITH tk AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en')
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |FROM tk WHERE length(tok) > 0
+        |GROUP BY tok
+        |ORDER BY n DESC, tok
+        |LIMIT 20""".stripMargin,
+
+    "text_stats_lang" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
+  )
 }

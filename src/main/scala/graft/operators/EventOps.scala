@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-time operators: ranking/analytic windows, tumbling/sliding/session
+  * windows (batch forms — streaming parity in [[graft.streaming]]), as-of
+  * join, JSON property extraction (SURVEY.md §2.2 groups E, S, plus C-asof
+  * and H-json).
+  *
+  * Time protocol: `events.ts` is nanosecond parquet; the engine and the
+  * DuckDB oracle share **microsecond** precision (`ts_us = ts DIV 1000` here,
+  * `epoch_us(ts)` there — DuckDB 1.0 truncates ns→µs on read). All
+  * comparisons, lags, gaps and outputs use µs. `value` sums use integer
+  * cents (`CAST(round(value*100) AS BIGINT)`) so window sums are exact and
+  * order-independent — no float-summation drift between engines.
+  */
+object EventOps {
+
+  private val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+
+  /** E: per-brand top-3 parts by price (ranking window + filter). */
+  def winTopkParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(
+        col("p_brand"),
+        col("rank").cast("long").as("rank"),
+        col("p_partkey"),
+        round(col("p_retailprice"), 2).as("p_retailprice"))
+      .orderBy(col("p_brand"), col("rank"))
+  }
+
+  /** E: running per-user sum (analytic window, explicit ROWS frame). Sum in
+    * integer cents → exact under any evaluation strategy.
+    */
+  def winRunningUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("running_cents", sum(cents).over(w))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("running_cents"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** E: per-user Δt to previous event (lag). */
+  def winLagDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        (col("ts_us") - col("prev_ts_us")).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** C: as-of join — each purchase matched to the same user's most recent
+    * signup at-or-before it. Implemented as equi-join on user + time
+    * predicate + row_number()=1; at scale the per-user fan-out is bounded by
+    * signups-per-user, and the join shuffles on user_id only.
+    * LEFT semantics: purchases with no prior signup keep NULL match columns.
+    */
+  def asofJoinEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val s = e.filter(col("event_type") === "signup")
+      .select(
+        col("event_id").as("s_event_id"),
+        col("user_id").as("s_user_id"),
+        col("ts_us").as("s_ts_us"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("s_ts_us").desc_nulls_last, col("s_event_id").desc_nulls_last)
+    p.join(s, col("user_id") === col("s_user_id") && col("s_ts_us") <= col("ts_us"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("ts_us"), col("s_event_id"), col("s_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** S: 1-hour tumbling window per event_type (batch form of the streaming
+    * aggregate; same epoch-aligned bucketing as `withWatermark` + `window`).
+    */
+  def tumblingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("ws_us"), col("event_type"))
+  }
+
+  /** S: 1-hour window sliding every 15 minutes (each event lands in 4
+    * windows, starts epoch-aligned to the slide).
+    */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("n"), col("sum_cents"))
+      .orderBy(col("ws_us"))
+  }
+
+  /** S: 30-minute-gap sessionization (batch form: lag → new-session flag →
+    * running count = session id). Streaming form uses `session_window` —
+    * see [[graft.streaming.StreamingQueries]]; state is O(open sessions).
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(spark, sfDir)
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn(
+        "is_new",
+        when(col("prev_ts_us").isNull || col("ts_us") - col("prev_ts_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+    sessions
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        round(avg(col("n_events")), 6).as("avg_events"),
+        max(col("span_us")).as("max_span_us"),
+        sum(col("n_events")).as("n_events_total"))
+      .orderBy(col("user_id"))
+  }
+
+  /** H: JSON path extraction from `props` + aggregate per event_type.
+    * try_cast per the ANSI-mode protocol (SURVEY.md §7.3.2).
+    */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+}

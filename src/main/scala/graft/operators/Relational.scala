@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational core: scans, joins, aggregations, set ops (SURVEY.md §2.2
+  * groups A, C, D, F, G).
+  *
+  * Determinism protocol (SURVEY.md §7.4): every query output is totally
+  * ordered with a unique-key tie-break; double aggregates are rounded (2 dp
+  * money, 6 dp ratios) identically to the oracle SQL in
+  * [[graft.SparkEntry.oracleSql]]; integer-typed outputs are widened to
+  * BIGINT on both sides.
+  *
+  * Scale posture: dimension tables (region/nation/supplier/customer-filter)
+  * are broadcast explicitly; fact-fact joins (orders⋈lineitem) stay as
+  * shuffle joins on their equi keys so AQE can pick SMJ/shuffled-hash and
+  * split skew. No collect anywhere.
+  */
+object Relational {
+
+  /** Date literal for NTZ comparisons (orders/lineitem timestamps read as
+    * timestamp_ntz from parquet ms-timestamps).
+    */
+  private def tsNtz(lit0: String) = expr(s"CAST('$lit0' AS TIMESTAMP_NTZ)")
+
+  /** A: scan→filter→project. Pushdown-friendly: filter on l_discount /
+    * l_quantity reaches the parquet scan; only 5 columns read.
+    */
+  def scanProjectFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** D: TPC-H Q1 pricing summary. Partial+final hash aggregation; 6 groups. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= tsNtz("2000-12-01 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** C: lineitem⋈supplier⋈nation revenue by nation. Both dims broadcast —
+    * zero shuffles for the joins, one for the 25-group aggregate.
+    */
+  def joinNationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** C+F: TPC-H Q3 shape — filtered 3-way join, group, global top-10
+    * (TakeOrderedAndProject; no full sort at scale).
+    */
+  def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < tsNtz("1998-01-01 00:00:00"))
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > tsNtz("1998-01-01 00:00:00"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** C: semi/anti join — customers with vs without orders. */
+  def semiAntiCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    val nWith = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with"))
+    val nWithout = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without"))
+    nWith.crossJoin(nWithout)
+  }
+
+  /** C: equi join + range residual — lineitems shipped within 90 days of
+    * their order date. The equi key carries the join; the range predicate is
+    * a post-join filter, so this never degenerates to a theta-only join.
+    */
+  def rangeJoinPromo(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** D: ROLLUP over status×priority. NULL grouping slots surfaced as 'ALL'
+    * so the total order is engine-agnostic (Spark sorts NULLS FIRST, DuckDB
+    * NULLS LAST — coalescing sidesteps it).
+    */
+  def rollupOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** D: explicit GROUPING SETS ((flag,status),(flag),()). */
+  def groupingSetsLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem_gs")
+    spark.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             count(1) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM graft_lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY flag, status
+    """)
+  }
+
+  /** D: exact count-distinct per event_type (two-phase distinct aggregate).
+    * The approx_count_distinct variant lives in tests only — HLL output is
+    * excluded from the hash-compare per SURVEY.md §7.4.
+    */
+  def aggDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** G: EXCEPT / INTERSECT / UNION over returned-part sets. */
+  def setopParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey")).distinct()
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey")).distinct()
+    val nExcept = r.except(a).agg(count(lit(1)).as("n_except"))
+    val nIntersect = r.intersect(a).agg(count(lit(1)).as("n_intersect"))
+    val nUnion = r.union(a).distinct().agg(count(lit(1)).as("n_union"))
+    nExcept.crossJoin(nIntersect).crossJoin(nUnion)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis and deduplication operators over `documents` (SURVEY.md
+  * §2.2 group V — the LLM-data-pipeline surface).
+  *
+  * Scale posture: everything here is explode → hash-shuffle → aggregate.
+  * Near-dup detection is LSH-banded (docs meet only inside a (band, sig)
+  * bucket) — never an all-pairs compare. At 100 TB the band-bucket join is
+  * the standard MinHash-LSH plan: candidates ≈ true near-dups, not N².
+  */
+object TextOps {
+
+  /** Whitespace tokens as an array column. */
+  private val tokens = split(col("text"), " ")
+
+  /** V: top-20 tokens in English docs (explode → count → top-k). */
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(explode(tokens).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
+  /** V: per-language doc count / avg chars / avg tokens. */
+  def textStatsLang(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        round(avg(size(tokens).cast("double")), 6).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** V: exact dedup — group by text, min-doc_id survivor. Single hash
+    * shuffle on the text key (at 100 TB: pre-hash the text to a 128-bit
+    * fingerprint and shuffle on that instead of the full payload).
+    */
+  def dedupDocsExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val groups = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n"))
+    val dist = groups.agg(
+      count(lit(1)).as("n_distinct"),
+      sum(col("survivor")).as("survivor_id_sum"),
+      sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    total.crossJoin(dist)
+  }
+
+  /** V: near-dup candidate pairs via deterministic MinHash-LSH.
+    *
+    *  - shingles: distinct 3-token shingles per doc;
+    *  - 8 hash functions h∈0..7, h_i(s) = md5(i ++ ":" ++ s) — md5 is
+    *    bit-identical across engines, unlike murmur `hash()` whose seed and
+    *    implementation differ between Spark and DuckDB;
+    *  - minhash_i(doc) = lexicographic min over shingles;
+    *  - 4 bands × r=2 rows: band sig = minhash_{2b} ++ minhash_{2b+1};
+    *  - candidates = distinct doc pairs sharing ≥1 band sig (doc1 < doc2).
+    *
+    * P(candidate) = 1-(1-J²)⁴ for Jaccard J: exact dups always collide,
+    * random pairs essentially never. md5 here is a portability choice for
+    * the oracle; swap in xxhash64 for production throughput.
+    */
+  def dedupDocsMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val shingles = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("sh"))
+      .distinct()
+    val sigs = shingles
+      .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 7)")).as("h"))
+      .withColumn("mh", md5(concat(col("h").cast("string"), lit(":"), col("sh"))))
+      .groupBy(col("doc_id"), expr("h DIV 2").as("band"))
+      .agg(concat(
+        min(when(col("h") % 2 === 0, col("mh"))),
+        min(when(col("h") % 2 === 1, col("mh")))).as("sig"))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+      .orderBy(col("doc1"), col("doc2"))
+  }
+}

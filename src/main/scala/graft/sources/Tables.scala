@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet fixtures (TESTDATA.md /
+  * FIXTURES.md). One method per table so every query goes through a single
+  * choke point for schema quirks.
+  *
+  * Design notes (100 TB posture):
+  *  - These are plain `spark.read.parquet` scans: Catalyst predicate pushdown
+  *    and column pruning apply to whatever the caller selects/filters — no
+  *    eager caching, no collect.
+  *  - `events.ts` is parquet `timestamp[ns]`, which Spark 4 refuses to read by
+  *    default (`Illegal Parquet type`). We flip the legacy flag (runtime-
+  *    mutable SQLConf) so it surfaces as a `long` of nanoseconds, then
+  *    immediately truncate to microseconds: the DuckDB oracle reads the same
+  *    column as a microsecond TIMESTAMP (DuckDB 1.0 truncates ns parquet to
+  *    µs), so µs is the shared precision of record. All event-time logic in
+  *    the engine uses `ts_us` (bigint µs) or `ts_utc` (timestamp) — never raw
+  *    nanos.
+  */
+object Tables {
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = read(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** events with `ts_us` (bigint, µs since epoch, = floor(ns/1000)) and
+    * `ts_utc` (timestamp, µs precision). Raw `ts` (ns long) is retained but
+    * queries must not compare or emit it — DuckDB only sees µs.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+  }
+}
