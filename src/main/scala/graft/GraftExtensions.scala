@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+import graft.functions.DotProductF32
+
+/** Session extensions registering graft's native expressions, for users who
+  * configure `spark.sql.extensions=graft.GraftExtensions`. The engine's own
+  * query functions instead call [[GraftFunctions.register]] at runtime —
+  * the driver harness creates bare SparkSessions (Verify.scala), so
+  * injection-at-build is not available there.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.dotF32)
+  }
+}
+
+object GraftFunctions {
+  private[graft] val dotF32 = (
+    FunctionIdentifier("dot_f32"),
+    DotProductF32.info,
+    (children: Seq[Expression]) => DotProductF32(children(0), children(1)): Expression)
+
+  /** Idempotent runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(dotF32._1)) {
+      registry.registerFunction(dotF32._1, dotF32._2, dotF32._3)
+    }
+  }
+}

@@ -330,15 +330,21 @@ object SparkEntry {
     "dedup_docs_minhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, shingle
+        |sh AS (SELECT doc_id, shingle
         |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
-        |hx AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
-        |  FROM sh CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS hs(h)
-        |  GROUP BY doc_id, h),
-        |sig AS (SELECT doc_id, h // 2 AS band,
-        |    min(CASE WHEN h % 2 = 0 THEN mh END) || min(CASE WHEN h % 2 = 1 THEN mh END) AS sig
-        |  FROM hx GROUP BY doc_id, h // 2)
+        |hx AS (SELECT doc_id, md5(shingle) AS m1, md5('x:' || shingle) AS m2 FROM sh),
+        |g AS (SELECT doc_id,
+        |    min(substr(m1, 1, 8)) AS s0, min(substr(m1, 9, 8)) AS s1,
+        |    min(substr(m1, 17, 8)) AS s2, min(substr(m1, 25, 8)) AS s3,
+        |    min(substr(m2, 1, 8)) AS s4, min(substr(m2, 9, 8)) AS s5,
+        |    min(substr(m2, 17, 8)) AS s6, min(substr(m2, 25, 8)) AS s7
+        |  FROM hx GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g)
         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
         |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc1, doc2""".stripMargin,

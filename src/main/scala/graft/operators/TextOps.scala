@@ -58,11 +58,15 @@ object TextOps {
 
   /** V: near-dup candidate pairs via deterministic MinHash-LSH.
     *
-    *  - shingles: distinct 3-token shingles per doc;
-    *  - 8 hash functions h∈0..7, h_i(s) = md5(i ++ ":" ++ s) — md5 is
-    *    bit-identical across engines, unlike murmur `hash()` whose seed and
-    *    implementation differ between Spark and DuckDB;
-    *  - minhash_i(doc) = lexicographic min over shingles;
+    *  - shingles: 3-token shingles per doc (kept as a multiset — min over a
+    *    multiset equals min over its set, so no dedup shuffle is needed);
+    *  - 8 hash functions: the four 8-hex-char windows of md5(s) plus the
+    *    four windows of md5("x:" ++ s) — 32-bit hashes, bit-identical
+    *    across engines (unlike murmur `hash()`, whose seed and
+    *    implementation differ between Spark and DuckDB), and only 2 md5
+    *    evaluations per shingle with **no row explosion**: the 8 minima
+    *    are computed in a single groupBy(doc_id) pass;
+    *  - minhash_i(doc) = lexicographic min of window i over shingles;
     *  - 4 bands × r=2 rows: band sig = minhash_{2b} ++ minhash_{2b+1};
     *  - candidates = distinct doc pairs sharing ≥1 band sig (doc1 < doc2).
     *
@@ -71,19 +75,29 @@ object TextOps {
     * the oracle; swap in xxhash64 for production throughput.
     */
   def dedupDocsMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    // No distinct on shingles: min-over-multiset == min-over-set, so the
+    // signature is identical and we save a full shuffle of the exploded rows.
     val shingles = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("sh"))
-      .distinct()
-    val sigs = shingles
-      .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 7)")).as("h"))
-      .withColumn("mh", md5(concat(col("h").cast("string"), lit(":"), col("sh"))))
-      .groupBy(col("doc_id"), expr("h DIV 2").as("band"))
-      .agg(concat(
-        min(when(col("h") % 2 === 0, col("mh"))),
-        min(when(col("h") % 2 === 1, col("mh")))).as("sig"))
+    val mins = shingles
+      .withColumn("m1", md5(col("sh")))
+      .withColumn("m2", md5(concat(lit("x:"), col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(substring(col("m1"), 1, 8)).as("s0"), min(substring(col("m1"), 9, 8)).as("s1"),
+        min(substring(col("m1"), 17, 8)).as("s2"), min(substring(col("m1"), 25, 8)).as("s3"),
+        min(substring(col("m2"), 1, 8)).as("s4"), min(substring(col("m2"), 9, 8)).as("s5"),
+        min(substring(col("m2"), 17, 8)).as("s6"), min(substring(col("m2"), 25, 8)).as("s7"))
+    val sigs = mins.selectExpr(
+      "doc_id",
+      """stack(4,
+        |  0, concat(s0, s1),
+        |  1, concat(s2, s3),
+        |  2, concat(s4, s5),
+        |  3, concat(s6, s7)) AS (band, sig)""".stripMargin)
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b,

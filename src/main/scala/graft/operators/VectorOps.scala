@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.VectorFunctions
 
 /** Similarity search over the embedding column (SURVEY.md §2.2 group V).
   *
@@ -19,9 +18,14 @@ import graft.functions.VectorFunctions
 object VectorOps {
 
   /** Broadcast-joined (query × target) pairs with exact double dot-product
-    * similarity, rounded to 6 dp for the cross-engine protocol.
+    * similarity, rounded to 6 dp for the cross-engine protocol. The dot
+    * product is the native codegen expression
+    * [[graft.functions.DotProductF32]] — identical semantics to
+    * [[graft.functions.VectorFunctions.dotD]] (the pure-built-in fallback)
+    * but without the per-row intermediate array of `zip_with`.
     */
   private def simPairs(spark: SparkSession, sfDir: String, nQueries: Int): DataFrame = {
+    graft.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -29,7 +33,7 @@ object VectorOps {
       col("vec_id").as("t_id"), col("embedding").as("t_emb"), col("label").as("t_label"))
     t.crossJoin(broadcast(q))
       .filter(col("t_id") =!= col("q_id"))
-      .withColumn("sim", round(VectorFunctions.dotD("q_emb", "t_emb"), 6))
+      .withColumn("sim", round(expr("dot_f32(q_emb, t_emb)"), 6))
   }
 
   /** V: top-5 most-similar vectors for each of the first 50 query vectors.
