@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the S-group operators (SURVEY.md §2.2-S,
+  * PR5). The aggregation bodies are shared with the batch forms in
+  * [[graft.operators.EventOps]] — t2 oracles stay bound to the batch
+  * results; parity between the two is asserted in StreamingParitySpec via
+  * MemoryStream.
+  *
+  * Scale posture: watermark + windowed aggregation keeps state bounded to
+  * open windows; `session_window` is state-store-backed with state =
+  * O(open sessions per user).
+  */
+object StreamingQueries {
+
+  private val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+
+  /** Shared tumbling aggregation: input needs `ts_utc`, `event_type`,
+    * `value`. Works on both batch and streaming DataFrames.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"), col("sum_cents"))
+
+  /** Streaming tumbling window: 1-hour watermark, append-safe. */
+  def tumblingStream(events: DataFrame): DataFrame =
+    tumblingAgg(events.withWatermark("ts_utc", "1 hour"))
+
+  /** Session windows (30-minute gap) — native `session_window`, usable on
+    * batch (cross-validates the lag+cumsum sessionize) and on streams
+    * (state-store backed).
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events_total"))
+
+  /** Streaming sessionization with watermark. */
+  def sessionStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts_utc", "1 hour")
+      .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+}

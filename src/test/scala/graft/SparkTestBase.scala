@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local SparkSession for specs — same shape as the driver's harness
+  * sessions (Verify.scala): local[4], 4 shuffle partitions, UTC.
+  */
+trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
+  lazy val spark: SparkSession = SparkTestBase.session
+  val sf0001 = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = super.afterAll()
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

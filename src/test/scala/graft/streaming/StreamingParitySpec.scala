@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+
+/** Streaming ↔ batch parity (SURVEY.md §5.2.4): the same rows fed through
+  * MemoryStream with the streaming aggregation must equal the batch
+  * aggregation, and `session_window` must agree with the lag+cumsum
+  * sessionize on session counts.
+  */
+case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
+
+class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
+
+  test("tumbling window: MemoryStream result == batch result") {
+    import spark.implicits._
+    val batchEvents = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batchEvents)
+    val streamingDf = stream.toDF().withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val q = StreamingQueries.tumblingStream(streamingDf)
+      .writeStream.format("memory").queryName("graft_tumbling_parity")
+      .outputMode("complete").trigger(Trigger.Once()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+      "SELECT ws_us, event_type, n, sum_cents FROM graft_tumbling_parity ORDER BY ws_us, event_type")
+      .collect().toSeq
+    val batch = StreamingQueries.tumblingAgg(
+        graft.sources.Tables.events(spark, sf0001))
+      .orderBy(col("ws_us"), col("event_type")).collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("session_window agrees with lag+cumsum sessionize on per-user session counts") {
+    val native = StreamingQueries.sessionCounts(graft.sources.Tables.events(spark, sf0001))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaLag = graft.operators.EventOps.sessionize(spark, sf0001)
+      .select(col("user_id"), col("n_sessions"), col("n_events_total"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(native == viaLag)
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
+    val hour = 3600L * 1000000L
+    val stream = MemoryStream[Ev](spark)
+    val streamingDf = stream.toDF().withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    // one continuous query — the watermark lives in the running query's
+    // state, so the two micro-batches see it advance
+    val q = StreamingQueries.tumblingStream(streamingDf)
+      .writeStream.format("memory").queryName("graft_late_drop")
+      .outputMode("append").start()
+    try {
+      // batch 1: events in hours 0 and 5 — watermark advances to h5 - 1h = h4
+      stream.addData(Seq(
+        Ev(1, base + 10, 1, "click", 1.0),
+        Ev(2, base + 5 * hour, 1, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: a late event back in hour 0 (behind watermark) + fresh h6
+      stream.addData(Seq(
+        Ev(3, base + 20, 1, "click", 1.0),
+        Ev(4, base + 6 * hour, 1, "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.sql(
+      "SELECT ws_us, sum(n) AS n FROM graft_late_drop GROUP BY ws_us ORDER BY ws_us").collect()
+    val h0 = counts.find(_.getLong(0) == base)
+    // hour-0 closed when the watermark passed h4: it must contain only the
+    // on-time event (id 1); the late event (id 3) is dropped
+    assert(h0.forall(_.getLong(1) == 1L), s"late event leaked into closed window: ${counts.mkString(",")}")
+  }
+}
