@@ -49,11 +49,18 @@ object SparkEntry {
     "sessionize" -> EventOps.sessionize _,
     // V: vectors & text (LLM-data-pipeline surface)
     "cos_topk" -> VectorOps.cosTopk _,
+    "cos_topk_ivf" -> VectorOps.cosTopkIvf _,
     "knn_label_vote" -> VectorOps.knnLabelVote _,
+    "embedding_near_dup" -> VectorOps.embeddingNearDup _,
     "dedup_docs_exact" -> TextOps.dedupDocsExact _,
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
+    "dedup_docs_simhash" -> TextAnalysisOps.dedupDocsSimhash _,
     "text_tokens" -> TextOps.textTokens _,
     "text_stats_lang" -> TextOps.textStatsLang _,
+    "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
+    "text_quality" -> TextAnalysisOps.textQuality _,
+    "doc_fingerprint" -> TextAnalysisOps.docFingerprint _,
+    "multimodal_meta" -> MultimodalOps.multimodalMeta _,
     // W: diversity core (no oracle — property-tested, SURVEY.md §2.2-W)
     "gmm_diverse_k32" -> DiversityOps.gmmDiverseK32 _,
     "remote_edge_div" -> DiversityOps.remoteEdgeDiv _,
@@ -364,6 +371,49 @@ object SparkEntry {
         |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
         |FROM documents
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    "lang_id_confusion" -> TextAnalysisOps.Oracle.langIdConfusion,
+    "text_quality" -> TextAnalysisOps.Oracle.textQuality,
+    "doc_fingerprint" -> TextAnalysisOps.Oracle.docFingerprint,
+    "dedup_docs_simhash" -> TextAnalysisOps.Oracle.dedupDocsSimhash,
+
+    "embedding_near_dup" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1, b2.vec_id AS v2, round(list_dot_product(a.e, b2.e), 6) AS sim
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT v1, v2, sim FROM p WHERE sim >= 0.3
+        |ORDER BY v1, v2""".stripMargin,
+
+    "cos_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, probe
+        |  FROM e, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS u(probe)
+        |  WHERE vec_id < 50),
+        |s AS (SELECT q_id, t.vec_id AS t_id, round(list_dot_product(q_emb, t.emb), 6) AS sim
+        |  FROM q JOIN e t ON t.bucket = q.probe AND t.vec_id <> q.q_id),
+        |r AS (SELECT q_id, t_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, t_id) AS rnk FROM s)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS "rank", t_id, sim
+        |FROM r WHERE rnk <= 5
+        |ORDER BY q_id, "rank"""".stripMargin,
+
+    "multimodal_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |    octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
+        |  FROM documents)
+        |SELECT mime, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct_content,
+        |  min(content_hash) AS min_hash
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin
   )
 }

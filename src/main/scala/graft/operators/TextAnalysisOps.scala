@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for the LLM-data-pipeline surface beyond the
+  * survey's declared set: language-ID, quality scoring, document
+  * fingerprinting, SimHash near-dup bucketing. All deterministic and
+  * DuckDB-oracled (integer or 6-dp-rounded outputs only).
+  */
+object TextAnalysisOps {
+
+  /** Fixed keyword lists for the unigram language-ID heuristic. On real
+    * corpora these would be per-language stopword lists; the synthetic
+    * fixture shares one vocabulary across langs, so accuracy is chance —
+    * the operator contract (deterministic keyword-count scoring, argmax
+    * with ascending-lang tie-break) is what's being exercised.
+    */
+  val langKeywords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "row"),
+    "en" -> Seq("order", "the"),
+    "es" -> Seq("slow", "vector"),
+    "fr" -> Seq("scan", "batch"),
+    "zh" -> Seq("join", "small"))
+
+  private def scoreExpr(kws: Seq[String]): String = {
+    val set = kws.map(k => s"'$k'").mkString(", ")
+    s"size(filter(split(text, ' '), x -> x IN ($set)))"
+  }
+
+  /** V+: language-ID confusion matrix — keyword-count score per language,
+    * argmax prediction (ties → first language in ascending order), grouped
+    * against the true lang. Integer arithmetic only → exact cross-engine.
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(
+        col("lang") +: langKeywords.map { case (l, kws) => expr(scoreExpr(kws)).as(s"s_$l") }: _*)
+    val langs = langKeywords.map(_._1)
+    val predCase = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    scored
+      .withColumn("pred_lang", expr(predCase))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** V+: per-source quality statistics — token counts, type-token ratio,
+    * stopword ratio and a composite score. Mirrors the usual pre-training
+    * quality gates (length/stopword/diversity heuristics).
+    */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(
+        col("source"),
+        expr("size(split(text, ' '))").cast("double").as("n_tokens"),
+        expr("size(array_distinct(split(text, ' ')))").cast("double").as("n_distinct"),
+        expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))").cast("double").as("n_stop"),
+        col("n_chars").cast("double").as("chars"))
+      .withColumn("ttr", col("n_distinct") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        round(avg(col("chars") / col("n_tokens")), 6).as("avg_tok_len"),
+        round(avg(col("ttr")), 6).as("avg_ttr"),
+        round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"),
+        round(avg(col("ttr") * (lit(1.0) - col("stop_ratio"))), 6).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  /** V+: order-sensitive document fingerprint — bit_xor over 60-bit hashes
+    * of (position, token), plus a first-8-tokens prefix fingerprint.
+    * Content-defined identity that survives re-partitioning (XOR is
+    * commutative; position-tagging restores order sensitivity). At 100 TB
+    * this is the cheap first-pass identity for incremental dedup.
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(concat(CAST(pos AS STRING), ':', tok)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("bit_xor(h)").as("fp"),
+        expr("bit_xor(CASE WHEN pos < 8 THEN h END)").as("prefix_fp"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** V+: 16-bit SimHash near-dup buckets. Each token hashes to 32 bits
+    * (md5 window); bit b of the signature is the sign of the ±1 vote sum
+    * over the token multiset. Docs sharing a signature are near-dup
+    * candidates — reported as bucket sizes for buckets with > 1 doc.
+    */
+  def dedupDocsSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val votes = (0 until 16).map(b =>
+      sum(expr(s"CASE WHEN (tokint >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val assemble = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("tokint", expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .withColumn("simhash", expr(assemble))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("simhash"))
+  }
+
+  /** Oracle SQL builders (shared term generation keeps the 16 simhash
+    * terms in lockstep with the Spark side).
+    */
+  object Oracle {
+    val langIdConfusion: String = {
+      val scores = langKeywords.map { case (l, kws) =>
+        val set = kws.map(k => s"'$k'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), x -> x IN ($set))) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = langKeywords.map(_._1)
+      val predCase = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $rest THEN '$l'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      s"""WITH scored AS (SELECT lang,
+         |  $scores
+         |FROM documents)
+         |SELECT lang, $predCase AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM scored
+         |GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin
+    }
+
+    val textQuality: String =
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE) AS n_stop,
+        |    CAST(n_chars AS DOUBLE) AS chars
+        |  FROM documents),
+        |q AS (SELECT source, n_tokens, chars,
+        |    n_distinct / n_tokens AS ttr, n_stop / n_tokens AS stop_ratio FROM t)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_tokens), 6) AS avg_tokens,
+        |  round(avg(chars / n_tokens), 6) AS avg_tok_len,
+        |  round(avg(ttr), 6) AS avg_ttr,
+        |  round(avg(stop_ratio), 6) AS avg_stop_ratio,
+        |  round(avg(ttr * (1.0 - stop_ratio)), 6) AS avg_quality
+        |FROM q
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
+
+    val docFingerprint: String =
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |px AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |h AS (SELECT doc_id, pos,
+        |    ('0x' || substr(md5(CAST(pos AS VARCHAR) || ':' || tok), 1, 15))::BIGINT AS h
+        |  FROM px)
+        |SELECT doc_id, bit_xor(h) AS fp,
+        |  bit_xor(CASE WHEN pos < 8 THEN h END) AS prefix_fp,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM h
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+
+    val dedupDocsSimhash: String = {
+      val votes = (0 until 16)
+        .map(b => s"sum(CASE WHEN (tokint >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val assemble = (0 until 16)
+        .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      s"""WITH tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         |hx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS tokint FROM tk),
+         |v AS (SELECT doc_id,
+         |    $votes
+         |  FROM hx GROUP BY doc_id),
+         |s AS (SELECT doc_id, $assemble AS simhash FROM v)
+         |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM s
+         |GROUP BY simhash
+         |HAVING count(*) > 1
+         |ORDER BY simhash""".stripMargin
+    }
+  }
+}

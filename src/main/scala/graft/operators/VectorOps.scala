@@ -49,6 +49,56 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Sign-LSH coarse bucket: 4 sign bits of the first 4 dimensions →
+    * 16 buckets. Exact float-vs-zero comparisons are engine-portable.
+    */
+  private val bucketSql =
+    "(CASE WHEN element_at(embedding, 1) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN element_at(embedding, 2) > 0 THEN 2 ELSE 0 END) + " +
+      "(CASE WHEN element_at(embedding, 3) > 0 THEN 4 ELSE 0 END) + " +
+      "(CASE WHEN element_at(embedding, 4) > 0 THEN 8 ELSE 0 END)"
+
+  /** V+: embedding-cosine near-duplicate pairs via the LSH-bucketed path:
+    * candidates meet only inside a sign-LSH bucket (equi join — never a
+    * crossJoin), then exact-rescore and threshold. This is the 100 TB
+    * near-dup plan: bucket cardinality bounds the quadratic term.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val b = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), expr(bucketSql).as("bucket"))
+    b.as("a").join(b.as("b2"),
+        col("a.bucket") === col("b2.bucket") && col("a.vec_id") < col("b2.vec_id"))
+      .withColumn("sim", round(expr("dot_f32(a.embedding, b2.embedding)"), 6))
+      .filter(col("sim") >= 0.3)
+      .select(col("a.vec_id").as("v1"), col("b2.vec_id").as("v2"), col("sim"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** V+: IVF-style approximate top-k — probe the query's sign-LSH bucket
+    * plus the 4 buckets at Hamming distance 1 (5 of 16 cells), exact-score
+    * only the candidates, rank within them. Same output shape as
+    * [[cosTopk]]; the scale path when the target side is too large to scan
+    * per query. Deterministic: bucketing, probing and ranking are all
+    * exact-integer or 6-dp-rounded.
+    */
+  def cosTopkIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), expr(bucketSql).as("qb"))
+      .withColumn("probe", explode(expr("array(qb, qb ^ 1, qb ^ 2, qb ^ 4, qb ^ 8)")))
+    val t = emb.select(
+      col("vec_id").as("t_id"), col("embedding").as("t_emb"), expr(bucketSql).as("tb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))
+    t.join(broadcast(q), col("tb") === col("probe") && col("t_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("dot_f32(q_emb, t_emb)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("t_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** V: 10-NN majority label vote per query vector (ties → smallest label). */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {
     val wNn = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Specs for the extended LLM-pipeline operators: multimodal plumbing,
+  * IVF similarity, simhash/fingerprint identity.
+  */
+class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("multimodal: decode is deterministic, partition-parallel, schema-typed") {
+    val a = MultimodalOps.decodeFeatures(spark, sf0001).collect().sortBy(_.doc_id)
+    val b = MultimodalOps.decodeFeatures(spark, sf0001).collect().sortBy(_.doc_id)
+    assert(a.length == 500)
+    assert(a.toSeq == b.toSeq)
+    // stub invariants: images have no duration, byte_mean is a real mean
+    a.foreach { f =>
+      assert(f.n_bytes > 0)
+      if (f.mime == "image/png") assert(f.duration_ms == 0L) else assert(f.duration_ms >= 1000L)
+      assert(f.byte_mean > 0 && f.byte_mean < 255)
+    }
+  }
+
+  test("multimodal: metadata-only query prunes the binary column from the scan") {
+    val plan = MultimodalOps.multimodalMeta(spark, sf0001).queryExecution.executedPlan.toString
+    // the parquet scan must read only doc_id + text (column pruning): the
+    // ReadSchema in the scan node is the ground truth
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), plan)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("cos_topk_ivf: results are a subset-quality approximation of exact top-k") {
+    val exact = VectorOps.cosTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = VectorOps.cosTopkIvf(spark, sf0001).collect()
+    assert(ivf.nonEmpty)
+    // every query gets exactly 5 (enough candidates exist in 5/16 buckets)
+    val perQ = ivf.groupBy(_.getLong(0))
+    assert(perQ.forall(_._2.length == 5))
+    // recall@5 against exact should be well above chance (> 40%)
+    val hits = ivf.count(r => exact.contains((r.getLong(0), r.getLong(2))))
+    assert(hits.toDouble / ivf.length > 0.4, s"IVF recall ${hits.toDouble / ivf.length}")
+  }
+
+  test("embedding_near_dup: pairs are bucket-consistent and symmetric-free") {
+    val rows = VectorOps.embeddingNearDup(spark, sf0001).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.3))
+  }
+
+  test("dedup_docs_simhash: identical texts share a simhash bucket") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, text, "en", "src0", text.length.toLong),
+      (2L, text, "en", "src1", text.length.toLong),
+      (3L, "pager turbine acorn velvet mosaic lantern quill ember", "en", "src2", 53L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs2/documents.parquet")
+    val buckets = TextAnalysisOps.dedupDocsSimhash(spark, "/tmp/graft_test_docs2").collect()
+    assert(buckets.length == 1 && buckets(0).getLong(1) == 2L)
+  }
+
+  test("doc_fingerprint: order-sensitive, content-defined") {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "a b c", "en", "s", 5L), // same content -> same fp
+      (3L, "c b a", "en", "s", 5L)  // same tokens, different order -> different fp
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs3/documents.parquet")
+    val fps = TextAnalysisOps.docFingerprint(spark, "/tmp/graft_test_docs3")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("lang_id_confusion: every doc is classified exactly once") {
+    val rows = TextAnalysisOps.langIdConfusion(spark, sf0001).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == 500L)
+    val langs = TextAnalysisOps.langKeywords.map(_._1).toSet
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(0)) && langs.contains(r.getString(1)))
+    }
+  }
+}
