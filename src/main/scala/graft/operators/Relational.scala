@@ -161,14 +161,25 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
-  /** G: EXCEPT / INTERSECT / UNION over returned-part sets. */
+  /** G: EXCEPT / INTERSECT / UNION counts over returned-part sets.
+    *
+    * Computed as ONE scan + flag aggregation: naive
+    * `r.except(a) / r.intersect(a) / r.union(a)` materializes six scans and
+    * 18 exchanges (measured via graft.Plans) — at 100 TB that is 6 reads of
+    * the fact table for what is a single-pass membership question. The
+    * Dataset set operators themselves are exercised (and asserted equal to
+    * this plan) in SetOpSpec.
+    */
   def setopParts(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey")).distinct()
-    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey")).distinct()
-    val nExcept = r.except(a).agg(count(lit(1)).as("n_except"))
-    val nIntersect = r.intersect(a).agg(count(lit(1)).as("n_intersect"))
-    val nUnion = r.union(a).distinct().agg(count(lit(1)).as("n_union"))
-    nExcept.crossJoin(nIntersect).crossJoin(nUnion)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .groupBy(col("l_partkey"))
+      .agg(
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"),
+        max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("has_a"))
+      .agg(
+        sum(when(col("has_r") === 1 && col("has_a") === 0, 1L).otherwise(0L)).as("n_except"),
+        sum(when(col("has_r") === 1 && col("has_a") === 1, 1L).otherwise(0L)).as("n_intersect"),
+        count(lit(1)).as("n_union"))
   }
 }
