@@ -34,11 +34,11 @@ import scala.collection.mutable.ArrayBuffer
 final class StreamingCoreset(m: Int) {
   require(m >= 2, "kernel budget must be >= 2")
 
-  private val ids = new ArrayBuffer[Long]
-  private val vecs = new ArrayBuffer[Array[Float]]
-  private val weights = new ArrayBuffer[Long]
-  private var deltaSq = 0.0 // squared threshold; 0 until first overflow
-  private var consumed = 0L
+  private[diversity] val ids = new ArrayBuffer[Long]
+  private[diversity] val vecs = new ArrayBuffer[Array[Float]]
+  private[diversity] val weights = new ArrayBuffer[Long]
+  private[diversity] var deltaSq = 0.0 // squared threshold; 0 until first overflow
+  private[diversity] var consumed = 0L
 
   def size: Int = ids.length
   def thresholdSq: Double = deltaSq
@@ -133,5 +133,31 @@ final class StreamingCoreset(m: Int) {
 
   def result(): IndexedSeq[WeightedPt] = {
     (0 until ids.length).map(i => WeightedPt(ids(i), vecs(i), weights(i)))
+  }
+
+  /** Serializable snapshot for checkpointed streaming state
+    * ([[graft.streaming.StatefulCoreset]]).
+    */
+  def snapshot: StreamingCoreset.State = StreamingCoreset.State(
+    ids.toArray, vecs.toArray, weights.toArray, deltaSq, consumed)
+}
+
+object StreamingCoreset {
+  /** Encoder-friendly state: plain arrays + scalars. */
+  final case class State(
+      ids: Array[Long],
+      vecs: Array[Array[Float]],
+      weights: Array[Long],
+      deltaSq: Double,
+      consumed: Long)
+
+  def fromState(m: Int, s: State): StreamingCoreset = {
+    val sc = new StreamingCoreset(m)
+    sc.ids ++= s.ids
+    sc.vecs ++= s.vecs
+    sc.weights ++= s.weights
+    sc.deltaSq = s.deltaSq
+    sc.consumed = s.consumed
+    sc
   }
 }
