@@ -15,6 +15,7 @@ import graft.functions.DotProductF32
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotF32)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
 

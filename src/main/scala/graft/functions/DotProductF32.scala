@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * allocation and no lambda-variable boxing, and stays inside whole-stage
   * codegen (SURVEY.md §4.3's "custom Expression" upgrade path).
   *
-  * Null behavior: null if either array is null (BinaryExpression default).
-  * Length mismatch: folds over the common prefix (fixture arrays are all
-  * 64 elements; the min() guard keeps the expression total).
+  * Null behavior: null if either array is null (BinaryExpression default),
+  * if the lengths differ (zip_with pads the shorter side with nulls), or
+  * if any element is null — in the higher-order form any null product
+  * poisons the running sum. This exact equivalence is what makes
+  * [[graft.plans.DotProductRewrite]] a semantics-preserving optimizer rule
+  * for arbitrary `array<float>` inputs.
   *
   * Input typing: callers must pass `array<float>` columns. `ExpectsInputTypes`
   * would declare this to the analyzer, but its `AbstractDataType` signature
@@ -30,17 +33,23 @@ case class DotProductF32(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_f32"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,12 +58,17 @@ case class DotProductF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
