@@ -56,18 +56,24 @@ final class StreamingCoreset(m: Int) {
     (best, bestD)
   }
 
-  def update(p: Pt): Unit = {
-    consumed += 1
+  def update(p: Pt): Unit = updateWeighted(p, 1L)
+
+  /** Insert a point that already represents `w` delegates (used when
+    * merging coresets: a foreign kernel re-enters with its accumulated
+    * weight).
+    */
+  def updateWeighted(p: Pt, w: Long): Unit = {
+    consumed += w
     if (ids.isEmpty) {
-      ids += p.id; vecs += p.vec; weights += 1L
+      ids += p.id; vecs += p.vec; weights += w
       return
     }
     val (nearest, dSq) = minSqTo(p.vec)
     if (dSq > deltaSq) {
-      ids += p.id; vecs += p.vec; weights += 1L
+      ids += p.id; vecs += p.vec; weights += w
       if (ids.length > m) overflow()
     } else {
-      weights(nearest) += 1L
+      weights(nearest) += w
     }
   }
 
