@@ -55,6 +55,8 @@ object SparkEntry {
     "dedup_docs_exact" -> TextOps.dedupDocsExact _,
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
     "dedup_docs_simhash" -> TextAnalysisOps.dedupDocsSimhash _,
+    "ngram_jaccard" -> TextOps.ngramJaccard _,
+    "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
     "text_stats_lang" -> TextOps.textStatsLang _,
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
@@ -369,6 +371,53 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  round(avg(n_chars), 6) AS avg_chars,
         |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |shl AS (SELECT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |hx AS (SELECT doc_id, md5(shingle) AS m1, md5('x:' || shingle) AS m2 FROM shl),
+        |g AS (SELECT doc_id,
+        |    min(substr(m1, 1, 8)) AS s0, min(substr(m1, 9, 8)) AS s1,
+        |    min(substr(m1, 17, 8)) AS s2, min(substr(m1, 25, 8)) AS s3,
+        |    min(substr(m2, 1, 8)) AS s4, min(substr(m2, 9, 8)) AS s5,
+        |    min(substr(m2, 17, 8)) AS s6, min(substr(m2, 25, 8)) AS s7
+        |  FROM hx GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |shd AS (SELECT DISTINCT doc_id, shingle FROM shl),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        |inter AS (SELECT c.doc1, c.doc2, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN shd a ON c.doc1 = a.doc_id
+        |  JOIN shd b ON c.doc2 = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY c.doc1, c.doc2)
+        |SELECT c.doc1, c.doc2,
+        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / CAST(c1.n_sh + c2.n_sh - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
+        |JOIN cnt c1 ON c.doc1 = c1.doc_id
+        |JOIN cnt c2 ON c.doc2 = c2.doc_id
+        |ORDER BY c.doc1, c.doc2""".stripMargin,
+
+    "token_count_regex" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) AS re_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,

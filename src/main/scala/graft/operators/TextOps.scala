@@ -107,4 +107,54 @@ object TextOps {
       .distinct()
       .orderBy(col("doc1"), col("doc2"))
   }
+
+  /** V+: exact 3-gram Jaccard similarity for the MinHash-LSH candidate
+    * pairs — the verify stage of LSH dedup: candidates come from the
+    * banded join (never all pairs), then the exact set overlap is computed
+    * only for those. |A∩B| via a shingle equi-join restricted to candidate
+    * pairs; |A∪B| = |A|+|B|-|A∩B|. Candidates whose band collision was a
+    * hash accident get jaccard 0 (left join).
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = dedupDocsMinhash(spark, sfDir)
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("sh"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc2") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("doc1", "doc2"), "left")
+      .join(counts.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), Seq("doc1"))
+      .join(counts.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), Seq("doc2"))
+      .select(
+        col("doc1"), col("doc2"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n1") + col("n2") - coalesce(col("n_inter"), lit(0L))).cast("double"), 6).as("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** V+: token counting, whitespace vs a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single non-alphanumeric — the GPT-2-style
+    * pre-tokenization classes, simplified to a regex dialect both engines
+    * share). Integer outputs → exact cross-engine.
+    */
+  def tokenCountRegex(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens)).cast("long").as("ws_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+          .cast("long").as("re_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
 }
