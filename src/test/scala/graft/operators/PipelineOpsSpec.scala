@@ -66,6 +66,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(buckets.length == 1 && buckets(0).getLong(1) == 2L)
   }
 
+  test("ngram_jaccard: identical texts score 1.0; unrelated candidates score low") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, text, "en", "src0", text.length.toLong),
+      (2L, text, "en", "src1", text.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs4/documents.parquet")
+    val rows = TextOps.ngramJaccard(spark, "/tmp/graft_test_docs4").collect()
+    assert(rows.length == 1)
+    assert((rows(0).getLong(0), rows(0).getLong(1)) == (1L, 2L))
+    assert(rows(0).getDouble(3) == 1.0)
+  }
+
   test("doc_fingerprint: order-sensitive, content-defined") {
     import spark.implicits._
     Seq(
