@@ -17,14 +17,26 @@ import scala.collection.mutable.ArrayBuffer
 object Gmm {
 
   /** Select k points; O(k·n) time, O(n) space. Input order is irrelevant —
-    * the points are re-sorted by id internally.
+    * the points are re-sorted by id internally. Dense-euclidean fast path;
+    * see [[selectBy]] for the metric-generic form.
     */
-  def select(points: Seq[Pt], k: Int): IndexedSeq[Pt] = {
+  def select(points: Seq[Pt], k: Int): IndexedSeq[Pt] =
+    selectBy[Array[Float]](points.map(p => (p.id, p.vec)), k)(Metric.sqDist)
+      .map { case (id, v) => Pt(id, v) }
+
+  /** Metric-generic farthest-first (the reference passes distances as
+    * first-class functions — SURVEY.md §1.1): `dist` is any symmetric
+    * dissimilarity, e.g. [[Distance.euclideanSq]],
+    * [[Distance.cosineDist]], or [[Distance.generalizedJaccardDist]] for
+    * bag-of-words. Same determinism protocol: min-id seed, ascending-id
+    * scan, 12-dp-rounded comparisons, lowest-id ties.
+    */
+  def selectBy[T](points: Seq[(Long, T)], k: Int)(dist: (T, T) => Double): IndexedSeq[(Long, T)] = {
     if (points.isEmpty || k <= 0) return Vector.empty
-    val pts = points.toArray.sortBy(_.id)
+    val pts = points.toArray.sortBy(_._1)
     val n = pts.length
     val kk = math.min(k, n)
-    val chosen = new ArrayBuffer[Pt](kk)
+    val chosen = new ArrayBuffer[(Long, T)](kk)
     val minSq = Array.fill(n)(Double.PositiveInfinity)
     var last = pts(0) // seed: global min id
     chosen += last
@@ -36,7 +48,7 @@ object Gmm {
       var i = 0
       while (i < n) {
         if (!taken(i)) {
-          val d = Metric.r12(Metric.sqDist(pts(i).vec, last.vec))
+          val d = Metric.r12(dist(pts(i)._2, last._2))
           if (d < minSq(i)) minSq(i) = d
           if (minSq(i) > bestD) { bestD = minSq(i); best = i }
         }

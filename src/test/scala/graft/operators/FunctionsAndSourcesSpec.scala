@@ -42,16 +42,20 @@ class FunctionsAndSourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
-  test("CSV and JSON sources round-trip with schema") {
+  test("CSV, JSON and ORC sources round-trip with schema") {
     val dir = "/tmp/graft_sources_test"
     val nation = Tables.nation(spark, sf0001)
     nation.write.mode("overwrite").option("header", "true").csv(s"$dir/nation_csv")
     nation.write.mode("overwrite").json(s"$dir/nation_json")
+    nation.write.mode("overwrite").orc(s"$dir/nation_orc")
     val fromCsv = spark.read.option("header", "true").schema(nation.schema).csv(s"$dir/nation_csv")
     val fromJson = spark.read.schema(nation.schema).json(s"$dir/nation_json")
+    val fromOrc = spark.read.orc(s"$dir/nation_orc")
     assert(fromCsv.orderBy("n_nationkey").collect().toSeq
       == nation.orderBy("n_nationkey").collect().toSeq)
     assert(fromJson.orderBy("n_nationkey").collect().toSeq
+      == nation.orderBy("n_nationkey").collect().toSeq)
+    assert(fromOrc.orderBy("n_nationkey").collect().toSeq
       == nation.orderBy("n_nationkey").collect().toSeq)
   }
 
