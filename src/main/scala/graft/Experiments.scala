@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.diversity._
+import graft.operators.DiversityOps
+
+/** Experiment runner in the reference's style (operator R9): sweep k over
+  * the embedding fixture, run GMM / local-search / matching over the
+  * distributed coreset, and report objective values + timings — the
+  * approximation-quality story the reference's paper tables tell.
+  * Usage: runMain graft.Experiments [sfDir]
+  */
+object Experiments {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") + "]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (coreset, tCoreset) = timed(DiversityOps.coreset(spark, sfDir))
+    val pts = coreset.map(w => Pt(w.id, w.vec))
+    println(f"coreset: p=${DiversityOps.P} k'=${DiversityOps.KPrime} " +
+      f"size=${coreset.size} mass=${coreset.map(_.weight).sum} build=${tCoreset}%.2fs")
+    println(f"${"k"}%4s ${"algo"}%-12s ${"remote_edge"}%12s ${"remote_clique"}%14s ${"time_s"}%8s")
+    for (k <- Seq(8, 32, 128)) {
+      val (gmmSel, tG) = timed(Gmm.select(pts, k))
+      val (lsSel, tL) = timed(Heuristics.localSearch(pts, k))
+      val (mSel, tM) = timed(Heuristics.matching(pts, k))
+      for ((name, sel, t) <- Seq(("gmm", gmmSel, tG), ("local-search", lsSel, tL), ("matching", mSel, tM))) {
+        println(f"$k%4d $name%-12s ${Diversity.remoteEdge(sel)}%12.4f " +
+          f"${Diversity.remoteClique(sel)}%14.2f $t%8.3f")
+      }
+    }
+    spark.stop()
+  }
+}
