@@ -62,6 +62,55 @@ object MultimodalOps {
     (w, ht, dur)
   }
 
+  /** STUB resize — a real implementation rescales pixel buffers; the fake
+    * deterministically re-derives dimensions capped to the target box,
+    * preserving the decode contract (bytes + params in, features out).
+    */
+  def resizeStub(mime: String, content: Array[Byte], maxW: Int, maxH: Int): (Int, Int) = {
+    // ??? <- real rescale goes here; deterministic fake below
+    val (w, h, _) = decodeStub(mime, content)
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+  }
+
+  /** STUB frame sampling — a real implementation seeks keyframes; the fake
+    * slices `n` evenly-spaced byte windows, which exercises the real
+    * plumbing (per-frame rows exploded from one media row, bounded output).
+    */
+  def frameSampleStub(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    // ??? <- real keyframe extraction goes here; deterministic fake below
+    if (content.isEmpty || n <= 0) Seq.empty
+    else {
+      val win = math.max(1, content.length / n)
+      (0 until math.min(n, content.length)).map { i =>
+        val start = i * win
+        content.slice(start, math.min(start + win, content.length))
+      }.filter(_.nonEmpty)
+    }
+  }
+
+  /** Frames table: one row per sampled frame (video/audio only), with a
+    * per-frame hash — the shape a frame-level feature extractor consumes.
+    * Binary payloads stay where they are; only (doc_id, frame_no, hash)
+    * leave the partition.
+    */
+  def frameFeatures(spark: SparkSession, sfDir: String, nFrames: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("mime"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.filter(!_._2.startsWith("image")).flatMap { case (id, mime, bytes) =>
+          frameSampleStub(bytes, nFrames).zipWithIndex.map { case (frame, i) =>
+            (id, mime, i.toLong, frame.length.toLong,
+              java.security.MessageDigest.getInstance("MD5").digest(frame)
+                .map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "mime", "frame_no", "frame_bytes", "frame_hash")
+  }
+
   /** Partition-parallel decode + feature extraction into a typed Dataset. */
   def decodeFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -32,6 +32,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"unpruned scan: $readSchema")
   }
 
+  test("multimodal: resize caps to the box; frame sampling is bounded and deterministic") {
+    val bytes = "some media payload bytes for the stub decoder to chew on".getBytes("UTF-8")
+    val (w, h) = MultimodalOps.resizeStub("image/png", bytes, 64, 64)
+    assert(w <= 64 && h <= 64 && w >= 1 && h >= 1)
+    val frames = MultimodalOps.frameSampleStub(bytes, 4)
+    assert(frames.length == 4)
+    assert(frames.map(_.length).sum <= bytes.length)
+    assert(frames.map(_.toSeq) == MultimodalOps.frameSampleStub(bytes, 4).map(_.toSeq))
+
+    val ff = MultimodalOps.frameFeatures(spark, sf0001).collect()
+    assert(ff.nonEmpty)
+    // only non-image media yields frames; frame_no bounded by the sample size
+    assert(ff.forall(r => r.getString(1) != "image/png"))
+    assert(ff.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 4))
+    assert(ff.forall(r => r.getString(4).length == 32))
+  }
+
   test("cos_topk_ivf: results are a subset-quality approximation of exact top-k") {
     val exact = VectorOps.cosTopk(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
