@@ -36,6 +36,8 @@ object SparkEntry {
     "win_topk_parts" -> EventOps.winTopkParts _,
     "win_running_user" -> EventOps.winRunningUser _,
     "win_lag_delta" -> EventOps.winLagDelta _,
+    "win_range_frame" -> EventOps.winRangeFrame _,
+    "win_rank_kinds" -> EventOps.winRankKinds _,
     // G: set ops
     "setop_parts" -> Relational.setopParts _,
     // H: scalar / date / json / array functions
@@ -204,6 +206,35 @@ object SparkEntry {
         |  ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta_us
         |FROM e
         |ORDER BY event_id""".stripMargin,
+
+    "win_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_hour_cents
+        |FROM e
+        |ORDER BY event_id""".stripMargin,
+
+    "win_rank_kinds" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey,
+        |    row_number() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    round(percent_rank() OVER w, 6) AS prnk,
+        |    round(cume_dist() OVER w, 6) AS cdist,
+        |    ntile(4) OVER w AS quartile,
+        |    first_value(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_part,
+        |    last_value(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_part
+        |  FROM part
+        |  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey))
+        |SELECT p_brand, CAST(rnk AS BIGINT) AS rnk, p_partkey,
+        |  CAST(drnk AS BIGINT) AS drnk, prnk, cdist,
+        |  CAST(quartile AS BIGINT) AS quartile, top_part, bottom_part
+        |FROM r WHERE rnk <= 5
+        |ORDER BY p_brand, rnk""".stripMargin,
 
     "setop_parts" ->
       """SELECT

@@ -60,6 +60,46 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** E+: RANGE frame — per event, the user's trailing-1-hour spend in
+    * cents (RANGE BETWEEN 3.6e9 µs PRECEDING AND CURRENT ROW over the
+    * numeric ts_us ordering). Integer output → exact cross-engine.
+    */
+  def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("trailing_hour_cents", sum(cents).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("trailing_hour_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** E+: the ranking-function family over one deterministic ordering —
+    * dense_rank, percent_rank, cume_dist, ntile(4), first/last value.
+    * Ordered by (p_retailprice DESC, p_partkey) so every function is
+    * tie-free; doubles rounded to 6 dp.
+    */
+  def winRankKinds(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.part(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", round(percent_rank().over(w), 6))
+      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("top_part", first(col("p_partkey")).over(wFull))
+      .withColumn("bottom_part", last(col("p_partkey")).over(wFull))
+      .filter(col("rnk") <= 5) // window cols computed over the FULL partition, then filtered
+      .select(
+        col("p_brand"), col("rnk").cast("long").as("rnk"), col("p_partkey"),
+        col("drnk").cast("long").as("drnk"), col("prnk"), col("cdist"),
+        col("quartile").cast("long").as("quartile"),
+        col("top_part"), col("bottom_part"))
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
   /** C: as-of join — each purchase matched to the same user's most recent
     * signup at-or-before it. Implemented as equi-join on user + time
     * predicate + row_number()=1; at scale the per-user fan-out is bounded by
