@@ -32,6 +32,9 @@ object SparkEntry {
     "agg_distinct_users" -> Relational.aggDistinctUsers _,
     "rollup_orders" -> Relational.rollupOrders _,
     "grouping_sets_lineitem" -> Relational.groupingSetsLineitem _,
+    "pivot_events" -> Relational.pivotEvents _,
+    "percentiles_qty" -> Relational.percentilesQty _,
+    "stats_agg" -> Relational.statsAgg _,
     // E: window functions
     "win_topk_parts" -> EventOps.winTopkParts _,
     "win_running_user" -> EventOps.winRunningUser _,
@@ -181,6 +184,37 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n, sum_qty
         |FROM r
         |ORDER BY flag, status""".stripMargin,
+
+    "pivot_events" ->
+      """SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY dow""".stripMargin,
+
+    "percentiles_qty" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_quantity, 0.99), 6) AS p99,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "win_topk_parts" ->
       """WITH r AS (

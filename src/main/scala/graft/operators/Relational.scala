@@ -161,6 +161,50 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** D+: pivot — events per (day-of-week × event_type) as a wide table.
+    * Explicit value list → deterministic column set; DuckDB oracle uses
+    * the equivalent conditional aggregation. Day-of-week normalized to
+    * 0=Sunday (DuckDB's convention).
+    */
+  def pivotEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select((dayofweek(col("ts_utc")) - 1).cast("long").as("dow"), col("event_type"))
+      .groupBy(col("dow"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("dow"))
+  }
+
+  /** D+: exact interpolated percentiles of l_quantity per return flag
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
+    * interpolation).
+    */
+  def percentilesQty(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** D+: statistical aggregates — sample stddev/variance, correlation and
+    * covariance of quantity vs price per return flag.
+    */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** G: EXCEPT / INTERSECT / UNION counts over returned-part sets.
     *
     * Computed as ONE scan + flag aggregation: naive
