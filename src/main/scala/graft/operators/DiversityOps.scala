@@ -94,6 +94,37 @@ object DiversityOps {
       "bipartition_greedy", "cycle_mst2approx")
   }
 
+  /** W+: diverse DOCUMENT selection — the reference's algorithm applied to
+    * the sparse text model: bag-of-words per doc, generalized-Jaccard
+    * distance, composable-coreset path (per-partition GMM(32) via
+    * [[Gmm.selectBy]], coreset-only collect, final GMM k=16). This is the
+    * diversity-sampling step of a training-data curation pipeline: pick
+    * maximally-unlike documents, never collecting raw text beyond the
+    * coreset. No oracle (not SQL-expressible); determinism as §7.3.4.
+    */
+  def diverseDocsK16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, Distance.bagOfWords(text.split(' ').toSeq.filter(_.nonEmpty)))
+      }
+    val coreset = docs
+      .repartition(4, pmod(col("_1"), lit(4)))
+      .mapPartitions { it =>
+        val pts = it.toVector
+        if (pts.isEmpty) Iterator.empty
+        else Gmm.selectBy(pts, 32)(Distance.generalizedJaccardDist).iterator
+      }
+      .collect()
+      .sortBy(_._1)
+    val sel = Gmm.selectBy(coreset.toSeq, 16)(Distance.generalizedJaccardDist)
+    sel.zipWithIndex
+      .map { case ((id, _), i) => ((i + 1).toLong, id) }
+      .toDF("rank", "doc_id")
+  }
+
   /** W: one-pass streaming coreset (kernel budget 64) over the embeddings in
     * ascending vec_id order → (vec_id, weight) kernels. Single-partition
     * fold — the streaming model is sequential by definition ([VLDB17] §5);

@@ -111,6 +111,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(fps(1L) != fps(3L))
   }
 
+  test("diverse_docs_k16: deterministic, never picks both members of an exact-dup pair early") {
+    val a = DiversityOps.diverseDocsK16(spark, sf0001).collect().map(_.getLong(1)).toSeq
+    val b = DiversityOps.diverseDocsK16(spark, sf0001).collect().map(_.getLong(1)).toSeq
+    assert(a.length == 16 && a.distinct.length == 16)
+    assert(a == b)
+
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta"
+    Seq(
+      (1L, text, "en", "s", text.length.toLong),
+      (2L, text, "en", "s", text.length.toLong),
+      (3L, "one two three four five six", "en", "s", 27L),
+      (4L, "red green blue cyan magenta yellow", "en", "s", 34L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs5/documents.parquet")
+    val sel = DiversityOps.diverseDocsK16(spark, "/tmp/graft_test_docs5")
+      .collect().map(_.getLong(1)).toSeq
+    // dup docs (1,2) are at Jaccard distance 0: the second dup must be the
+    // LAST pick (all distinct docs are farther than an exact duplicate)
+    assert(sel.take(3).toSet == Set(1L, 3L, 4L))
+    assert(sel.last == 2L)
+  }
+
   test("lang_id_confusion: every doc is classified exactly once") {
     val rows = TextAnalysisOps.langIdConfusion(spark, sf0001).collect()
     val total = rows.map(_.getLong(2)).sum
