@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class VectorSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def load(n: Int, parts: Int) =
+    spark.read.format("graft-vectors")
+      .option("n", n).option("dim", 8).option("seed", 7).option("partitions", parts)
+      .load()
+
+  test("DSv2 source: row count, schema, partition planning") {
+    val df = load(1000, 4)
+    assert(df.count() == 1000L)
+    assert(df.schema.fieldNames.toSeq == Seq("vec_id", "embedding", "label"))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.select(countDistinct(col("vec_id"))).collect()(0).getLong(0) == 1000L)
+  }
+
+  test("deterministic: identical rows for any partition count") {
+    val a = load(500, 1).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toVector, r.getInt(2))).toSeq
+    val b = load(500, 7).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toVector, r.getInt(2))).toSeq
+    assert(a == b)
+  }
+
+  test("vectors are unit-norm and labels balanced-ish over 10 classes") {
+    val rows = load(2000, 4)
+      .select(
+        expr("aggregate(embedding, 0D, (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("n2"),
+        col("label"))
+      .collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-5))
+    val byLabel = rows.groupBy(_.getInt(1)).view.mapValues(_.length)
+    assert(byLabel.keySet == (0 until 10).toSet)
+    byLabel.values.foreach(n => assert(n > 100 && n < 300))
+  }
+
+  test("source feeds the diversity pipeline end-to-end") {
+    import spark.implicits._
+    val pts = load(300, 4)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect().map { case (id, v) => graft.diversity.Pt(id, v) }.toVector
+    val sel = graft.diversity.Gmm.select(pts, 12)
+    assert(sel.length == 12)
+    assert(graft.diversity.Diversity.remoteEdge(sel) > 0.5) // random unit vectors are spread
+  }
+}
