@@ -408,12 +408,12 @@ object SparkEntry {
         |sh AS (SELECT doc_id, shingle
         |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
-        |hx AS (SELECT doc_id, md5(shingle) AS m1, md5('x:' || shingle) AS m2 FROM sh),
+        |hx AS (SELECT doc_id, md5(shingle) AS m1 FROM sh),
         |g AS (SELECT doc_id,
         |    min(substr(m1, 1, 8)) AS s0, min(substr(m1, 9, 8)) AS s1,
         |    min(substr(m1, 17, 8)) AS s2, min(substr(m1, 25, 8)) AS s3,
-        |    min(substr(m2, 1, 8)) AS s4, min(substr(m2, 9, 8)) AS s5,
-        |    min(substr(m2, 17, 8)) AS s6, min(substr(m2, 25, 8)) AS s7
+        |    min(reverse(substr(m1, 1, 8))) AS s4, min(reverse(substr(m1, 9, 8))) AS s5,
+        |    min(reverse(substr(m1, 17, 8))) AS s6, min(reverse(substr(m1, 25, 8))) AS s7
         |  FROM hx GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
@@ -447,12 +447,12 @@ object SparkEntry {
         |shl AS (SELECT doc_id, shingle
         |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
-        |hx AS (SELECT doc_id, md5(shingle) AS m1, md5('x:' || shingle) AS m2 FROM shl),
+        |hx AS (SELECT doc_id, md5(shingle) AS m1 FROM shl),
         |g AS (SELECT doc_id,
         |    min(substr(m1, 1, 8)) AS s0, min(substr(m1, 9, 8)) AS s1,
         |    min(substr(m1, 17, 8)) AS s2, min(substr(m1, 25, 8)) AS s3,
-        |    min(substr(m2, 1, 8)) AS s4, min(substr(m2, 9, 8)) AS s5,
-        |    min(substr(m2, 17, 8)) AS s6, min(substr(m2, 25, 8)) AS s7
+        |    min(reverse(substr(m1, 1, 8))) AS s4, min(reverse(substr(m1, 9, 8))) AS s5,
+        |    min(reverse(substr(m1, 17, 8))) AS s6, min(reverse(substr(m1, 25, 8))) AS s7
         |  FROM hx GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g

@@ -60,12 +60,14 @@ object TextOps {
     *
     *  - shingles: 3-token shingles per doc (kept as a multiset — min over a
     *    multiset equals min over its set, so no dedup shuffle is needed);
-    *  - 8 hash functions: the four 8-hex-char windows of md5(s) plus the
-    *    four windows of md5("x:" ++ s) — 32-bit hashes, bit-identical
-    *    across engines (unlike murmur `hash()`, whose seed and
-    *    implementation differ between Spark and DuckDB), and only 2 md5
-    *    evaluations per shingle with **no row explosion**: the 8 minima
-    *    are computed in a single groupBy(doc_id) pass;
+    *  - 8 hash functions from ONE md5 per shingle: the four 8-hex-char
+    *    windows of md5(s), plus the character-reversed form of each window.
+    *    Reversing the hex is a bijection on 32-bit values, so each reversed
+    *    window induces a fresh uniform ordering of shingle space — the
+    *    minhash collision property P(min_A = min_B) = J holds per ordering —
+    *    at half the hash cost of a second salted md5. md5 (not murmur
+    *    `hash()`) because it is bit-identical across engines; the 8 minima
+    *    are computed in a single groupBy(doc_id) pass with no row explosion;
     *  - minhash_i(doc) = lexicographic min of window i over shingles;
     *  - 4 bands × r=2 rows: band sig = minhash_{2b} ++ minhash_{2b+1};
     *  - candidates = distinct doc pairs sharing ≥1 band sig (doc1 < doc2).
@@ -84,13 +86,12 @@ object TextOps {
         "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("sh"))
     val mins = shingles
       .withColumn("m1", md5(col("sh")))
-      .withColumn("m2", md5(concat(lit("x:"), col("sh"))))
       .groupBy(col("doc_id"))
       .agg(
         min(substring(col("m1"), 1, 8)).as("s0"), min(substring(col("m1"), 9, 8)).as("s1"),
         min(substring(col("m1"), 17, 8)).as("s2"), min(substring(col("m1"), 25, 8)).as("s3"),
-        min(substring(col("m2"), 1, 8)).as("s4"), min(substring(col("m2"), 9, 8)).as("s5"),
-        min(substring(col("m2"), 17, 8)).as("s6"), min(substring(col("m2"), 25, 8)).as("s7"))
+        min(reverse(substring(col("m1"), 1, 8))).as("s4"), min(reverse(substring(col("m1"), 9, 8))).as("s5"),
+        min(reverse(substring(col("m1"), 17, 8))).as("s6"), min(reverse(substring(col("m1"), 25, 8))).as("s7"))
     val sigs = mins.selectExpr(
       "doc_id",
       """stack(4,
@@ -116,8 +117,18 @@ object TextOps {
     * hash accident get jaccard 0 (left join).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val cand = dedupDocsMinhash(spark, sfDir)
+    // Candidate pairs are the small output of the banded join — persist so
+    // the minhash subplan runs once, not once per downstream reference.
+    val cand = dedupDocsMinhash(spark, sfDir).persist()
+    // Only docs that appear in some candidate pair need exact shingles:
+    // broadcast-semi-join the doc scan down to that set before exploding.
+    // At 100 TB this is the difference between re-shingling the corpus and
+    // re-shingling only the near-dup cluster members.
+    val candIds = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id")))
+      .distinct()
     val sh = Tables.documents(spark, sfDir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
