@@ -35,6 +35,7 @@ object SparkEntry {
     "pivot_events" -> Relational.pivotEvents _,
     "percentiles_qty" -> Relational.percentilesQty _,
     "stats_agg" -> Relational.statsAgg _,
+    "subquery_above_avg" -> Relational.subqueryAboveAvg _,
     // E: window functions
     "win_topk_parts" -> EventOps.winTopkParts _,
     "win_running_user" -> EventOps.winRunningUser _,
@@ -65,6 +66,7 @@ object SparkEntry {
     "text_tokens" -> TextOps.textTokens _,
     "text_stats_lang" -> TextOps.textStatsLang _,
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
+    "regex_clean_stats" -> TextAnalysisOps.regexCleanStats _,
     "text_quality" -> TextAnalysisOps.textQuality _,
     "doc_fingerprint" -> TextAnalysisOps.docFingerprint _,
     "multimodal_meta" -> MultimodalOps.multimodalMeta _,
@@ -216,6 +218,16 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "subquery_above_avg" ->
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_above,
+        |  CAST(max(p_size) AS BIGINT) AS max_size
+        |FROM part p
+        |WHERE p_size > (SELECT avg(CAST(p2.p_size AS DOUBLE)) FROM part p2
+        |                WHERE p2.p_brand = p.p_brand)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "win_topk_parts" ->
       """WITH r AS (
@@ -489,6 +501,18 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin,
 
     "lang_id_confusion" -> TextAnalysisOps.Oracle.langIdConfusion,
+    "regex_clean_stats" ->
+      """WITH c AS (SELECT lang, text,
+        |    trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars_raw,
+        |  CAST(sum(length(clean)) AS BIGINT) AS chars_clean
+        |FROM c
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "text_quality" -> TextAnalysisOps.Oracle.textQuality,
     "doc_fingerprint" -> TextAnalysisOps.Oracle.docFingerprint,
     "dedup_docs_simhash" -> TextAnalysisOps.Oracle.dedupDocsSimhash,

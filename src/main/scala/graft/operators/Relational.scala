@@ -214,6 +214,27 @@ object Relational {
     * Dataset set operators themselves are exercised (and asserted equal to
     * this plan) in SetOpSpec.
     */
+  /** D+: correlated scalar subquery — parts larger than their brand's
+    * average size. Written as SQL so Catalyst's subquery decorrelation
+    * (RewriteCorrelatedScalarSubquery) turns the per-row subquery into one
+    * aggregate + join — the plan a 100 TB run needs: one scan for the
+    * per-brand averages (25 rows, broadcast back), one for the probe, no
+    * per-row re-execution. avg(p_size) over int32 is an exact integer sum
+    * divided once, so the threshold is bit-identical across engines.
+    */
+  def subqueryAboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_above,
+        |  CAST(max(p_size) AS BIGINT) AS max_size
+        |FROM part p
+        |WHERE p_size > (SELECT avg(CAST(p2.p_size AS DOUBLE)) FROM part p2
+        |                WHERE p2.p_brand = p.p_brand)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
   def setopParts(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag").isin("R", "A"))

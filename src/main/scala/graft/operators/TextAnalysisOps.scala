@@ -29,6 +29,27 @@ object TextAnalysisOps {
     s"size(filter(split(text, ' '), x -> x IN ($set)))"
   }
 
+  /** V+: corpus cleaning — the normalize step of a training-data pipeline:
+    * strip non-[a-z0-9 ] characters, collapse whitespace runs, trim; report
+    * per-language how many docs changed and the size reduction. Pure
+    * codegen'd string expressions (no UDF), embarrassingly parallel; the
+    * shuffle moves only 5 aggregate rows. Spark's regexp_replace is
+    * replace-all; DuckDB needs the explicit 'g' flag for parity.
+    */
+  def regexCleanStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cleaned = Tables.documents(spark, sfDir)
+      .withColumn("clean",
+        trim(regexp_replace(regexp_replace(col("text"), "[^a-z0-9 ]", ""), " +", " ")))
+    cleaned
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("clean") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("text")).cast("long")).as("chars_raw"),
+        sum(length(col("clean")).cast("long")).as("chars_clean"))
+      .orderBy(col("lang"))
+  }
+
   /** V+: language-ID confusion matrix — keyword-count score per language,
     * argmax prediction (ties → first language in ascending order), grouped
     * against the true lang. Integer arithmetic only → exact cross-engine.

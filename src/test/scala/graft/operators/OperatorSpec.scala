@@ -125,4 +125,27 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(a.length == 32 && a.distinct.length == 32)
     assert(a == b)
   }
+
+  test("subquery_above_avg: decorrelated to one aggregate (no per-row subquery); bounds hold") {
+    val df = Relational.subqueryAboveAvg(spark, sf0001)
+    // Catalyst must rewrite the correlated scalar subquery into an
+    // aggregate + join: the optimized plan carries no subquery expression.
+    assert(!df.queryExecution.optimizedPlan.toString.contains("scalar-subquery"))
+    val totals = graft.sources.Tables.part(spark, sf0001)
+      .groupBy(col("p_brand")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.collect().foreach { r =>
+      val (brand, nAbove) = (r.getString(0), r.getLong(1))
+      assert(nAbove > 0 && nAbove < totals(brand))
+    }
+  }
+
+  test("regex_clean_stats: cleaning never grows a doc; changed ≤ total") {
+    val rows = TextAnalysisOps.regexCleanStats(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))   // n_changed <= n_docs
+      assert(r.getLong(4) <= r.getLong(3))   // chars_clean <= chars_raw
+    }
+  }
 }
