@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~50 whole-stage-codegen'd plans × 2 bench runs overflow the JDK-17
+  // default 240 MB code cache ("CodeCache is full. Compiler has been
+  // disabled") and late queries fall back to the interpreter — measured
+  // 110 s → 33 s total for the 48-query bench at local[32] with 1 GiB.
+  "-XX:ReservedCodeCacheSize=1g",
 )
