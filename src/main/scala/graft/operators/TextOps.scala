@@ -84,6 +84,11 @@ object TextOps {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("sh"))
+    // One row per doc — persisted because the banded self-join below would
+    // otherwise execute the whole shingle+md5 pipeline once per join side
+    // (Spark 4.1 does not ReuseExchange across these self-join branches;
+    // verified in the executed plan). At 100 TB the same move is writing
+    // the signature table before the banded join.
     val mins = shingles
       .withColumn("m1", md5(col("sh")))
       .groupBy(col("doc_id"))
@@ -92,6 +97,10 @@ object TextOps {
         min(substring(col("m1"), 17, 8)).as("s2"), min(substring(col("m1"), 25, 8)).as("s3"),
         min(reverse(substring(col("m1"), 1, 8))).as("s4"), min(reverse(substring(col("m1"), 9, 8))).as("s5"),
         min(reverse(substring(col("m1"), 17, 8))).as("s6"), min(reverse(substring(col("m1"), 25, 8))).as("s7"))
+      .persist()
+    // Eager: both self-join sides start concurrently, and a lazily-persisted
+    // plan is computed by BOTH before either populates the cache.
+    mins.count()
     val sigs = mins.selectExpr(
       "doc_id",
       """stack(4,
@@ -134,6 +143,11 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("sh"))
       .distinct()
+      // Persisted for the same reason as the signature table in
+      // dedupDocsMinhash: sh feeds both sides of the intersection self-join
+      // plus the per-doc counts, and Spark would recompute it three times.
+      .persist()
+    sh.count()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
