@@ -32,6 +32,23 @@ object StreamingQueries {
   def tumblingStream(events: DataFrame): DataFrame =
     tumblingAgg(events.withWatermark("ts_utc", "1 hour"))
 
+  /** Shared sliding aggregation (1-hour window every 15 minutes): each event
+    * lands in 4 overlapping windows. Batch- and stream-compatible.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"), col("sum_cents"))
+
+  /** Streaming sliding window: state = open windows only (≤ 4 per slide
+    * period per event_type once the watermark advances).
+    */
+  def slidingStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts_utc", "1 hour"))
+
   /** Session windows (30-minute gap) — native `session_window`, usable on
     * batch (cross-validates the lag+cumsum sessionize) and on streams
     * (state-store backed).

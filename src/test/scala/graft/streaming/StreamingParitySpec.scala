@@ -38,6 +38,29 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("sliding window: MemoryStream result == batch result") {
+    import spark.implicits._
+    val batchEvents = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batchEvents)
+    val streamingDf = stream.toDF().withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val q = StreamingQueries.slidingStream(streamingDf)
+      .writeStream.format("memory").queryName("graft_sliding_parity")
+      .outputMode("complete").trigger(Trigger.Once()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+      "SELECT ws_us, event_type, n, sum_cents FROM graft_sliding_parity ORDER BY ws_us, event_type")
+      .collect().toSeq
+    val batch = StreamingQueries.slidingAgg(
+        graft.sources.Tables.events(spark, sf0001))
+      .orderBy(col("ws_us"), col("event_type")).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("session_window agrees with lag+cumsum sessionize on per-user session counts") {
     val native = StreamingQueries.sessionCounts(graft.sources.Tables.events(spark, sf0001))
       .orderBy(col("user_id"))
