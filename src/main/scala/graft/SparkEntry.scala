@@ -56,6 +56,8 @@ object SparkEntry {
     // V: vectors & text (LLM-data-pipeline surface)
     "cos_topk" -> VectorOps.cosTopk _,
     "cos_topk_ivf" -> VectorOps.cosTopkIvf _,
+    // rows-only: quantizer is learned (GMM over the coreset), not SQL-expressible
+    "cos_topk_ivf_kmeans" -> VectorOps.cosTopkIvfKmeans _,
     "knn_label_vote" -> VectorOps.knnLabelVote _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
     "dedup_docs_exact" -> TextOps.dedupDocsExact _,

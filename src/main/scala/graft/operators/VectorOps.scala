@@ -99,6 +99,53 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** V+: IVF with a LEARNED coarse quantizer — the composition SCALING.md
+    * promises: the 16 cells are GMM (farthest-point, k-center 2-approx)
+    * centers selected over the composable coreset, i.e. the diversity core
+    * supplies the quantizer for the ANN index. Assignment and probing are
+    * broadcast map-side passes (N×16 dots, no shuffle of the target table);
+    * each query probes its 4 nearest cells, exact-rescores only those
+    * candidates. Deterministic (6-dp-rounded dots, cell-index tie-breaks)
+    * but not SQL-expressible — declared rows-only, recall-tested vs
+    * [[cosTopk]] in PipelineOpsSpec.
+    */
+  def cosTopkIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val cDf = DiversityOps.selectDiverse(spark, sfDir, 16)
+      .zipWithIndex
+      .map { case (p, i) => (i, p.vec) }
+      .toDF("cell", "c_emb")
+    val emb = Tables.embeddings(spark, sfDir)
+    // nearest cell = argmax dot (unit-norm vectors): max over a (dot, -cell)
+    // struct gives the highest-dot cell with ties to the lowest index
+    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cDf))
+        .withColumn("d", round(expr("dot_f32(embedding, c_emb)"), 6))
+      if (keep == 1)
+        scored.groupBy(col(idCol), col("embedding"))
+          .agg(max(struct(col("d"), (-col("cell")).as("nc"))).as("m"))
+          .select(col(idCol), col("embedding"), (-col("m.nc")).as("cell"))
+      else {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("cell"))
+        scored.withColumn("r", row_number().over(w)).filter(col("r") <= keep)
+          .select(col(idCol), col("embedding"), col("cell"))
+      }
+    }
+    val t = assign(emb.select(col("vec_id"), col("embedding")), "vec_id", 1)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"), col("cell"))
+    val q = assign(
+      emb.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")), "vec_id", 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))
+    t.join(broadcast(q), Seq("cell")).filter(col("t_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("dot_f32(q_emb, t_emb)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("t_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** V: 10-NN majority label vote per query vector (ties → smallest label). */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {
     val wNn = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))

@@ -59,6 +59,21 @@ class FunctionsAndSourcesSpec extends AnyFunSuite with SparkTestBase {
       == nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("partitionBy write prunes partitions on read (PartitionFilters, not data filters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, sf0001)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$dir/docs_by_lang")
+    val one = spark.read.parquet(s"$dir/docs_by_lang").filter(col("lang") === "en")
+    val scan = one.queryExecution.executedPlan.toString
+    // the lang predicate must resolve at the directory level: it shows up in
+    // PartitionFilters and never reaches the parquet row-group filters
+    assert(scan.contains("PartitionFilters") &&
+      scan.split("PartitionFilters", 2)(1).takeWhile(_ != ']').contains("lang"), scan)
+    assert(!scan.split("PushedFilters", 2)(1).takeWhile(_ != ']').contains("lang"), scan)
+    val expected = Tables.documents(spark, sf0001).filter(col("lang") === "en").count()
+    assert(one.count() == expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is set to /tmp/graft_warehouse in SparkTestBase (static
     // conf); the in-memory catalog is fresh each JVM but the directory is
