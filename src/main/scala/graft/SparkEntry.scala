@@ -75,6 +75,7 @@ object SparkEntry {
     // W: diversity core (no oracle — property-tested, SURVEY.md §2.2-W)
     "gmm_diverse_k32" -> DiversityOps.gmmDiverseK32 _,
     "diverse_docs_k16" -> DiversityOps.diverseDocsK16 _,
+    "curate_corpus_k16" -> DiversityOps.curateCorpusK16 _,
     "remote_edge_div" -> DiversityOps.remoteEdgeDiv _,
     "remote_clique_div" -> DiversityOps.remoteCliqueDiv _,
     "coreset_stream" -> DiversityOps.coresetStream _

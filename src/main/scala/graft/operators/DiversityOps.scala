@@ -125,6 +125,46 @@ object DiversityOps {
       .toDF("rank", "doc_id")
   }
 
+  /** W+: end-to-end corpus curation — the composed training-data pipeline
+    * run as ONE query: (1) quality gate (type-token ratio × doc length,
+    * pure codegen'd expressions), (2) exact dedup keeping the min-doc_id
+    * survivor (one hash shuffle), (3) diversity sampling k=16 via the
+    * bag-of-words Jaccard coreset path of [[diverseDocsK16]]. Shows the
+    * engine's operators compose: at 100 TB each stage keeps its own scale
+    * posture (map-side filters → keyed shuffle → coreset-only collect).
+    * Deterministic; rows-only (diversity selection is not SQL-expressible).
+    */
+  def curateCorpusK16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val survivors = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("ttr", size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      // quality gate: enough tokens and vocabulary actually varies
+      .filter(col("n_tokens") >= 8 && col("ttr") >= 0.3)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val docs = survivors
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, Distance.bagOfWords(text.split(' ').toSeq.filter(_.nonEmpty)))
+      }
+    val coreset = docs
+      .repartition(4, pmod(col("_1"), lit(4)))
+      .mapPartitions { it =>
+        val pts = it.toVector
+        if (pts.isEmpty) Iterator.empty
+        else Gmm.selectBy(pts, 32)(Distance.generalizedJaccardDist).iterator
+      }
+      .collect()
+      .sortBy(_._1)
+    val sel = Gmm.selectBy(coreset.toSeq, 16)(Distance.generalizedJaccardDist)
+    sel.zipWithIndex
+      .map { case ((id, _), i) => ((i + 1).toLong, id) }
+      .toDF("rank", "doc_id")
+  }
+
   /** W: one-pass streaming coreset (kernel budget 64) over the embeddings in
     * ascending vec_id order → (vec_id, weight) kernels. Single-partition
     * fold — the streaming model is sequential by definition ([VLDB17] §5);

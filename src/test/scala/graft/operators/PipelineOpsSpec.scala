@@ -74,6 +74,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.toDouble / a.length > 0.35, s"k-means IVF recall ${hits.toDouble / a.length}")
   }
 
+  test("curate_corpus_k16: composed pipeline is deterministic and respects its own gates") {
+    import org.apache.spark.sql.functions._
+    val a = graft.operators.DiversityOps.curateCorpusK16(spark, sf0001).collect()
+    val b = graft.operators.DiversityOps.curateCorpusK16(spark, sf0001).collect()
+    assert(a.length == 16 && a.map(_.getLong(1)).distinct.length == 16)
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // every selected doc passes the quality gate and is its text's min-doc_id survivor
+    val chosen = a.map(_.getLong(1)).toSet
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("ttr", size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+    val gate = docs.filter(col("n_tokens") >= 8 && col("ttr") >= 0.3)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(_.getLong(1)).toSet
+    assert(chosen.subsetOf(gate))
+  }
+
   test("embedding_near_dup: pairs are bucket-consistent and symmetric-free") {
     val rows = VectorOps.embeddingNearDup(spark, sf0001).collect()
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
