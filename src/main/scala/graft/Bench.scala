@@ -32,6 +32,13 @@ object Bench {
       // 1 replicates cluster behavior (splits come from maxPartitionBytes,
       // so a 100 TB table still fans out); measured 33 s → 27 s total.
       .config("spark.sql.files.minPartitionNum", "1")
+      // 150 actions in one session accumulate status-store state whose
+      // bookkeeping slows late job submission (measured 61 s → 37 s total);
+      // cap retention — this is a metrics buffer, not execution state.
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: exercise codegen, the parquet reader and the whole query
