@@ -26,6 +26,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // Local-mode default inflates minPartitionNum to defaultParallelism,
       // splitting each ~5 MB fixture file 32 ways — pure task overhead.
