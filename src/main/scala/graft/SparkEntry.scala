@@ -44,6 +44,7 @@ object SparkEntry {
     "win_rank_kinds" -> EventOps.winRankKinds _,
     // G: set ops
     "setop_parts" -> Relational.setopParts _,
+    "setop_all_parts" -> Relational.setopAllParts _,
     // H: scalar / date / json / array functions
     "scalar_funcs" -> ScalarOps.scalarFuncs _,
     "date_funcs" -> ScalarOps.dateFuncs _,
@@ -300,6 +301,25 @@ object SparkEntry {
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
         |    UNION
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A') t3) AS n_union""".stripMargin,
+
+    "setop_all_parts" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |    EXCEPT ALL
+        |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') t1) AS n_except_all,
+        |  (SELECT CAST(sum(l_partkey) AS BIGINT) FROM (
+        |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |    EXCEPT ALL
+        |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') t2) AS sum_except_all,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |    INTERSECT ALL
+        |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') t3) AS n_intersect_all,
+        |  (SELECT CAST(sum(l_partkey) AS BIGINT) FROM (
+        |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |    INTERSECT ALL
+        |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') t4) AS sum_intersect_all""".stripMargin,
 
     "scalar_funcs" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

@@ -235,6 +235,22 @@ object Relational {
         |ORDER BY p_brand""".stripMargin)
   }
 
+  /** G+: multiset set-ops — EXCEPT ALL / INTERSECT ALL keep duplicate
+    * counts (Spark plans them as a count-aggregate + replicate Generate,
+    * not the distinct-based semi/anti path of [[setopParts]]). Output is a
+    * single checksum row so the oracle compare is exact.
+    */
+  def setopAllParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+    val ex = r.exceptAll(a).agg(
+      count(lit(1)).as("n_except_all"), sum(col("l_partkey")).as("sum_except_all"))
+    val in = r.intersectAll(a).agg(
+      count(lit(1)).as("n_intersect_all"), sum(col("l_partkey")).as("sum_intersect_all"))
+    ex.crossJoin(in)
+  }
+
   def setopParts(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
       .filter(col("l_returnflag").isin("R", "A"))

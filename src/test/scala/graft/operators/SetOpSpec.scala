@@ -34,4 +34,11 @@ class SetOpSpec extends AnyFunSuite with SparkTestBase {
     assert(x.except(y.select(col("k"), col("v"))).collect().toSeq
       == Seq(org.apache.spark.sql.Row(1, "a")))
   }
+
+  test("setop_all_parts: multiset identity |R exceptAll A| + |R intersectAll A| = |R|") {
+    val r = Relational.setopAllParts(spark, sf0001).collect()(0)
+    val nR = graft.sources.Tables.lineitem(spark, sf0001)
+      .filter(col("l_returnflag") === "R").count()
+    assert(r.getLong(0) + r.getLong(2) == nR)
+  }
 }
