@@ -24,6 +24,7 @@ object SparkEntry {
     // C: joins
     "join_nation_revenue" -> Relational.joinNationRevenue _,
     "q3_top_orders" -> Relational.q3TopOrders _,
+    "q5_local_supplier" -> Relational.q5LocalSupplier _,
     "semi_anti_customers" -> Relational.semiAntiCustomers _,
     "range_join_promo" -> Relational.rangeJoinPromo _,
     "asof_join_events" -> EventOps.asofJoinEvents _,
@@ -132,6 +133,22 @@ object SparkEntry {
         |FROM g
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "semi_anti_customers" ->
       """SELECT

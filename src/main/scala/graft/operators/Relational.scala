@@ -214,6 +214,32 @@ object Relational {
     * Dataset set operators themselves are exercised (and asserted equal to
     * this plan) in SetOpSpec.
     */
+  /** C+: TPC-H Q5 shape — six-way join (two broadcast dims, three
+    * shuffle-key joins) with the "local supplier" residual predicate
+    * `c_nationkey = s_nationkey` carried on the supplier equi-join. The
+    * deepest join tree in the set; AQE picks broadcast for nation/region
+    * and shuffle joins keyed on orderkey/custkey/suppkey for the big sides.
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
+        expr("o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"))
+    val joined = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+    joined
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** D+: correlated scalar subquery — parts larger than their brand's
     * average size. Written as SQL so Catalyst's subquery decorrelation
     * (RewriteCorrelatedScalarSubquery) turns the per-row subquery into one
