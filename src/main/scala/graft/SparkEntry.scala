@@ -51,6 +51,9 @@ object SparkEntry {
     "date_funcs" -> ScalarOps.dateFuncs _,
     "json_props" -> EventOps.jsonProps _,
     "array_map_funcs" -> ScalarOps.arrayMapFuncs _,
+    "map_roundtrip" -> ScalarOps.mapRoundtrip _,
+    "agg_conditional" -> Relational.aggConditional _,
+    "lateral_brand_stats" -> Relational.lateralBrandStats _,
     // S: event-time windows (batch forms; streaming parity in graft.streaming)
     "tumbling_window" -> EventOps.tumblingWindow _,
     "sliding_window" -> EventOps.slidingWindow _,
@@ -318,6 +321,31 @@ object SparkEntry {
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
         |    UNION
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A') t3) AS n_union""".stripMargin,
+
+    "agg_conditional" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS some_high_disc,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "map_roundtrip" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE user_id < 20
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "lateral_brand_stats" ->
+      """SELECT p.p_brand, l.max_price, l.n
+        |FROM (SELECT DISTINCT p_brand FROM part) p,
+        |LATERAL (SELECT round(max(p2.p_retailprice), 2) AS max_price,
+        |                CAST(count(*) AS BIGINT) AS n
+        |         FROM part p2 WHERE p2.p_brand = p.p_brand) l
+        |ORDER BY p.p_brand""".stripMargin,
 
     "setop_all_parts" ->
       """SELECT

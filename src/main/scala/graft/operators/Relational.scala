@@ -214,6 +214,38 @@ object Relational {
     * Dataset set operators themselves are exercised (and asserted equal to
     * this plan) in SetOpSpec.
     */
+  /** D+: conditional & boolean aggregates — count_if, bool_and/bool_or,
+    * plus a DETERMINISTIC string aggregation (collect_list is
+    * order-nondeterministic under shuffle; array_sort before array_join
+    * restores a total order, the only safe way to declare a listagg).
+    */
+  def aggConditional(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("count_if(l_quantity > 25)").as("n_big"),
+        expr("bool_and(l_quantity > 0)").as("all_pos"),
+        expr("bool_or(l_discount > 0.09)").as("some_high_disc"),
+        expr("array_join(array_sort(collect_set(l_linestatus)), ',')").as("statuses"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** C+: LATERAL correlated subquery in FROM — each brand row drives a
+    * dependent aggregate subquery; Catalyst decorrelates it
+    * (DecorrelateInnerQuery) into a join against one grouped aggregate, so
+    * the per-row subquery never re-executes at scale.
+    */
+  def lateralBrandStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p.p_brand, l.max_price, l.n
+        |FROM (SELECT DISTINCT p_brand FROM part) p,
+        |LATERAL (SELECT round(max(p2.p_retailprice), 2) AS max_price,
+        |                CAST(count(*) AS BIGINT) AS n
+        |         FROM part p2 WHERE p2.p_brand = p.p_brand) l
+        |ORDER BY p.p_brand""".stripMargin)
+  }
+
   /** C+: TPC-H Q5 shape — six-way join (two broadcast dims, three
     * shuffle-key joins) with the "local supplier" residual predicate
     * `c_nationkey = s_nationkey` carried on the supplier equi-join. The

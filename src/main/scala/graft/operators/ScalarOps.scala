@@ -61,4 +61,20 @@ object ScalarOps {
           "aggregate(transform(embedding, x -> CAST(abs(x) AS DOUBLE)), 0D, (s, x) -> s + x)"), 6).as("l1_norm"))
       .orderBy(col("vec_id"))
   }
+
+  /** H+: MapType round-trip — per-user event counts packed into a
+    * map<string,long> (map_from_entries over sorted struct entries), then
+    * exploded back to rows. The map construction/explosion must be an exact
+    * identity of the plain aggregate, which is what the oracle checks.
+    */
+  def mapRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(expr("map_from_entries(array_sort(collect_list(struct(event_type, n))))").as("m"))
+      .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n")))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
