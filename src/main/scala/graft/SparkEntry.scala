@@ -52,6 +52,8 @@ object SparkEntry {
     "json_props" -> EventOps.jsonProps _,
     "array_map_funcs" -> ScalarOps.arrayMapFuncs _,
     "map_roundtrip" -> ScalarOps.mapRoundtrip _,
+    "try_funcs" -> ScalarOps.tryFuncs _,
+    "win_ignore_nulls" -> EventOps.winIgnoreNulls _,
     "agg_conditional" -> Relational.aggConditional _,
     "lateral_brand_stats" -> Relational.lateralBrandStats _,
     // S: event-time windows (batch forms; streaming parity in graft.streaming)
@@ -321,6 +323,29 @@ object SparkEntry {
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
         |    UNION
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A') t3) AS n_union""".stripMargin,
+
+    "try_funcs" ->
+      """SELECT doc_id,
+        |  TRY_CAST(substr(text, 1, 3) AS INTEGER) AS head_int,
+        |  TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_int,
+        |  round(CASE WHEN doc_id % 3 = 0 THEN NULL
+        |             ELSE CAST(n_chars AS DOUBLE) / CAST(doc_id % 3 AS DOUBLE) END, 6) AS div3
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "win_ignore_nulls" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(ts) AS ts_us,
+        |    CASE WHEN value >= 400 THEN CAST(round(value * 100, 0) AS BIGINT) END AS big_cents
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us, big_cents,
+        |  last_value(big_cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_cents,
+        |  lag(big_cents, 1 IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_big_cents
+        |FROM e
+        |ORDER BY event_id""".stripMargin,
 
     "agg_conditional" ->
       """SELECT l_returnflag,

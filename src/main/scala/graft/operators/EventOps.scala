@@ -64,6 +64,25 @@ object EventOps {
     * cents (RANGE BETWEEN 3.6e9 µs PRECEDING AND CURRENT ROW over the
     * numeric ts_us ordering). Integer output → exact cross-engine.
     */
+  /** E+: IGNORE NULLS window navigation — carry the last "big purchase"
+    * value forward per user (last_value + lag, both null-skipping). The
+    * big-value column is sparse by construction (CASE makes most rows
+    * null), which is exactly the shape IGNORE NULLS exists for.
+    */
+  def winIgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("big_cents",
+        when(col("value") >= 400, cents).otherwise(lit(null)))
+      .selectExpr(
+        "event_id", "user_id", "ts_us", "big_cents",
+        """last_value(big_cents) IGNORE NULLS OVER (
+          |  PARTITION BY user_id ORDER BY ts_us, event_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_cents""".stripMargin,
+        """lag(big_cents, 1) IGNORE NULLS OVER (
+          |  PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_big_cents""".stripMargin)
+      .orderBy(col("event_id"))
+  }
+
   def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))

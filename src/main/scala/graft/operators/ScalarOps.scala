@@ -62,6 +62,22 @@ object ScalarOps {
       .orderBy(col("vec_id"))
   }
 
+  /** H+: ANSI-mode error tolerance — Spark 4 throws on bad casts and
+    * division by zero; `try_cast`/`try_divide` restore SQL's permissive
+    * NULL-on-error semantics where the query wants them. The oracle
+    * mirrors try_divide's divide-by-zero → NULL with an explicit CASE
+    * (DuckDB float division by zero yields inf, not NULL).
+    */
+  def tryFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        expr("try_cast(substring(text, 1, 3) AS INT)").as("head_int"),
+        expr("try_cast(CAST(n_chars AS STRING) AS INT)").as("chars_int"),
+        round(expr("try_divide(CAST(n_chars AS DOUBLE), CAST(doc_id % 3 AS DOUBLE))"), 6).as("div3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** H+: MapType round-trip — per-user event counts packed into a
     * map<string,long> (map_from_entries over sorted struct entries), then
     * exploded back to rows. The map construction/explosion must be an exact
