@@ -56,6 +56,9 @@ object SparkEntry {
     "win_ignore_nulls" -> EventOps.winIgnoreNulls _,
     "agg_conditional" -> Relational.aggConditional _,
     "lateral_brand_stats" -> Relational.lateralBrandStats _,
+    "unpivot_stats" -> Relational.unpivotStats _,
+    "calendar_months" -> Relational.calendarMonths _,
+    "null_semantics" -> Relational.nullSemantics _,
     // S: event-time windows (batch forms; streaming parity in graft.streaming)
     "tumbling_window" -> EventOps.tumblingWindow _,
     "sliding_window" -> EventOps.slidingWindow _,
@@ -323,6 +326,40 @@ object SparkEntry {
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
         |    UNION
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A') t3) AS n_union""".stripMargin,
+
+    "unpivot_stats" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS qty,
+        |    round(sum(l_extendedprice), 2) AS price,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'n' AS metric, n AS value FROM w
+        |  UNION ALL SELECT l_returnflag, 'price', price FROM w
+        |  UNION ALL SELECT l_returnflag, 'qty', qty FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "calendar_months" ->
+      """WITH pm AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |spine AS (SELECT strftime(m, '%Y-%m') AS ym FROM (
+        |  SELECT unnest(generate_series(
+        |      date_trunc('month', CAST(min(o_orderdate) AS DATE)),
+        |      date_trunc('month', CAST(max(o_orderdate) AS DATE)),
+        |      INTERVAL 1 MONTH)) AS m
+        |  FROM orders))
+        |SELECT spine.ym, coalesce(pm.n_orders, 0) AS n_orders
+        |FROM spine LEFT JOIN pm ON spine.ym = pm.ym
+        |ORDER BY spine.ym""".stripMargin,
+
+    "null_semantics" ->
+      """WITH g AS (SELECT nullif(event_type, 'click') AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT a.k, a.n AS n_a, b.n AS n_b
+        |FROM g a JOIN g b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
 
     "try_funcs" ->
       """SELECT doc_id,

@@ -214,6 +214,59 @@ object Relational {
     * Dataset set operators themselves are exercised (and asserted equal to
     * this plan) in SetOpSpec.
     */
+  /** D+: unpivot (melt) — the inverse of [[pivotEvents]]: a wide per-flag
+    * aggregate melted to (flag, metric, value) rows via the Dataset
+    * `unpivot` API (planned as Expand, one pass, no shuffle beyond the
+    * aggregate's own).
+    */
+  def unpivotStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("price"),
+        count(lit(1)).cast("double").as("n"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("n")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  /** A+: table-function source — a month calendar spine generated with
+    * `sequence` + explode (no input table), left-joined against the
+    * per-month order counts so missing months would surface as zeros.
+    * The generated side is rows-from-nothing, the Spark analogue of a SQL
+    * table function.
+    */
+  def calendarMonths(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val perMonth = ord
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n_orders"))
+    val spine = ord
+      .agg(min(col("o_orderdate")).as("d0"), max(col("o_orderdate")).as("d1"))
+      .select(explode(expr(
+        "sequence(CAST(date_trunc('MONTH', d0) AS DATE), CAST(date_trunc('MONTH', d1) AS DATE), interval 1 month)")).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("ym"))
+    spine.join(perMonth, Seq("ym"), "left")
+      .select(col("ym"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("ym"))
+  }
+
+  /** B+: null semantics — a null-safe (`<=>`) self-join keeps the NULL
+    * group that plain `=` would drop (asserted in OperatorSpec), and the
+    * output ordering is explicit NULLS FIRST.
+    */
+  def nullSemantics(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .select(nullif(col("event_type"), lit("click")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    g.as("a").join(g.as("b"), expr("a.k <=> b.k"))
+      .select(col("a.k").as("k"), col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .sort(col("k").asc_nulls_first)
+  }
+
   /** D+: conditional & boolean aggregates — count_if, bool_and/bool_or,
     * plus a DETERMINISTIC string aggregation (collect_list is
     * order-nondeterministic under shuffle; array_sort before array_join

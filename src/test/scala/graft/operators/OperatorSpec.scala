@@ -140,6 +140,18 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("null_semantics: <=> keeps the NULL group that = drops") {
+    val rows = Relational.nullSemantics(spark, sf0001).collect()
+    // NULLS FIRST: the nullified 'click' group leads, and <=> matched it
+    assert(rows.head.isNullAt(0))
+    assert(rows.length == 5)
+    // a plain = self-join on the same aggregate drops the null row
+    val g = graft.sources.Tables.events(spark, sf0001)
+      .select(nullif(col("event_type"), lit("click")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(g.as("a").join(g.as("b"), col("a.k") === col("b.k")).count() == 4)
+  }
+
   test("regex_clean_stats: cleaning never grows a doc; changed ≤ total") {
     val rows = TextAnalysisOps.regexCleanStats(spark, sf0001).collect()
     assert(rows.nonEmpty)
