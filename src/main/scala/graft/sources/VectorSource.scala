@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -28,6 +28,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (never `rand()`). Unit-normalized gaussian vectors, like the fixture
   * embeddings. Scale posture: `planInputPartitions` splits the id range, so
   * a 10¹²-row table is just more partitions — no driver materialization.
+  * The scan implements BOTH V2 pushdowns that matter here:
+  *
+  *  - column pruning ([[SupportsPushDownRequiredColumns]]): an id/label-only
+  *    query never pays the O(dim) gaussian generation per row;
+  *  - vec_id range pushdown ([[SupportsPushDownFilters]]): comparisons on
+  *    vec_id clamp the generated id range at PLANNING time, so
+  *    `n=10⁹, WHERE vec_id < 1000` plans one tiny partition instead of
+  *    generating a billion rows. Filters are still returned as residual, so
+  *    Spark re-checks them — pruning is an optimization, never a semantics
+  *    change.
   */
 class VectorSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-vectors"
@@ -88,31 +98,67 @@ class VectorTable(props: Map[String, String]) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+      with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+      private var required: StructType = VectorSource.schema
+      private var lo: Long = 0L            // inclusive id lower bound
+      private var hi: Long = n             // exclusive id upper bound
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // preserve source field order; empty projection (count(*)) is legal
+        required = StructType(
+          VectorSource.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.collect {
+          case f @ GreaterThan("vec_id", v: Long) => lo = math.max(lo, v + 1); f
+          case f @ GreaterThanOrEqual("vec_id", v: Long) => lo = math.max(lo, v); f
+          case f @ LessThan("vec_id", v: Long) => hi = math.min(hi, v); f
+          case f @ LessThanOrEqual("vec_id", v: Long) => hi = math.min(hi, v + 1); f
+          case f @ EqualTo("vec_id", v: Long) =>
+            lo = math.max(lo, v); hi = math.min(hi, v + 1); f
+        }
+        filters // all residual: the range clamp is pruning, not evaluation
+      }
+
+      override def pushedFilters(): Array[Filter] = pushed
+
       override def build(): Scan = this
-      override def readSchema(): StructType = VectorSource.schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
+      override def description(): String =
+        s"PushedFilters: [${pushed.mkString(", ")}], IdRange: [$lo, $hi)"
 
       override def planInputPartitions(): Array[InputPartition] = {
-        val per = math.max(1L, (n + partitions - 1) / partitions)
-        (0L until n by per)
-          .map(start => VectorRange(start, math.min(start + per, n), dim, seed))
+        val first = math.max(0L, lo)
+        val last = math.min(n, hi)
+        val span = math.max(0L, last - first)
+        val per = math.max(1L, (span + partitions - 1) / partitions)
+        (first until last by per)
+          .map(start => VectorRange(start, math.min(start + per, last), dim, seed))
           .toArray
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val fields = required.fieldNames
         (partition: InputPartition) => {
           val r = partition.asInstanceOf[VectorRange]
           new PartitionReader[InternalRow] {
             private var id = r.start - 1
             override def next(): Boolean = { id += 1; id < r.end }
-            override def get(): InternalRow = InternalRow(
-              id,
-              ArrayData.toArrayData(VectorSource.vectorFor(id, r.dim, r.seed)),
-              VectorSource.labelFor(id, r.seed))
+            override def get(): InternalRow = InternalRow.fromSeq(
+              fields.map {
+                case "vec_id" => id
+                case "embedding" =>
+                  ArrayData.toArrayData(VectorSource.vectorFor(id, r.dim, r.seed))
+                case "label" => VectorSource.labelFor(id, r.seed)
+              }.toIndexedSeq)
             override def close(): Unit = ()
           }
         }
+      }
     }
 }
 

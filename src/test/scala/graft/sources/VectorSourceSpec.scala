@@ -39,6 +39,33 @@ class VectorSourceSpec extends AnyFunSuite with SparkTestBase {
     byLabel.values.foreach(n => assert(n > 100 && n < 300))
   }
 
+  test("column pruning reaches the scan: id/label query reads no embedding") {
+    val df = load(1000, 4).select(col("vec_id"), col("label"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("vec_id") && !scan.contains("embedding"), scan)
+    assert(df.count() == 1000L)
+  }
+
+  test("vec_id range pushdown prunes at planning: billion-row table, tiny filter, fast") {
+    // Without range pushdown this would generate 10^9 gaussian vectors.
+    val t0 = System.nanoTime()
+    val df = spark.read.format("graft-vectors")
+      .option("n", 1000000000L).option("dim", 8).option("seed", 7).option("partitions", 4)
+      .load()
+      .filter(col("vec_id") >= 500 && col("vec_id") < 1500)
+    assert(df.count() == 1000L)
+    assert(df.agg(min("vec_id"), max("vec_id")).collect()(0).toSeq == Seq(500L, 1499L))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30, s"range pushdown not effective: took $sec s")
+    // the residual Filter node remains (semantics unchanged) and the scan
+    // reports its pushed range via Scan.description (formatted explain)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("Filter"), plan.toString)
+    assert(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .contains("IdRange: [500, 1500)"), "no pushdown reported in formatted explain")
+  }
+
   test("source feeds the diversity pipeline end-to-end") {
     import spark.implicits._
     val pts = load(300, 4)
