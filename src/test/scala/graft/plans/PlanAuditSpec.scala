@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.operators.{EventOps, Relational, VectorOps}
+
+/** Regression guards for the scale-critical physical-plan properties the
+  * engine's 100 TB posture depends on (SURVEY.md §4.2, SCALING.md). These
+  * assert the PLAN, not the result: a correct-but-cartesian cos_topk or a
+  * q5 that stopped broadcasting its dims would pass every oracle and still
+  * be unusable at scale.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q5: dimension joins broadcast, no cartesian anywhere") {
+    val p = plan(Relational.q5LocalSupplier(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("scan_project_filter: predicates reach the parquet scan") {
+    val p = plan(Relational.scanProjectFilter(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_discount.*"), p)
+  }
+
+  test("win_topk_parts: rank limit pushed into WindowGroupLimit (no full-window materialize)") {
+    val p = plan(EventOps.winTopkParts(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("cos_topk: the only nested-loop join is the intentional query-vector broadcast") {
+    val p = plan(VectorOps.cosTopk(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_docs_minhash: banded join is an equi hash/merge join, never nested-loop") {
+    val p = plan(graft.operators.TextOps.dedupDocsMinhash(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q1: aggregation is partial+final hash aggregate (map-side combine)") {
+    val p = plan(Relational.q1PricingSummary(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+}
