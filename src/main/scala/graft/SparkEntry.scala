@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
     "dedup_docs_simhash" -> TextAnalysisOps.dedupDocsSimhash _,
     "ngram_jaccard" -> TextOps.ngramJaccard _,
+    "dedup_clusters" -> TextOps.dedupClusters _,
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
     "text_stats_lang" -> TextOps.textStatsLang _,
@@ -565,6 +566,36 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
         |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc1, doc2""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |hx AS (SELECT doc_id, md5(shingle) AS m1 FROM sh),
+        |g AS (SELECT doc_id,
+        |    min(substr(m1, 1, 8)) AS s0, min(substr(m1, 9, 8)) AS s1,
+        |    min(substr(m1, 17, 8)) AS s2, min(substr(m1, 25, 8)) AS s3,
+        |    min(reverse(substr(m1, 1, 8))) AS s4, min(reverse(substr(m1, 9, 8))) AS s5,
+        |    min(reverse(substr(m1, 17, 8))) AS s6, min(reverse(substr(m1, 25, 8))) AS s7
+        |  FROM hx GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc1, doc2 FROM cand UNION SELECT doc2, doc1 FROM cand),
+        |reach AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.doc2 AS b FROM reach r JOIN edges e ON r.b = e.doc1)
+        |SELECT m AS cluster_rep, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM (SELECT a, min(b) AS m FROM reach GROUP BY a)
+        |GROUP BY m
+        |ORDER BY cluster_rep""".stripMargin,
 
     "text_tokens" ->
       """WITH tk AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en')

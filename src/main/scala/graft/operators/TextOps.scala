@@ -166,6 +166,46 @@ object TextOps {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** V+: dedup CLUSTERS — connected components over the MinHash candidate
+    * pairs, the step that turns pairwise candidates into dedup groups.
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(cluster diameter) rounds (near-dup clusters are tiny, so a handful).
+    * This is the standard Spark CC pattern — a driver loop of joins, each
+    * round one shuffle, state persisted and the previous round unpersisted;
+    * at 100 TB the same loop runs with the edge table on disk and
+    * convergence checked by an aggregate, exactly as here. Output:
+    * (cluster_rep = min doc_id, n_docs), clusters of size ≥ 2 only.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupDocsMinhash(spark, sfDir)
+      .select(col("doc1"), col("doc2")).persist()
+    pairs.count()
+    val sym = pairs.union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+    var labels = sym.select(col("doc1").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = sym.join(labels, sym("doc2") === labels("id"))
+        .groupBy(col("doc1")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("doc1"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      next.count()
+      changed = labels.as("o").join(next.as("n"), col("o.id") === col("n.id"))
+        .filter(col("o.lbl") =!= col("n.lbl")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** V+: token counting, whitespace vs a BPE-ish regex tokenizer
     * (letter runs / digit runs / single non-alphanumeric — the GPT-2-style
     * pre-tokenization classes, simplified to a regex dialect both engines

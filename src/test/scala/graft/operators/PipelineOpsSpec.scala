@@ -74,6 +74,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.toDouble / a.length > 0.35, s"k-means IVF recall ${hits.toDouble / a.length}")
   }
 
+  test("dedup_clusters: components absorb every candidate pair; reps are minimal") {
+    val pairs = TextOps.dedupDocsMinhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = TextOps.dedupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.map(_._2).sum == pairs.flatMap(p => Seq(p._1, p._2)).distinct.length)
+    // union-find ground truth over the pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (_, ms) => (ms.min, ms.length.toLong) }.toSet
+    assert(clusters.toSet == truth)
+  }
+
   test("curate_corpus_k16: composed pipeline is deterministic and respects its own gates") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.DiversityOps.curateCorpusK16(spark, sf0001).collect()
