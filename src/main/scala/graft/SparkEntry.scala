@@ -57,6 +57,8 @@ object SparkEntry {
     "agg_conditional" -> Relational.aggConditional _,
     "lateral_brand_stats" -> Relational.lateralBrandStats _,
     "unpivot_stats" -> Relational.unpivotStats _,
+    "argmax_orders" -> Relational.argmaxOrders _,
+    "salted_heavy_hitters" -> Relational.saltedHeavyHitters _,
     "calendar_months" -> Relational.calendarMonths _,
     "null_semantics" -> Relational.nullSemantics _,
     // S: event-time windows (batch forms; streaming parity in graft.streaming)
@@ -327,6 +329,30 @@ object SparkEntry {
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
         |    UNION
         |    SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A') t3) AS n_union""".stripMargin,
+
+    "argmax_orders" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey DESC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(min(o_totalprice), 2) AS min_price
+        |FROM r
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "salted_heavy_hitters" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "unpivot_stats" ->
       """WITH w AS (SELECT l_returnflag,

@@ -214,6 +214,37 @@ object Relational {
     * Dataset set operators themselves are exercised (and asserted equal to
     * this plan) in SetOpSpec.
     */
+  /** D+: argmax aggregates — max_by/min_by with a STRUCT ordering value so
+    * ties break on the key (bare max_by over a tied measure is
+    * nondeterministic; the struct makes the comparison total). DuckDB's
+    * arg_max with a ROW value implements the same total order.
+    */
+  def argmaxOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("priciest_order"),
+        expr("min_by(o_orderkey, struct(o_totalprice, -o_orderkey))").as("cheapest_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** D+: skew-safe heavy hitters — the two-phase salted aggregation from
+    * [[Salting.saltedCountSum]] declared as a query: partial aggregate on
+    * (key, salt) caps any single reducer at |group|/buckets rows, the final
+    * aggregate merges the partials. Algebraic aggregates make the result
+    * exactly equal to the direct groupBy, which is what the oracle checks.
+    */
+  def saltedHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    Salting.saltedCountSum(
+        Tables.events(spark, sfDir).select(col("event_type"), col("value")),
+        "event_type", "value", buckets = 8)
+      .select(col("event_type"), col("n"),
+        expr("CAST(round(`sum` * 100, 0) AS BIGINT)").as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** D+: unpivot (melt) — the inverse of [[pivotEvents]]: a wide per-flag
     * aggregate melted to (flag, metric, value) rows via the Dataset
     * `unpivot` API (planned as Expand, one pass, no shuffle beyond the
