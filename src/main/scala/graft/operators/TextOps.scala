@@ -178,32 +178,67 @@ object TextOps {
     * (cluster_rep = min doc_id, n_docs), clusters of size ≥ 2 only.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupDocsMinhash(spark, sfDir)
-      .select(col("doc1"), col("doc2")).persist()
-    pairs.count()
-    val sym = pairs.union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-    var labels = sym.select(col("doc1").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
-    labels.count()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 20) {
-      val nbrMin = sym.join(labels, sym("doc2") === labels("id"))
-        .groupBy(col("doc1")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("doc1"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
-      next.count()
-      changed = labels.as("o").join(next.as("n"), col("o.id") === col("n.id"))
-        .filter(col("o.lbl") =!= col("n.lbl")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    labels
+    val pairs = dedupDocsMinhash(spark, sfDir).select(col("doc1"), col("doc2"))
+    componentLabels(spark, pairs)
       .groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("cluster_rep"))
+  }
+
+  /** Connected-component labels (id → min id of its component) for an edge
+    * list. Two paths, chosen by edge count — the same small/large split as
+    * the coreset pattern:
+    *
+    *  - **small** (edges fit on the driver): collect the PAIR LIST — bounded
+    *    derived state, like a coreset; never raw docs — and run union-find
+    *    with path compression. One job, O(E α(E)).
+    *  - **large** (100 TB path, `smallLimit` exceeded): distributed
+    *    min-label propagation, one shuffle round per cluster diameter.
+    *    Labels only ever decrease, so sum(lbl) is a one-aggregate
+    *    convergence test (no extra change-count join).
+    */
+  private[operators] def componentLabels(
+      spark: SparkSession,
+      pairDf: DataFrame,
+      smallLimit: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val pairs = pairDf.persist()
+    val nEdges = pairs.count()
+    if (nEdges <= smallLimit) {
+      val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => (id, find(id))).toSeq.toDF("id", "lbl")
+    } else {
+      val sym = pairs.union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      var labels = sym.select(col("doc1").as("id")).distinct()
+        .withColumn("lbl", col("id")).persist()
+      var lblSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        val nbrMin = sym.join(labels, sym("doc2") === labels("id"))
+          .groupBy(col("doc1")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("doc1"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .persist()
+        val nextSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+        converged = nextSum == lblSum
+        lblSum = nextSum
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      labels
+    }
   }
 
   /** V+: token counting, whitespace vs a BPE-ish regex tokenizer

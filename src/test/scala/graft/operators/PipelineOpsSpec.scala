@@ -91,6 +91,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(clusters.toSet == truth)
   }
 
+  test("dedup_clusters: driver union-find path == distributed label-propagation path") {
+    val pairs = TextOps.dedupDocsMinhash(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc1"), org.apache.spark.sql.functions.col("doc2"))
+    val small = TextOps.componentLabels(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = TextOps.componentLabels(spark, pairs, smallLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small == dist)
+    assert(small.nonEmpty)
+  }
+
   test("curate_corpus_k16: composed pipeline is deterministic and respects its own gates") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.DiversityOps.curateCorpusK16(spark, sf0001).collect()
