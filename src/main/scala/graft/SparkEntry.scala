@@ -82,6 +82,7 @@ object SparkEntry {
     "text_stats_lang" -> TextOps.textStatsLang _,
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
     "regex_clean_stats" -> TextAnalysisOps.regexCleanStats _,
+    "hash_sample_stratified" -> TextAnalysisOps.hashSampleStratified _,
     "text_quality" -> TextAnalysisOps.textQuality _,
     "doc_fingerprint" -> TextAnalysisOps.docFingerprint _,
     "multimodal_meta" -> MultimodalOps.multimodalMeta _,
@@ -688,6 +689,15 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin,
 
     "lang_id_confusion" -> TextAnalysisOps.Oracle.langIdConfusion,
+    "hash_sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
+
     "regex_clean_stats" ->
       """WITH c AS (SELECT lang, text,
         |    trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean

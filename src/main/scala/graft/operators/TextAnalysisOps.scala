@@ -29,6 +29,24 @@ object TextAnalysisOps {
     s"size(filter(split(text, ' '), x -> x IN ($set)))"
   }
 
+  /** V+: deterministic stratified sampling — 10 docs per language chosen by
+    * md5-hash order (never `rand()`/TABLESAMPLE: those are irreproducible
+    * under retries and engine-specific). Hash-order sampling is the
+    * training-data-pipeline way to take a stable subsample that any engine,
+    * any partitioning, any rerun reproduces bit-for-bit. One shuffle on the
+    * stratum key; WindowGroupLimit keeps only 10 rows per stratum map-side.
+    */
+  def hashSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** V+: corpus cleaning — the normalize step of a training-data pipeline:
     * strip non-[a-z0-9 ] characters, collapse whitespace runs, trim; report
     * per-language how many docs changed and the size reduction. Pure
