@@ -49,6 +49,31 @@ object StreamingQueries {
   def slidingStream(events: DataFrame): DataFrame =
     slidingAgg(events.withWatermark("ts_utc", "1 hour"))
 
+  /** Shared purchase↔signup interval join: every purchase matched to the
+    * same user's signups in the preceding 7 days. Batch- and
+    * stream-compatible; the two-sided event-time bound is what lets the
+    * streaming form garbage-collect join state.
+    */
+  def purchaseSignupJoin(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts_utc").as("p_ts"))
+      .join(
+        signups.select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts_utc").as("s_ts")),
+        expr("""p_user = s_user AND
+               |s_ts <= p_ts AND
+               |s_ts >= p_ts - INTERVAL 7 DAYS""".stripMargin))
+      .select(col("p_id"), col("s_id"), col("p_user").as("user_id"))
+
+  /** Stream-stream inner join: both sides watermarked, state bounded by the
+    * 7-day interval condition — Spark drops buffered rows once the other
+    * side's watermark passes the bound, so state is O(events in window),
+    * independent of stream length.
+    */
+  def purchaseSignupStream(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchaseSignupJoin(
+      purchases.withWatermark("ts_utc", "1 hour"),
+      signups.withWatermark("ts_utc", "1 hour"))
+
   /** Session windows (30-minute gap) — native `session_window`, usable on
     * batch (cross-validates the lag+cumsum sessionize) and on streams
     * (state-store backed).

@@ -61,6 +61,35 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join: MemoryStream result == batch result") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts_utc", timestamp_micros(col("ts_us")))
+
+    val pStream = MemoryStream[Ev](spark)
+    val sStream = MemoryStream[Ev](spark)
+    pStream.addData(ev.filter(_.event_type == "purchase"))
+    sStream.addData(ev.filter(_.event_type == "signup"))
+    val q = StreamingQueries.purchaseSignupStream(
+        withTs(pStream.toDF()), withTs(sStream.toDF()))
+      .writeStream.format("memory").queryName("graft_ssj_parity")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+      "SELECT p_id, s_id, user_id FROM graft_ssj_parity ORDER BY p_id, s_id")
+      .collect().toSeq
+    val all = graft.sources.Tables.events(spark, sf0001)
+    val batch = StreamingQueries.purchaseSignupJoin(
+        all.filter(col("event_type") === "purchase"),
+        all.filter(col("event_type") === "signup"))
+      .orderBy(col("p_id"), col("s_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("session_window agrees with lag+cumsum sessionize on per-user session counts") {
     val native = StreamingQueries.sessionCounts(graft.sources.Tables.events(spark, sf0001))
       .orderBy(col("user_id"))
