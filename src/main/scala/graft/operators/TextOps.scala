@@ -126,16 +126,27 @@ object TextOps {
     * hash accident get jaccard 0 (left join).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     // Candidate pairs are the small output of the banded join — persist so
     // the minhash subplan runs once, not once per downstream reference.
     val cand = dedupDocsMinhash(spark, sfDir).persist()
+    val nPairs = cand.count()
     // Only docs that appear in some candidate pair need exact shingles:
     // broadcast-semi-join the doc scan down to that set before exploding.
     // At 100 TB this is the difference between re-shingling the corpus and
-    // re-shingling only the near-dup cluster members.
-    val candIds = cand.select(col("doc1").as("doc_id"))
-      .union(cand.select(col("doc2").as("doc_id")))
-      .distinct()
+    // re-shingling only the near-dup cluster members. Like
+    // [[componentLabels]], the id set is bounded derived state: under the
+    // threshold it is collected into a local relation (one cheap broadcast
+    // instead of planning a distributed union+distinct subquery per use);
+    // above it, the distributed form takes over unchanged.
+    val candIds =
+      if (nPairs <= 1000000L)
+        cand.select(col("doc1")).union(cand.select(col("doc2")))
+          .distinct().as[Long].collect().toSeq.toDF("doc_id")
+      else
+        cand.select(col("doc1").as("doc_id"))
+          .union(cand.select(col("doc2").as("doc_id")))
+          .distinct()
     val sh = Tables.documents(spark, sfDir)
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens.as("t"))
