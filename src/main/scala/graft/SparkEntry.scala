@@ -50,6 +50,8 @@ object SparkEntry {
     "scalar_funcs" -> ScalarOps.scalarFuncs _,
     "date_funcs" -> ScalarOps.dateFuncs _,
     "json_props" -> EventOps.jsonProps _,
+    "from_json_props" -> EventOps.fromJsonProps _,
+    "vocab_coverage" -> TextAnalysisOps.vocabCoverage _,
     "array_map_funcs" -> ScalarOps.arrayMapFuncs _,
     "map_roundtrip" -> ScalarOps.mapRoundtrip _,
     "try_funcs" -> ScalarOps.tryFuncs _,
@@ -689,6 +691,31 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin,
 
     "lang_id_confusion" -> TextAnalysisOps.Oracle.langIdConfusion,
+    "from_json_props" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH toks AS (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT lang, tok FROM toks WHERE length(tok) > 0),
+        |vocab AS (SELECT tok AS v_tok FROM (
+        |  SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+        |  ORDER BY cnt DESC, tok LIMIT 100)),
+        |j AS (SELECT t.lang, v.v_tok FROM t LEFT JOIN vocab v ON t.tok = v.v_tok)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(avg(CASE WHEN v_tok IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+        |FROM j
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
     "hash_sample_stratified" ->
       """WITH r AS (SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang

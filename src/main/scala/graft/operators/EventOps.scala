@@ -198,6 +198,23 @@ object EventOps {
   /** H: JSON path extraction from `props` + aggregate per event_type.
     * try_cast per the ANSI-mode protocol (SURVEY.md §7.3.2).
     */
+  /** H+: schema-typed JSON parsing — `from_json` with an explicit struct
+    * schema (the production path: one parse per row into a typed column,
+    * codegen'd, vs per-path re-parsing with get_json_object). Min/max over
+    * the typed field prove the values, not just counts, survive the parse.
+    */
+  def fromJsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("p", from_json(col("props"), lit("k LONG")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("p.k")).as("n_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"),
+        sum(col("p.k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir)
       .select(

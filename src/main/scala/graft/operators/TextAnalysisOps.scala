@@ -29,6 +29,31 @@ object TextAnalysisOps {
     s"size(filter(split(text, ' '), x -> x IN ($set)))"
   }
 
+  /** V+: vocabulary coverage — build the corpus top-100 token vocabulary
+    * (count desc, token asc tie-break), broadcast it against the exploded
+    * token stream, report per-language out-of-vocabulary rates. The
+    * tokenizer-coverage analysis every training pipeline runs before
+    * committing to a vocab; at 100 TB the vocab is an aggregate (tiny,
+    * broadcastable) and the token stream never shuffles more than the
+    * per-language partial counts.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(100)
+      .select(col("tok").as("v_tok"))
+    toks.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("v_tok").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(when(col("v_tok").isNull, 1.0).otherwise(0.0)), 6).as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** V+: deterministic stratified sampling — 10 docs per language chosen by
     * md5-hash order (never `rand()`/TABLESAMPLE: those are irreproducible
     * under retries and engine-specific). Hash-order sampling is the
