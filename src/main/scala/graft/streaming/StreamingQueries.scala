@@ -49,6 +49,16 @@ object StreamingQueries {
   def slidingStream(events: DataFrame): DataFrame =
     slidingAgg(events.withWatermark("ts_utc", "1 hour"))
 
+  /** Streaming deduplication: drop repeated event_ids arriving within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
+    * form of exact dedup for an event firehose. State holds one entry per
+    * distinct key seen inside the horizon and is GC'd as the watermark
+    * advances, so it is O(keys per hour), not O(stream).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts_utc", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Shared purchase↔signup interval join: every purchase matched to the
     * same user's signups in the preceding 7 days. Batch- and
     * stream-compatible; the two-sided event-time bound is what lets the

@@ -101,6 +101,23 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(native == viaLag)
   }
 
+  test("streaming dedup: duplicated firehose collapses to the distinct event set") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(ev ++ ev.take(50) ++ ev.take(10)) // replay some events
+    val q = StreamingQueries.dedupStream(
+        stream.toDF().withColumn("ts_utc", timestamp_micros(col("ts_us"))))
+      .writeStream.format("memory").queryName("graft_dedup_stream")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(120000)
+    val out = spark.sql("SELECT event_id FROM graft_dedup_stream").collect().map(_.getLong(0))
+    assert(out.length == ev.length && out.distinct.length == ev.length)
+    assert(out.toSet == ev.map(_.event_id).toSet)
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
