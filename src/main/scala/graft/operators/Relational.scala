@@ -56,12 +56,15 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** C: lineitem⋈supplier⋈nation revenue by nation. Both dims broadcast —
-    * zero shuffles for the joins, one for the 25-group aggregate.
+  /** C: lineitem⋈supplier⋈nation revenue by nation. nation is broadcast by
+    * hint (25 rows at EVERY scale factor — a bounded dimension); supplier
+    * carries NO hint: it scales with SF (~1% of lineitem), so the
+    * broadcast-vs-shuffle call belongs to AQE's runtime size check, which
+    * broadcasts it at fixture scale and shuffles it at 100 TB.
     */
   def joinNationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -71,14 +74,17 @@ object Relational {
   }
 
   /** C+F: TPC-H Q3 shape — filtered 3-way join, group, global top-10
-    * (TakeOrderedAndProject; no full sort at scale).
+    * (TakeOrderedAndProject; no full sort at scale). The filtered customer
+    * side is ~20% of a SF-scaled table — NOT broadcastable at 100×, so it
+    * carries no hint: AQE broadcasts it while it is small and shuffles it
+    * when it is not.
     */
   def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < tsNtz("1998-01-01 00:00:00"))
     val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > tsNtz("1998-01-01 00:00:00"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(
