@@ -111,14 +111,20 @@ class VectorTable(props: Map[String, String]) extends Table with SupportsRead {
         required = StructType(
           VectorSource.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
+      // Saturating successor: at v == Long.MaxValue a plain `v + 1` wraps
+      // negative, planning ZERO partitions — a silent wrong-answer path
+      // (`vec_id <= Long.MaxValue` matches every row, ids never exceed
+      // MaxValue - 1 so MaxValue itself is a safe saturation point).
+      private def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters.collect {
-          case f @ GreaterThan("vec_id", v: Long) => lo = math.max(lo, v + 1); f
+          case f @ GreaterThan("vec_id", v: Long) => lo = math.max(lo, succ(v)); f
           case f @ GreaterThanOrEqual("vec_id", v: Long) => lo = math.max(lo, v); f
           case f @ LessThan("vec_id", v: Long) => hi = math.min(hi, v); f
-          case f @ LessThanOrEqual("vec_id", v: Long) => hi = math.min(hi, v + 1); f
+          case f @ LessThanOrEqual("vec_id", v: Long) => hi = math.min(hi, succ(v)); f
           case f @ EqualTo("vec_id", v: Long) =>
-            lo = math.max(lo, v); hi = math.min(hi, v + 1); f
+            lo = math.max(lo, v); hi = math.min(hi, succ(v)); f
         }
         filters // all residual: the range clamp is pruning, not evaluation
       }

@@ -66,6 +66,16 @@ class VectorSourceSpec extends AnyFunSuite with SparkTestBase {
       .contains("IdRange: [500, 1500)"), "no pushdown reported in formatted explain")
   }
 
+  test("Long.MaxValue bounds saturate instead of wrapping (no silent empty scan)") {
+    // regression: `v + 1` overflowed at MaxValue, planning zero partitions
+    val all = load(1000, 4).filter(col("vec_id") <= Long.MaxValue)
+    assert(all.count() == 1000L, "vec_id <= Long.MaxValue must match every row")
+    val eq = load(1000, 4).filter(col("vec_id") === Long.MaxValue)
+    assert(eq.count() == 0L)
+    val gt = load(1000, 4).filter(col("vec_id") > Long.MaxValue)
+    assert(gt.count() == 0L)
+  }
+
   test("source feeds the diversity pipeline end-to-end") {
     import spark.implicits._
     val pts = load(300, 4)
