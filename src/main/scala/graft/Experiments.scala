@@ -28,7 +28,7 @@ object Experiments {
 
     val (coreset, tCoreset) = timed(DiversityOps.coreset(spark, sfDir))
     val pts = coreset.map(w => Pt(w.id, w.vec))
-    println(f"coreset: p=${DiversityOps.P} k'=${DiversityOps.KPrime} " +
+    println(f"coreset: p=${DiversityOps.coresetParallelism(spark)} k'=${DiversityOps.KPrime} " +
       f"size=${coreset.size} mass=${coreset.map(_.weight).sum} build=${tCoreset}%.2fs")
     println(f"${"k"}%4s ${"algo"}%-12s ${"remote_edge"}%12s ${"remote_clique"}%14s ${"time_s"}%8s")
     for (k <- Seq(8, 32, 128)) {

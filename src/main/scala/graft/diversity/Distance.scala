@@ -35,9 +35,10 @@ object Distance {
 
   /** Generalized Jaccard distance over sparse term-count vectors
     * (bag-of-words): 1 - Σ min(a_t, b_t) / Σ max(a_t, b_t). This is the
-    * reference's sparse text-data model (§1.1 BagOfWords row).
+    * reference's sparse text-data model (§1.1 BagOfWords row). Generic in
+    * the term-key type: [[bagOfWords]] keys by the token string itself.
     */
-  def generalizedJaccardDist(a: Map[Int, Int], b: Map[Int, Int]): Double = {
+  def generalizedJaccardDist[K](a: Map[K, Int], b: Map[K, Int]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0
     var mins = 0L
     var maxs = 0L
@@ -50,9 +51,12 @@ object Distance {
     if (maxs == 0L) 0.0 else 1.0 - mins.toDouble / maxs.toDouble
   }
 
-  /** Tokenized text → bag-of-words term counts (term ids by hashCode of
-    * the token — stable across JVM runs for String).
+  /** Tokenized text → bag-of-words term counts, keyed by the token string
+    * itself. (An earlier form keyed by `String.hashCode`: 32-bit collisions
+    * silently merged distinct terms — deterministic but lossy. The string
+    * key is exact; the per-doc map is small, so there is no storage
+    * argument for hashing.)
     */
-  def bagOfWords(tokens: Seq[String]): Map[Int, Int] =
-    tokens.groupBy(_.hashCode).map { case (h, ts) => h -> ts.length }
+  def bagOfWords(tokens: Seq[String]): Map[String, Int] =
+    tokens.groupBy(identity).map { case (t, ts) => t -> ts.length }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Materialize, Tables}
 import graft.diversity._
 
 /** DataFrame-facing diversity operators (SURVEY.md §2.2 group W — the
@@ -18,11 +18,24 @@ import graft.diversity._
   * Determinism (SURVEY.md §7.3.4): partition = vec_id % p (not round-robin),
   * local GMM seeded at partition-min id, global GMM seeded at coreset-min
   * id, all tie-breaks by lowest id, distance comparisons on 12-dp-rounded
-  * squared values. Fixed p=8, k′=64.
+  * squared values. p scales with the session's executor parallelism (the
+  * 100 TB posture: more executors → more, smaller local GMM problems); the
+  * pmod key keeps the assignment deterministic GIVEN p, and the composable
+  * coreset bound holds for every p ([VLDB17] §4), so results are
+  * reproducible per cluster size — invariance ACROSS p is only exact when
+  * the local coresets cover their partitions (CoresetSpec anchor prop).
+  * k′=64 fixed (coreset size per partition — a quality knob, not a
+  * parallelism knob).
   */
 object DiversityOps {
 
-  val P = 8
+  /** Coreset fan-out: one local GMM per slot, floor of 8 so tiny sessions
+    * still exercise multi-partition composition. Driver-side collect stays
+    * p·k′ points — at 1000 executors that is 64k points, still trivial.
+    */
+  def coresetParallelism(spark: SparkSession): Int =
+    math.max(8, spark.sparkContext.defaultParallelism)
+
   val KPrime = 64
 
   private def points(spark: SparkSession, sfDir: String) = {
@@ -38,8 +51,9 @@ object DiversityOps {
     */
   def coreset(spark: SparkSession, sfDir: String): IndexedSeq[WeightedPt] = {
     import spark.implicits._
+    val p = coresetParallelism(spark)
     points(spark, sfDir)
-      .repartition(P, pmod(col("id"), lit(P)))
+      .repartition(p, pmod(col("id"), lit(p)))
       .mapPartitions(it => MapReduceCoreset.localCoreset(it, KPrime))
       .collect()
       .sortBy(_.id)
@@ -94,6 +108,29 @@ object DiversityOps {
       "bipartition_greedy", "cycle_mst2approx")
   }
 
+  /** Composable bag-of-words coreset (the doc-path analogue of
+    * [[coreset]]): repartition(p) on pmod(doc_id) → per-partition GMM(32)
+    * under generalized Jaccard → coreset-only collect, sorted by id.
+    * p from [[coresetParallelism]] — same scale posture as the embedding
+    * path; raw text/bags beyond the coreset never reach the driver.
+    */
+  private def docCoreset(
+      spark: SparkSession,
+      docs: org.apache.spark.sql.Dataset[(Long, Map[String, Int])])
+      : Seq[(Long, Map[String, Int])] = {
+    val p = coresetParallelism(spark)
+    docs
+      .repartition(p, pmod(col("_1"), lit(p)))
+      .mapPartitions { it =>
+        val pts = it.toVector
+        if (pts.isEmpty) Iterator.empty
+        else Gmm.selectBy(pts, 32)(Distance.generalizedJaccardDist).iterator
+      }(docs.encoder)
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+  }
+
   /** W+: diverse DOCUMENT selection — the reference's algorithm applied to
     * the sparse text model: bag-of-words per doc, generalized-Jaccard
     * distance, composable-coreset path (per-partition GMM(32) via
@@ -110,56 +147,76 @@ object DiversityOps {
       .map { case (id, text) =>
         (id, Distance.bagOfWords(text.split(' ').toSeq.filter(_.nonEmpty)))
       }
-    val coreset = docs
-      .repartition(4, pmod(col("_1"), lit(4)))
-      .mapPartitions { it =>
-        val pts = it.toVector
-        if (pts.isEmpty) Iterator.empty
-        else Gmm.selectBy(pts, 32)(Distance.generalizedJaccardDist).iterator
-      }
-      .collect()
-      .sortBy(_._1)
-    val sel = Gmm.selectBy(coreset.toSeq, 16)(Distance.generalizedJaccardDist)
+    val sel = Gmm.selectBy(docCoreset(spark, docs), 16)(Distance.generalizedJaccardDist)
     sel.zipWithIndex
       .map { case ((id, _), i) => ((i + 1).toLong, id) }
       .toDF("rank", "doc_id")
   }
 
-  /** W+: end-to-end corpus curation — the composed training-data pipeline
-    * run as ONE query: (1) quality gate (type-token ratio × doc length,
-    * pure codegen'd expressions), (2) exact dedup keeping the min-doc_id
-    * survivor (one hash shuffle), (3) diversity sampling k=16 via the
-    * bag-of-words Jaccard coreset path of [[diverseDocsK16]]. Shows the
-    * engine's operators compose: at 100 TB each stage keeps its own scale
-    * posture (map-side filters → keyed shuffle → coreset-only collect).
-    * Deterministic; rows-only (diversity selection is not SQL-expressible).
+  /** Quality-gated docs (doc_id, text): the map-side-only stage of the
+    * curation pipeline — type-token ratio × doc length, pure codegen'd
+    * expressions, no shuffle.
     */
-  def curateCorpusK16(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val survivors = Tables.documents(spark, sfDir)
+  private def gatedDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("double"))
       .withColumn("ttr", size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
       // quality gate: enough tokens and vocabulary actually varies
       .filter(col("n_tokens") >= 8 && col("ttr") >= 0.3)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val docs = survivors
       .select(col("doc_id"), col("text"))
+
+  /** Exact-dedup survivors of the gated docs, via the same content
+    * FINGERPRINT key as [[TextOps.dedupDocsExact]]: the dedup shuffle moves
+    * (length, xxhash64, md5) ≈ 24 bytes/row, never the text payload. The
+    * survivor TEXT is then recovered by a doc_id semi-join in which the
+    * survivor-id side is bounded derived state (min-per-fingerprint ids):
+    * under the threshold it is collected + broadcast, so NO exchange in the
+    * whole subplan carries raw text (asserted in PipelineOpsSpec); above it
+    * a distributed semi-join on the 8-byte doc_id key takes over — still
+    * cheaper than the old groupBy(text), whose hash key WAS the payload.
+    */
+  private[operators] def curateSurvivorDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gate = gatedDocs(spark, sfDir)
+    val survivorIds = Materialize.stage(spark, s"curate_survivors_$sfDir", sfDir) {
+      gate
+        .select(
+          col("doc_id"),
+          length(col("text")).as("fp_len"),
+          xxhash64(col("text")).as("fp_x"),
+          md5(col("text")).as("fp_m"))
+        .groupBy(col("fp_len"), col("fp_x"), col("fp_m"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+    }
+    val nSurvivors = survivorIds.count() // cheap: count over the staged file
+    val idSide =
+      if (nSurvivors <= 1000000L)
+        broadcast(survivorIds.as[Long].collect().toSeq.toDF("doc_id"))
+      else survivorIds
+    gate.join(idSide, Seq("doc_id"), "left_semi")
+  }
+
+  /** W+: end-to-end corpus curation — the composed training-data pipeline
+    * run as ONE query: (1) quality gate (type-token ratio × doc length,
+    * pure codegen'd expressions), (2) exact dedup keeping the min-doc_id
+    * survivor via a content-fingerprint shuffle ([[curateSurvivorDocs]] —
+    * raw text never rides an exchange), (3) diversity sampling k=16 via the
+    * bag-of-words Jaccard coreset path of [[diverseDocsK16]]. Shows the
+    * engine's operators compose: at 100 TB each stage keeps its own scale
+    * posture (map-side filters → fingerprint shuffle → coreset-only
+    * collect). Deterministic; rows-only (diversity selection is not
+    * SQL-expressible).
+    */
+  def curateCorpusK16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = curateSurvivorDocs(spark, sfDir)
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, Distance.bagOfWords(text.split(' ').toSeq.filter(_.nonEmpty)))
       }
-    val coreset = docs
-      .repartition(4, pmod(col("_1"), lit(4)))
-      .mapPartitions { it =>
-        val pts = it.toVector
-        if (pts.isEmpty) Iterator.empty
-        else Gmm.selectBy(pts, 32)(Distance.generalizedJaccardDist).iterator
-      }
-      .collect()
-      .sortBy(_._1)
-    val sel = Gmm.selectBy(coreset.toSeq, 16)(Distance.generalizedJaccardDist)
+    val sel = Gmm.selectBy(docCoreset(spark, docs), 16)(Distance.generalizedJaccardDist)
     sel.zipWithIndex
       .map { case ((id, _), i) => ((i + 1).toLong, id) }
       .toDF("rank", "doc_id")

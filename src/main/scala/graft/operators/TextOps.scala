@@ -52,7 +52,7 @@ object TextOps {
     * murmur `hash()`) because it is bit-identical across engines.
     */
   private[operators] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    Materialize.stage(spark, s"minhash_sigs_$sfDir") {
+    Materialize.stage(spark, s"minhash_sigs_$sfDir", sfDir) {
       shingleRows(Tables.documents(spark, sfDir))
         .withColumn("m1", md5(col("sh")))
         .groupBy(col("doc_id"))
@@ -73,7 +73,7 @@ object TextOps {
     *    random pairs essentially never.
     */
   private[operators] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
-    Materialize.stage(spark, s"minhash_cand_$sfDir") {
+    Materialize.stage(spark, s"minhash_cand_$sfDir", sfDir) {
       val sigs = minhashSignatures(spark, sfDir).selectExpr(
         "doc_id",
         """stack(4,
@@ -87,6 +87,18 @@ object TextOps {
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
     }
+
+  /** Force the SHARED MinHash signature + candidate stages to disk.
+    * Bench calls this after each [[graft.sources.Materialize.reset]] and
+    * times it as its own line ("stage_minhash"), so the one-shot
+    * materialization cost is reported explicitly instead of being absorbed
+    * by whichever of the three consuming dedup queries happens to run
+    * first — the same accounting a production pipeline gives its signature
+    * write job.
+    */
+  def stageDedupInputs(spark: SparkSession, sfDir: String): Unit = {
+    minhashCandidates(spark, sfDir): Unit // stage() writes eagerly; sigs staged transitively
+  }
 
   /** V: top-20 tokens in English docs (explode → count → top-k). */
   def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
@@ -112,18 +124,21 @@ object TextOps {
   }
 
   /** V: exact dedup — group by a content FINGERPRINT, not the raw text:
-    * (n_chars, xxhash64(text), md5(text)) is a 232-bit composite whose
+    * (length(text), xxhash64(text), md5(text)) is a 232-bit composite whose
     * collision probability is negligible, and the dedup shuffle then moves
     * ~24 bytes per row instead of the full text payload — at 100 TB the
     * difference between shuffling fingerprints and shuffling the corpus.
-    * The survivor/count outputs are identical to a group-by-text (oracle
-    * still groups by text).
+    * The length is DERIVED in-query (never the stored n_chars column: a row
+    * whose metadata disagreed with its text would silently split a dup
+    * group the oracle's group-by-text merges). The survivor/count outputs
+    * are identical to a group-by-text.
     */
   def dedupDocsExact(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val groups = docs
-      .select(col("doc_id"), col("n_chars"), xxhash64(col("text")).as("fp_x"), md5(col("text")).as("fp_m"))
-      .groupBy(col("n_chars"), col("fp_x"), col("fp_m"))
+      .select(col("doc_id"), length(col("text")).as("fp_len"),
+        xxhash64(col("text")).as("fp_x"), md5(col("text")).as("fp_m"))
+      .groupBy(col("fp_len"), col("fp_x"), col("fp_m"))
       .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n"))
     val dist = groups.agg(
       count(lit(1)).as("n_distinct"),
@@ -170,7 +185,7 @@ object TextOps {
           .distinct()
     // Materialized (not persist): sh feeds the intersection self-join's two
     // sides plus the per-doc counts — three consumers of one subplan.
-    val sh = Materialize.stage(spark, s"ngram_shingles_$sfDir") {
+    val sh = Materialize.stage(spark, s"ngram_shingles_$sfDir", sfDir) {
       shingleRows(Tables.documents(spark, sfDir).join(candIds, Seq("doc_id"), "left_semi"))
         .distinct()
     }

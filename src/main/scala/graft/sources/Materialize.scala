@@ -1,10 +1,13 @@
 package graft.sources
 
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import scala.collection.concurrent.TrieMap
 
 /** Materialized intermediates: write a derived table to parquet ONCE per
-  * (session, key) and hand every consumer a plain scan of the files.
+  * (session, key, input-content) and hand every consumer a plain scan of
+  * the files.
   *
   * This is the production "write the signature table, then join against it"
   * pattern, applied locally. Three declared queries (`dedup_docs_minhash`,
@@ -20,37 +23,106 @@ import scala.collection.concurrent.TrieMap
   *    between harness runs, while files do — exactly like a cluster job
   *    whose stage output outlives the session that wrote it.
   *
-  * Files land under target/graft-stage (driver-local scratch); the path and
-  * memo key carry the session's identity so concurrent test sessions in one
-  * JVM never clobber each other's files.
+  * Staleness: the memo key folds in a CONTENT TOKEN of the input directory
+  * (name+mtime+size of every file under it), so rewriting a fixture dir
+  * within one JVM invalidates the staged result instead of silently serving
+  * the old one. Concurrency: compute+write runs under
+  * `ConcurrentHashMap.computeIfAbsent`, so racing callers on one key block
+  * on a single evaluation rather than both writing the same path. Files
+  * land under target/graft-stage (driver-local scratch), tagged with a
+  * per-session id so concurrent test sessions never clobber each other;
+  * the session's scratch is deleted on application end (best-effort) and
+  * on [[reset]].
   */
 object Materialize {
 
-  private val staged = TrieMap.empty[String, DataFrame]
-  private val tables = TrieMap.empty[String, String]
+  private val staged = new ConcurrentHashMap[String, DataFrame]()
+  private val tables = new ConcurrentHashMap[String, String]()
+  // Per-key locks (NOT computeIfAbsent thunks: stages nest — candidates
+  // stage the signature stage inside their own thunk, and a nested
+  // computeIfAbsent on one ConcurrentHashMap is a recursive-update error).
+  // Dependencies form a DAG, so distinct per-key monitors cannot deadlock.
+  private val locks = new ConcurrentHashMap[String, Object]()
+
+  private def memoized[V](map: ConcurrentHashMap[String, V], k: String)(compute: => V): V = {
+    val hit = map.get(k)
+    if (hit != null) hit
+    else locks.computeIfAbsent("lk:" + k, _ => new Object).synchronized {
+      val again = map.get(k)
+      if (again != null) again
+      else { val v = compute; map.put(k, v); v }
+    }
+  }
+  private val sessionTags = new java.util.WeakHashMap[SparkSession, String]()
+  private val tagCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cleanupRegistered = ConcurrentHashMap.newKeySet[String]()
 
   private def slug(s: String): String =
-    s.map(c => if (c.isLetterOrDigit) c else '_')
+    s.map(c => if (c.isLetterOrDigit) c else '_').take(80) +
+      "-" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s))
 
+  /** Monotonic per-session tag (never reused, unlike identityHashCode —
+    * a GC'd session's hash could otherwise alias a live one's memo).
+    */
   private def sessionTag(spark: SparkSession): String =
-    Integer.toHexString(System.identityHashCode(spark))
+    sessionTags.synchronized {
+      val t = sessionTags.get(spark)
+      if (t != null) t
+      else {
+        val fresh = "s" + tagCounter.incrementAndGet()
+        sessionTags.put(spark, fresh)
+        registerCleanup(spark, fresh)
+        fresh
+      }
+    }
 
-  private def stageDir(spark: SparkSession, key: String): String = {
-    val base = new java.io.File("target/graft-stage").getAbsolutePath
-    s"$base/${slug(key)}-${sessionTag(spark)}"
+  private def baseDir: java.io.File =
+    new java.io.File("target/graft-stage").getAbsoluteFile
+
+  private def registerCleanup(spark: SparkSession, tag: String): Unit =
+    if (cleanupRegistered.add(tag)) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+          try deleteTagged(tag) catch { case _: Throwable => () }
+      })
+    }
+
+  private def deleteTagged(tag: String): Unit = {
+    val files = Option(baseDir.listFiles()).getOrElse(Array.empty)
+    files.filter(_.getName.contains(s"-$tag")).foreach(deleteRecursively)
   }
 
-  /** Compute `df` once per (session, key), write it to parquet, and return
-    * a scan of the written files; subsequent calls with the same key return
-    * the memoized scan without recomputing.
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Content token of an input directory: changes whenever any file under
+    * it is added, removed, renamed, resized, or touched. Driver-side
+    * listing only — O(#files), no data read.
     */
-  def stage(spark: SparkSession, key: String)(df: => DataFrame): DataFrame = {
-    val k = s"${sessionTag(spark)}:$key"
-    staged.getOrElseUpdate(k, {
-      val path = stageDir(spark, key)
+  def contentToken(dir: String): String = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).flatMap(walk).toSeq
+      else Seq(s"${f.getPath}:${f.lastModified}:${f.length}")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.orderedHash(walk(new java.io.File(dir))))
+  }
+
+  private def stageDir(spark: SparkSession, key: String): String =
+    s"${baseDir.getPath}/${slug(key)}-${sessionTag(spark)}"
+
+  /** Compute `df` once per (session, key, content-of-inputDir), write it to
+    * parquet, and return a scan of the written files; subsequent calls with
+    * the same key and unchanged input return the memoized scan without
+    * recomputing. Racing callers block on one evaluation.
+    */
+  def stage(spark: SparkSession, key: String, inputDir: String)(df: => DataFrame): DataFrame = {
+    val tokenKey = s"$key@${contentToken(inputDir)}"
+    memoized(staged, s"${sessionTag(spark)}:$tokenKey") {
+      val path = stageDir(spark, tokenKey)
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
-    })
+    }
   }
 
   /** One-shot write+read-back (NOT memoized): truncates the lineage of an
@@ -65,25 +137,48 @@ object Materialize {
   }
 
   /** Write `df` as a bucketed (+ per-file sorted) parquet table once per
-    * (session, key) and return the catalog table name. Both sides of a
-    * fact-fact join bucketed on the join key with the same bucket count
-    * sort-merge-join with NO exchange — the layout move that removes the
-    * fact-fact shuffle at 100 TB (SCALING.md, global posture). Bucket count
-    * is a layout property of the written table: at scale it is sized to the
-    * table (e.g. thousands), independent of session parallelism.
+    * (session, key, content-of-inputDir) and return the catalog table name.
+    * Both sides of a fact-fact join bucketed on the join key with the same
+    * bucket count sort-merge-join with NO exchange — the layout move that
+    * removes the fact-fact shuffle at 100 TB (SCALING.md; plan asserted in
+    * PlanAuditSpec via `bucketed_join_orders`). Bucket count is a layout
+    * property of the written table: at scale it is sized to the table
+    * (e.g. thousands), independent of session parallelism.
     */
-  def bucketedTable(spark: SparkSession, key: String, buckets: Int, bucketCol: String)(
-      df: => DataFrame): String = {
-    val k = s"${sessionTag(spark)}:tbl:$key"
-    tables.getOrElseUpdate(k, {
-      val name = s"graft_${slug(key)}_${sessionTag(spark)}"
+  def bucketedTable(spark: SparkSession, key: String, buckets: Int, bucketCol: String,
+      inputDir: String)(df: => DataFrame): String = {
+    val tokenKey = s"tbl:$key@${contentToken(inputDir)}"
+    memoized(tables, s"${sessionTag(spark)}:$tokenKey") {
+      val name = s"graft_${slug(key).replace('-', '_')}_${sessionTag(spark)}"
+      spark.sql(s"DROP TABLE IF EXISTS $name")
       df.write.mode("overwrite")
         .format("parquet")
-        .option("path", stageDir(spark, s"tbl_$key"))
+        .option("path", stageDir(spark, tokenKey))
         .bucketBy(buckets, bucketCol)
         .sortBy(bucketCol)
         .saveAsTable(name)
       name
-    })
+    }
+  }
+
+  /** Drop every memoized stage and bucketed table of `spark`'s session and
+    * delete its scratch files. Bench calls this once per timing pass so a
+    * staged intermediate computed in pass 1 cannot subsidize pass 2's
+    * numbers; tests may call it to force restaging.
+    */
+  def reset(spark: SparkSession): Unit = {
+    val tag = sessionTag(spark)
+    val prefix = s"$tag:"
+    staged.keySet.removeIf(_.startsWith(prefix))
+    val it = tables.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        try spark.sql(s"DROP TABLE IF EXISTS ${e.getValue}")
+        catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    deleteTagged(tag)
   }
 }

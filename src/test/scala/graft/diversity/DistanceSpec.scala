@@ -38,6 +38,32 @@ class DistanceSpec extends AnyFunSuite {
     assert(sel.map(_._1) == Vector(0L, 2L))
   }
 
+  test("bagOfWords: distinct tokens are never merged (string keys, no hash collisions)") {
+    val toks = (0 until 500).map(i => s"tok$i")
+    val bag = Distance.bagOfWords(toks ++ toks.take(10))
+    assert(bag.size == 500)
+    assert(toks.take(10).forall(t => bag(t) == 2) && bag("tok499") == 1)
+  }
+
+  test("doc path: composed selection stable across p when local coresets cover") {
+    // The [[CoresetSpec]] determinism-under-p anchor, replayed on the
+    // bag-of-words/Jaccard path: with k' >= n/p each local coreset is "all
+    // points", so the final selection must be p-invariant.
+    val docs: Vector[(Long, Map[String, Int])] = (0 until 48).map { i =>
+      i.toLong -> Distance.bagOfWords(
+        Seq("w" + (i % 7), "w" + (i % 11), "w" + (i % 13), "x" + (i / 8), "y" + (i % 5)))
+    }.toVector
+    def selectWithP(p: Int): Seq[Long] = {
+      val parts = docs.groupBy(_._1 % p).values.toVector
+      val union = parts.flatMap(part =>
+        Gmm.selectBy(part, part.length)(Distance.generalizedJaccardDist))
+      Gmm.selectBy(union.sortBy(_._1), 6)(Distance.generalizedJaccardDist).map(_._1)
+    }
+    assert(selectWithP(1) == selectWithP(2))
+    assert(selectWithP(1) == selectWithP(4))
+    assert(selectWithP(1) == selectWithP(8))
+  }
+
   test("metric-generic GMM equals the dense fast path under euclideanSq") {
     val pts = TestPoints.randomPoints(80, 6, 9)
     val fast = Gmm.select(pts, 10).map(_.id)

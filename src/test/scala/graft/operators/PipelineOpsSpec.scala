@@ -121,6 +121,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(chosen.subsetOf(gate))
   }
 
+  test("curate dedup stage: no raw text in any exchange (fingerprint shuffle + broadcast semi-join)") {
+    val df = graft.operators.DiversityOps.curateSurvivorDocs(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // survivor texts come back through a broadcast semi-join on doc_id ...
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // ... so the only shuffle-style exchange anywhere would be the staged
+    // fingerprint groupBy, which happened at stage() time; the consuming
+    // plan itself must carry none at all.
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // and the output matches the old groupBy(text) dedup exactly
+    import org.apache.spark.sql.functions._
+    val viaText = graft.sources.Tables.documents(spark, sf0001)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("ttr", size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= 8 && col("ttr") >= 0.3)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(df.select(col("doc_id")).collect().map(_.getLong(0)).toSet == viaText)
+  }
+
   test("embedding_near_dup: pairs are bucket-consistent and symmetric-free") {
     val rows = VectorOps.embeddingNearDup(spark, sf0001).collect()
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
