@@ -26,12 +26,18 @@ object SparkEntry {
     "q3_top_orders" -> Relational.q3TopOrders _,
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
     "semi_anti_customers" -> Relational.semiAntiCustomers _,
+    "outer_join_orders" -> Relational.outerJoinOrders _,
+    "left_outer_customers" -> Relational.leftOuterCustomers _,
+    "bucketed_join_orders" -> Relational.bucketedJoinOrders _,
     "range_join_promo" -> Relational.rangeJoinPromo _,
     "asof_join_events" -> EventOps.asofJoinEvents _,
     // D: aggregations
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "agg_distinct_users" -> Relational.aggDistinctUsers _,
     "rollup_orders" -> Relational.rollupOrders _,
+    "cube_orders" -> Relational.cubeOrders _,
+    // rows-only: HLL estimates are engine-specific; ±5% envelope in OperatorSpec
+    "agg_distinct_users_approx" -> Relational.aggDistinctUsersApprox _,
     "grouping_sets_lineitem" -> Relational.groupingSetsLineitem _,
     "pivot_events" -> Relational.pivotEvents _,
     "percentiles_qty" -> Relational.percentilesQty _,
@@ -64,6 +70,8 @@ object SparkEntry {
     "calendar_months" -> Relational.calendarMonths _,
     "null_semantics" -> Relational.nullSemantics _,
     // S: event-time windows (batch forms; streaming parity in graft.streaming)
+    // + the declared streaming entry: a real MemoryStream micro-batch run
+    "stream_tumbling_events" -> graft.streaming.StreamingEntry.streamTumblingEvents _,
     "tumbling_window" -> EventOps.tumblingWindow _,
     "sliding_window" -> EventOps.slidingWindow _,
     "sessionize" -> EventOps.sessionize _,
@@ -170,6 +178,61 @@ object SparkEntry {
         |   WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer
         |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""".stripMargin,
+
+    "outer_join_orders" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal >= 0),
+        |o AS (SELECT o_custkey, count(*) AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS spend_cents
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-04-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |j AS (SELECT
+        |    CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |         WHEN o.o_custkey IS NULL THEN 'customer_only'
+        |         ELSE 'both' END AS category,
+        |    coalesce(o.n_orders, 0) AS n_orders,
+        |    coalesce(o.spend_cents, 0) AS spend_cents
+        |  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
+        |SELECT category,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |  CAST(sum(spend_cents) AS BIGINT) AS spend_cents
+        |FROM j
+        |GROUP BY category
+        |ORDER BY category""".stripMargin,
+
+    "left_outer_customers" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+        |  CAST(sum(coalesce(o.n_orders, 0)) AS BIGINT) AS n_orders,
+        |  round(avg(CAST(coalesce(o.n_orders, 0) AS DOUBLE)), 6) AS avg_orders
+        |FROM customer c
+        |LEFT OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "bucketed_join_orders" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "cube_orders" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  FROM orders
+        |  GROUP BY CUBE (o_orderstatus, o_orderpriority))
+        |SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(n AS BIGINT) AS n, total
+        |FROM r
+        |ORDER BY status, priority""".stripMargin,
 
     "range_join_promo" ->
       """SELECT o_orderpriority,
@@ -503,6 +566,15 @@ object SparkEntry {
         |  round(list_sum(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE))), 6) AS l1_norm
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
+
+    "stream_tumbling_events" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM e
+        |GROUP BY 1, 2
+        |ORDER BY ws_us, event_type""".stripMargin,
 
     "tumbling_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Materialize, Tables}
 
 /** Relational core: scans, joins, aggregations, set ops (SURVEY.md §2.2
   * groups A, C, D, F, G).
@@ -96,6 +96,94 @@ object Relational {
       .limit(10)
   }
 
+  /** C: FULL OUTER join — customer⋈orders reconciliation. Each side is
+    * filtered so BOTH null sides are exercised (every fixture customer has
+    * some order, so an unfiltered join would leave the null buckets empty):
+    * acctbal-≥0 customers whose orders all predate 1998-04 land in
+    * 'customer_only'; later orders of negative-balance customers land in
+    * 'order_only'. Money is summed in exact BIGINT cents (a double sum over
+    * thousands of rows is addition-order-dependent across engines; integer
+    * cents are not). Scale posture: orders is pre-aggregated to one row per
+    * custkey BEFORE the join (partial+final hash agg), so the outer join is
+    * key-vs-key, and both sides are SF-scaled → no broadcast hint, AQE
+    * decides.
+    */
+  def outerJoinOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") >= 0)
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= tsNtz("1998-04-01 00:00:00"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("spend_cents"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("category"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"))
+      .groupBy(col("category"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("spend_cents")).as("spend_cents"))
+      .orderBy(col("category"))
+  }
+
+  /** C: LEFT OUTER join with a null-bucket aggregation — per market segment,
+    * how many customers never placed an URGENT order (the NULL bucket the
+    * left join preserves and an inner join would silently drop; the
+    * priority filter makes it non-trivially populated — every fixture
+    * customer has SOME order). Same key-vs-key pre-aggregated shape as
+    * [[outerJoinOrders]].
+    */
+  def leftOuterCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_inactive"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+        round(avg(coalesce(col("n_orders"), lit(0L)).cast("double")), 6).as("avg_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** C+: fact-fact join with NO shuffle — both sides written ONCE as
+    * parquet tables bucketed (and per-file sorted) on the join key via
+    * [[graft.sources.Materialize.bucketedTable]], then sort-merge-joined.
+    * Co-bucketed layout means each task reads bucket i of both tables and
+    * joins locally: zero Exchange under the join (asserted in
+    * PlanAuditSpec). This is THE layout move for a repeated 100 TB
+    * fact-fact join — pay one bucketed write, then every subsequent join
+    * is shuffle-free. `hint("merge")` pins SMJ: a broadcast would ignore
+    * the bucketing (and is exactly what we don't want to demonstrate);
+    * bucket count is a property of the written layout, sized to the table
+    * at scale, not to session parallelism.
+    */
+  def bucketedJoinOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val liT = Materialize.bucketedTable(spark, s"li_$sfDir", 8, "l_orderkey", sfDir)(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+    val ordT = Materialize.bucketedTable(spark, s"ord_$sfDir", 8, "o_orderkey", sfDir)(
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority")))
+    spark.table(liT).hint("merge")
+      .join(spark.table(ordT).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** C: semi/anti join — customers with vs without orders. */
   def semiAntiCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
@@ -140,6 +228,22 @@ object Relational {
       .orderBy(col("status"), col("priority"))
   }
 
+  /** D: CUBE over status×priority — all four grouping sets (both, each
+    * alone, grand total); same 'ALL' coalescing protocol as [[rollupOrders]]
+    * so the total order is engine-agnostic. Planned as one Expand + hash
+    * aggregate: one scan regardless of the number of grouping sets.
+    */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
   /** D: explicit GROUPING SETS ((flag,status),(flag),()). */
   def groupingSetsLineitem(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem_gs")
@@ -163,6 +267,24 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** D: HLL sketch count-distinct — the declared approximate variant of
+    * [[aggDistinctUsers]] (SURVEY.md §2.2-D). At 100 TB this IS the
+    * count-distinct plan: the exact form shuffles every distinct
+    * (event_type, user_id) pair twice; the HLL++ sketch is a fixed-size
+    * (rsd 2%) algebraic state with full map-side combine — one
+    * narrow shuffle of sketches, independent of cardinality. Rows-only by
+    * design (an estimate is engine-specific; the ±5% envelope vs the exact
+    * count is asserted in OperatorSpec).
+    */
+  def aggDistinctUsersApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
   }

@@ -152,6 +152,43 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(g.as("a").join(g.as("b"), col("a.k") === col("b.k")).count() == 4)
   }
 
+  test("agg_distinct_users_approx: HLL estimate within ±5% of the exact count") {
+    val exact = Relational.aggDistinctUsers(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.aggDistinctUsersApprox(spark, sf0001).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (tpe, est) = (r.getString(0), r.getLong(1))
+      val ex = exact(tpe).toDouble
+      assert(math.abs(est - ex) <= 0.05 * ex, s"$tpe: approx $est vs exact $ex")
+    }
+  }
+
+  test("outer_join_orders: categories partition the key space; counts reconcile") {
+    val rows = Relational.outerJoinOrders(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cust = graft.sources.Tables.customer(spark, sf0001)
+    val nPos = cust.filter(col("c_acctbal") >= 0).count()
+    val nOrders = graft.sources.Tables.orders(spark, sf0001)
+      .filter(expr("o_orderdate >= CAST('1998-04-01 00:00:00' AS TIMESTAMP_NTZ)")).count()
+    // every acctbal>=0 customer is in 'both' or 'customer_only'
+    assert(rows.getOrElse("both", (0L, 0L))._1 +
+      rows.getOrElse("customer_only", (0L, 0L))._1 == nPos)
+    // every windowed order lands in exactly one of 'both' / 'order_only'
+    assert(rows.getOrElse("both", (0L, 0L))._2 +
+      rows.getOrElse("order_only", (0L, 0L))._2 == nOrders)
+    // both null sides are genuinely exercised at this SF
+    assert(rows.contains("order_only") && rows.contains("customer_only"), rows.toString)
+  }
+
+  test("left_outer_customers: null bucket counts customers the inner join drops") {
+    val rows = Relational.leftOuterCustomers(spark, sf0001).collect()
+    val nCust = graft.sources.Tables.customer(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    assert(rows.map(_.getLong(2)).sum > 0, "null bucket should be non-trivial")
+    rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+  }
+
   test("regex_clean_stats: cleaning never grows a doc; changed ≤ total") {
     val rows = TextAnalysisOps.regexCleanStats(spark, sf0001).collect()
     assert(rows.nonEmpty)

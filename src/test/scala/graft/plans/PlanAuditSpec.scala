@@ -43,6 +43,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bucketed_join_orders: co-bucketed SMJ, zero Exchange under the join") {
+    val p = plan(Relational.bucketedJoinOrders(spark, sf0001))
+    assert(p.contains("SortMergeJoin"), p)
+    // the join's subtree (everything printed after the SMJ node) must read
+    // the bucketed files directly — no shuffle on either side
+    val subtree = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!subtree.contains("Exchange"), subtree)
+  }
+
+  test("outer_join_orders: full-outer stays an equi join (no nested loop/cartesian)") {
+    val p = plan(Relational.outerJoinOrders(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q1: aggregation is partial+final hash aggregate (map-side combine)") {
     val p = plan(Relational.q1PricingSummary(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)

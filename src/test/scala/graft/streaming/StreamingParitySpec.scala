@@ -118,6 +118,15 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSet == ev.map(_.event_id).toSet)
   }
 
+  test("declared streaming entry == batch tumbling agg over the same slice") {
+    val streamed = graft.streaming.StreamingEntry.streamTumblingEvents(spark, sf0001)
+      .collect().toSeq
+    val batch = StreamingQueries.tumblingAgg(
+        graft.sources.Tables.events(spark, sf0001).orderBy(col("event_id")).limit(5000))
+      .orderBy(col("ws_us"), col("event_type")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
