@@ -19,8 +19,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A/B: scans, projections, filters
+    // A/B: scans, projections, filters, sinks
     "scan_project_filter" -> Relational.scanProjectFilter _,
+    "partitioned_events_purchases" -> EventOps.partitionedEventsPurchases _,
+    "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
+    "csv_roundtrip_events" -> EventOps.csvRoundtripEvents _,
     // C: joins
     "join_nation_revenue" -> Relational.joinNationRevenue _,
     "q3_top_orders" -> Relational.q3TopOrders _,
@@ -178,6 +181,39 @@ object SparkEntry {
         |   WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer
         |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""".stripMargin,
+
+    "partitioned_events_purchases" ->
+      """SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS spend_cents
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "jsonl_roundtrip_events" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(event_id) AS BIGINT) AS min_event,
+        |  CAST(max(event_id) AS BIGINT) AS max_event
+        |FROM e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "csv_roundtrip_events" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(event_id) AS BIGINT) AS min_event,
+        |  CAST(max(event_id) AS BIGINT) AS max_event
+        |FROM e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "outer_join_orders" ->
       """WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal >= 0),

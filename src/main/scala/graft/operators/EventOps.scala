@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Materialize, Tables}
 
 /** Event-time operators: ranking/analytic windows, tumbling/sliding/session
   * windows (batch forms — streaming parity in [[graft.streaming]]), as-of
@@ -20,6 +20,66 @@ import graft.sources.Tables
 object EventOps {
 
   private val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+
+  /** A+: partitioned SINK + partition-pruned read — events written once as
+    * parquet in Hive directory layout (`event_type=.../part-*.parquet` via
+    * [[graft.sources.Materialize.partitionedPath]]), then the purchase-only
+    * aggregate reads back through the partitioned files. The filter lands in
+    * the scan's PartitionFilters (directory pruning at file-listing time,
+    * asserted in PlanAuditSpec) — the standard date/type-partitioned lake
+    * layout: at 100 TB a selective partition filter skips data
+    * proportionally, and NO data file of another partition is even opened.
+    * Results identical to filtering the source table, which is what the
+    * oracle checks.
+    */
+  def partitionedEventsPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Materialize.partitionedPath(spark, s"events_by_type_$sfDir", "event_type", sfDir) {
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    }
+    spark.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum(cents).as("spend_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A+: JSON-lines source/sink round-trip — events exported once as JSONL
+    * ([[graft.sources.Materialize.formatPath]]), read back with an EXPLICIT
+    * schema (never inference: that is a second full scan of the data at
+    * 100 TB), aggregated per event_type. Money rides as integer cents so the
+    * text round-trip is exact; the oracle reads the original parquet — any
+    * serialization loss would hash-mismatch.
+    */
+  def jsonlRoundtripEvents(spark: SparkSession, sfDir: String): DataFrame =
+    roundtripEvents(spark, sfDir, "json")
+
+  /** A+: CSV (with header) source/sink round-trip — same contract as
+    * [[jsonlRoundtripEvents]]; simple typed columns only (no nested JSON in
+    * a CSV cell: quoting semantics differ across engines).
+    */
+  def csvRoundtripEvents(spark: SparkSession, sfDir: String): DataFrame =
+    roundtripEvents(spark, sfDir, "csv")
+
+  private def roundtripEvents(spark: SparkSession, sfDir: String, format: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = Materialize.formatPath(spark, s"events_rt_$sfDir", format, sfDir) {
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), cents.as("cents"))
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("cents", LongType)))
+    val r = spark.read.schema(schema)
+    (if (format == "csv") r.option("header", "true").csv(path) else r.json(path))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("event_type"))
+  }
 
   /** E: per-brand top-3 parts by price (ranking window + filter). */
   def winTopkParts(spark: SparkSession, sfDir: String): DataFrame = {

@@ -38,6 +38,7 @@ object Materialize {
 
   private val staged = new ConcurrentHashMap[String, DataFrame]()
   private val tables = new ConcurrentHashMap[String, String]()
+  private val paths = new ConcurrentHashMap[String, String]()
   // Per-key locks (NOT computeIfAbsent thunks: stages nest — candidates
   // stage the signature stage inside their own thunk, and a nested
   // computeIfAbsent on one ConcurrentHashMap is a recursive-update error).
@@ -161,6 +162,41 @@ object Materialize {
     }
   }
 
+  /** Write `df` once per (session, key, content-of-inputDir) as parquet
+    * partitioned by `partitionCol` (Hive directory layout:
+    * `partitionCol=value/part-*.parquet`) and return the written path. A
+    * reader filtering on the partition column then prunes whole directories
+    * at file-listing time — the standard date/type-partitioned lake layout
+    * that makes a selective filter skip data proportionally at 100 TB
+    * (PartitionFilters, not data filters; asserted in PlanAuditSpec).
+    */
+  def partitionedPath(spark: SparkSession, key: String, partitionCol: String,
+      inputDir: String)(df: => DataFrame): String = {
+    val tokenKey = s"part:$key@${contentToken(inputDir)}"
+    memoized(paths, s"${sessionTag(spark)}:$tokenKey") {
+      val path = stageDir(spark, tokenKey)
+      df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      path
+    }
+  }
+
+  /** Write `df` once per (session, key, content-of-inputDir) in the given
+    * file `format` ("json" = JSON-lines, "csv" with header, ...) and return
+    * the written path. Used by the source/sink round-trip queries: readers
+    * MUST supply an explicit schema (schema inference is a full extra pass
+    * over the data — never acceptable at 100 TB).
+    */
+  def formatPath(spark: SparkSession, key: String, format: String,
+      inputDir: String)(df: => DataFrame): String = {
+    val tokenKey = s"fmt:$format:$key@${contentToken(inputDir)}"
+    memoized(paths, s"${sessionTag(spark)}:$tokenKey") {
+      val path = stageDir(spark, tokenKey)
+      val w = df.write.mode("overwrite")
+      (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
+      path
+    }
+  }
+
   /** Drop every memoized stage and bucketed table of `spark`'s session and
     * delete its scratch files. Bench calls this once per timing pass so a
     * staged intermediate computed in pass 1 cannot subsidize pass 2's
@@ -170,6 +206,7 @@ object Materialize {
     val tag = sessionTag(spark)
     val prefix = s"$tag:"
     staged.keySet.removeIf(_.startsWith(prefix))
+    paths.keySet.removeIf(_.startsWith(prefix))
     val it = tables.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

@@ -57,6 +57,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("partitioned_events_purchases: filter prunes partitions, not rows") {
+    val p = plan(EventOps.partitionedEventsPurchases(spark, sf0001))
+    // the event_type predicate must be a PartitionFilter on the scan
+    // (directory pruning), never a post-scan data filter
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*purchase[^\\]]*\\].*"), p)
+  }
+
   test("q1: aggregation is partial+final hash aggregate (map-side combine)") {
     val p = plan(Relational.q1PricingSummary(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
