@@ -58,33 +58,48 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id) AS s").collect()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Failure honesty: a query that throws must never appear as a (fast)
+    // green line. `once` returns Left(error) on exception; a pass records a
+    // time only on success, and a query that failed EVERY pass is omitted
+    // from `queries`/total and reported under a top-level "errors" object.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
     }
     val ordered = SparkEntry.queries.toSeq
     val best = collection.mutable.Map.empty[String, Double]
-    def record(name: String, t: Double): Unit =
-      if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
+    val errs = collection.mutable.Map.empty[String, String]
+    def record(name: String, r: Either[String, Double]): Unit = r match {
+      case Right(t) => if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
+      case Left(e)  => errs(name) = e
+    }
     for (_ <- 1 to 3) {
       graft.sources.Materialize.reset(spark)
       val t0 = System.nanoTime()
-      try graft.operators.TextOps.stageDedupInputs(spark, sfDir)
-      catch { case _: Throwable => () }
-      record("stage_minhash", (System.nanoTime() - t0) / 1e9)
+      record("stage_minhash",
+        try { graft.operators.TextOps.stageDedupInputs(spark, sfDir); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") })
       for ((name, fn) <- ordered) {
         spark.catalog.clearCache()
         record(name, once(fn))
       }
     }
     val results = (ordered.map(_._1) :+ "stage_minhash")
-      .map(name => name -> best(name)).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .flatMap(name => best.get(name).map(name -> _)).toMap
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val failed = errs.keySet.diff(best.keySet)
+    val errJson = failed.toSeq.sorted.map(k => jstr(k) + ":" + jstr(errs(k)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,8 @@ object SparkEntry {
     // S: event-time windows (batch forms; streaming parity in graft.streaming)
     // + the declared streaming entry: a real MemoryStream micro-batch run
     "stream_tumbling_events" -> graft.streaming.StreamingEntry.streamTumblingEvents _,
+    "stream_session_events" -> graft.streaming.StreamingEntry.streamSessionEvents _,
+    "stream_interval_join_events" -> graft.streaming.StreamingEntry.streamIntervalJoinEvents _,
     "tumbling_window" -> EventOps.tumblingWindow _,
     "sliding_window" -> EventOps.slidingWindow _,
     "sessionize" -> EventOps.sessionize _,
@@ -99,6 +101,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysisOps.textQuality _,
     "doc_fingerprint" -> TextAnalysisOps.docFingerprint _,
     "multimodal_meta" -> MultimodalOps.multimodalMeta _,
+    "media_decode_meta" -> MultimodalOps.mediaDecodeMeta _,
     // W: diversity core (no oracle — property-tested, SURVEY.md §2.2-W)
     "gmm_diverse_k32" -> DiversityOps.gmmDiverseK32 _,
     "diverse_docs_k16" -> DiversityOps.diverseDocsK16 _,
@@ -612,6 +615,31 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
 
+    "stream_session_events" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events ORDER BY event_id LIMIT 5000),
+        |x AS (SELECT user_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_ts FROM e),
+        |y AS (SELECT user_id, ts_us,
+        |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM y)
+        |SELECT user_id,
+        |  CAST(min(ts_us) AS BIGINT) AS session_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM z
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "stream_interval_join_events" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts FROM e WHERE event_type = 'signup')
+        |SELECT p_id, s_id, p_user AS user_id
+        |FROM p JOIN s ON p_user = s_user
+        |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 7 DAYS
+        |ORDER BY p_id, s_id""".stripMargin,
+
     "tumbling_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -885,6 +913,22 @@ object SparkEntry {
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct_content,
         |  min(content_hash) AS min_hash
-        |FROM m GROUP BY mime ORDER BY mime""".stripMargin
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+
+    // The oracle re-derives the closed-form generator parameters
+    // (MultimodalOps.pngDims/pngRed/wavFrames); the Spark side reads them
+    // back through REAL JDK codec decodes of really-encoded PNG/WAV bytes.
+    "media_decode_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 12 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7) % 256 ELSE 0 END AS DOUBLE) AS r_mean,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 100 + doc_id % 200 ELSE 0 END AS BIGINT) AS duration_ms
+        |FROM documents
+        |WHERE doc_id % 3 < 2
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -38,6 +38,19 @@ object DiversityOps {
 
   val KPrime = 64
 
+  /** Driver-side heuristic budget for [[remoteCliqueDiv]]: the collected
+    * union coreset is p·k′ points — it GROWS with cluster parallelism, so
+    * feeding it straight to the O(iters·k·n) local search / O(k·n²)
+    * matching heuristics would make driver wall-clock scale with cluster
+    * size (minutes at p=1000). Instead the union is re-coreset down to a
+    * fixed 8·k-point budget by one more GMM pass (a coreset of the coreset
+    * — the composable-coreset theorem [VLDB17] §4 is closed under exactly
+    * this composition, so the approximation bound is preserved). The GMM
+    * pre-step is O(budget·p·k′) cheap distance evals; the heuristics then
+    * run on ≤ budget points, making their cost O(1) in cluster size.
+    */
+  val HeuristicBudget = 8 * 32
+
   private def points(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     Tables.embeddings(spark, sfDir)
@@ -89,13 +102,20 @@ object DiversityOps {
 
   /** W: remote-clique objectives — GMM set vs matching-heuristic set vs
     * local-search set, plus heuristic bipartition/cycle values.
+    *
+    * The union coreset is first bounded to [[HeuristicBudget]] points (see
+    * there) so driver-side heuristic cost is independent of p. GMM is
+    * prefix-greedy with a deterministic tie-break, so
+    * `Gmm.select(bounded, 32)` equals `Gmm.select(cs, 32)` exactly — the
+    * re-coreset changes only the swap/pair pool the heuristics search.
     */
   def remoteCliqueDiv(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cs = coreset(spark, sfDir).map(w => Pt(w.id, w.vec))
-    val gmmSet = Gmm.select(cs, 32)
-    val matchSet = Heuristics.matching(cs, 32)
-    val lsSet = Heuristics.localSearch(cs, 32)
+    val bounded = if (cs.size <= HeuristicBudget) cs else Gmm.select(cs, HeuristicBudget)
+    val gmmSet = Gmm.select(bounded, 32)
+    val matchSet = Heuristics.matching(bounded, 32)
+    val lsSet = Heuristics.localSearch(bounded, 32)
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     Seq((
       32L,

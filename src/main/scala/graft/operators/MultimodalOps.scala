@@ -1,36 +1,53 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Decoded (stubbed) per-media features. Width/height/duration come from
-  * the STUB decoder below — deterministic fakes, not real codec output.
-  */
+/** Per-media features from a REAL decode (JDK codecs — see below). */
 case class MediaFeatures(
     doc_id: Long,
     mime: String,
     n_bytes: Long,
     width: Int,
     height: Int,
+    channels: Int,
+    sample_rate: Int,
     duration_ms: Long,
-    byte_mean: Double)
+    r_mean: Double)
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata, plus a decode/feature-extract stage (SURVEY/builder north
-  * star: "multimodal columns").
+  * metadata, plus decode / feature-extract / resize / frame-sample stages
+  * (SURVEY/builder north star: "multimodal columns").
   *
-  * The media table is derived deterministically from the `documents`
-  * fixture (content = UTF-8 bytes of `text`, mime assigned by doc_id) —
-  * the container has no image/audio codecs and no binary fixture, so the
-  * DECODE STEP IS A STUB: `decodeStub` fabricates width/height/duration
-  * from the content hash. Everything around it — binary schema, batch
-  * shape, partition-parallel decode via mapPartitions, typed Dataset
-  * output — is the real Spark plumbing a production decoder (or a
-  * `mapInPandas`/`mapInArrow` Python UDF) would plug into, and is tested.
+  * Two media tables, two purposes:
   *
-  * Scale posture: decode is embarrassingly parallel per partition; binary
-  * payloads never shuffle (feature extraction happens before any
+  *  - [[mediaTable]] — the METADATA path: content is an opaque binary
+  *    payload (UTF-8 bytes of `text`, mime assigned by doc_id). Metadata
+  *    queries never touch the bytes (column pruning, plan-asserted).
+  *  - [[rawMedia]] — the DECODE path: content is GENUINE codec output,
+  *    generated deterministically per doc on the executors — real PNG
+  *    bytes via `javax.imageio` and real 16-bit PCM WAV bytes via
+  *    `javax.sound.sampled`, both shipped with the JDK. [[decodeImage]] /
+  *    [[decodeWav]] then run the REAL decoders over those bytes, so the
+  *    declared `media_decode_meta` query is an end-to-end encode→decode
+  *    round-trip through production codecs, oracled against the closed-form
+  *    dimensions/duration the generator used.
+  *
+  * video/mp4 is metadata-only: the JDK ships no MP4 codec and the build
+  * adds no dependencies, so a video decoder must be plugged in externally
+  * — the contract it plugs into (bytes in → features out, executed
+  * per-partition via mapPartitions with no driver involvement) is exactly
+  * the one [[decodeFeatures]] exercises for PNG/WAV; until then video rows
+  * flow through the generic byte-window sampler [[byteWindows]], which is
+  * honest byte-level chunking, not a pretend keyframe decode.
+  *
+  * Scale posture: encode/decode are embarrassingly parallel per partition;
+  * binary payloads never shuffle (feature extraction happens before any
   * aggregation), and metadata-only queries never read `content` thanks to
   * parquet column pruning.
   */
@@ -48,37 +65,124 @@ object MultimodalOps {
         md5(col("text")).as("content_hash"))
   }
 
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * A production build replaces the body with e.g. javax.imageio /
-    * ffmpeg bindings; the signature (bytes in, features out, executed
-    * per-partition with no driver involvement) is the real contract.
+  // ---- deterministic generators (real codec OUTPUT, executor-side) ----
+
+  /** Closed-form media parameters per doc_id — the generator contract the
+    * `media_decode_meta` oracle re-derives in SQL.
     */
-  def decodeStub(mime: String, content: Array[Byte]): (Int, Int, Long) = {
-    // ??? <- real decode goes here; deterministic fake below
-    val h = java.util.Arrays.hashCode(content)
-    val w = 16 + math.abs(h % 1024)
-    val ht = 16 + math.abs((h / 1024) % 1024)
-    val dur = if (mime.startsWith("image")) 0L else 1000L + math.abs(h.toLong % 60000L)
-    (w, ht, dur)
+  def pngDims(id: Long): (Int, Int) = (8 + (id % 16).toInt, 8 + (id % 12).toInt)
+  def pngRed(id: Long): Int = ((id * 7) % 256).toInt
+  def wavFrames(id: Long): Int = 8 * (100 + (id % 200).toInt) // @8kHz → 100..299 ms
+
+  /** Encode a constant-fill RGB image as genuine PNG bytes (javax.imageio). */
+  def encodePng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** STUB resize — a real implementation rescales pixel buffers; the fake
-    * deterministically re-derives dimensions capped to the target box,
-    * preserving the decode contract (bytes + params in, features out).
-    */
-  def resizeStub(mime: String, content: Array[Byte], maxW: Int, maxH: Int): (Int, Int) = {
-    // ??? <- real rescale goes here; deterministic fake below
-    val (w, h, _) = decodeStub(mime, content)
-    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-    (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+  /** Encode deterministic 16-bit mono 8 kHz PCM as genuine WAV bytes. */
+  def encodeWav(nFrames: Int, seed: Long): Array[Byte] = {
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = ((seed * 31 + i.toLong * 7919) % 32768).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
-  /** STUB frame sampling — a real implementation seeks keyframes; the fake
-    * slices `n` evenly-spaced byte windows, which exercises the real
-    * plumbing (per-frame rows exploded from one media row, bounded output).
+  // ---- REAL decoders (JDK codecs) ----
+
+  /** Decode PNG/BMP/JPEG bytes with the real `javax.imageio` reader:
+    * (width, height, mean of the red channel over all pixels).
     */
-  def frameSampleStub(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    // ??? <- real keyframe extraction goes here; deterministic fake below
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image bytes")
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+      y += 1
+    }
+    (w, h, sum.toDouble / (w.toLong * h))
+  }
+
+  /** Parse WAV bytes with the real `javax.sound.sampled` reader:
+    * (channels, sample rate in Hz, duration in ms from the frame count).
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Long) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val durMs = ais.getFrameLength * 1000L / fmt.getSampleRate.toLong
+      (fmt.getChannels, fmt.getSampleRate.toInt, durMs)
+    } finally ais.close()
+  }
+
+  /** REAL image resize: Graphics2D bilinear rescale into the bounding box
+    * (aspect preserved), re-encoded as PNG. Returns (bytes, w, h).
+    */
+  def resizeImage(bytes: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(src != null, "undecodable image bytes")
+    val scale = math.min(1.0, math.min(maxW.toDouble / src.getWidth, maxH.toDouble / src.getHeight))
+    val w = math.max(1, (src.getWidth * scale).toInt)
+    val h = math.max(1, (src.getHeight * scale).toInt)
+    val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = dst.createGraphics()
+    try {
+      gfx.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(src, 0, 0, w, h, null)
+    } finally gfx.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", bos)
+    (bos.toByteArray, w, h)
+  }
+
+  /** REAL audio frame sampling: parse the WAV container, then slice `n`
+    * evenly-spaced windows of raw PCM frames (frame-aligned, so each
+    * window is itself valid PCM of the source format).
+    */
+  def sampleAudioFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val frameSize = ais.getFormat.getFrameSize
+      val pcm = ais.readAllBytes()
+      val totalFrames = pcm.length / frameSize
+      if (totalFrames == 0 || n <= 0) Seq.empty
+      else {
+        val win = math.max(1, totalFrames / n)
+        (0 until math.min(n, totalFrames)).map { i =>
+          val startF = i * win
+          val endF = math.min(startF + win, totalFrames)
+          pcm.slice(startF * frameSize, endF * frameSize)
+        }.filter(_.nonEmpty)
+      }
+    } finally ais.close()
+  }
+
+  /** Generic byte-window sampler for formats with no available codec
+    * (video/mp4 here): `n` evenly-spaced byte slices — honest byte-level
+    * chunking that preserves the one-media-row→n-frame-rows plumbing, NOT
+    * a decode.
+    */
+  def byteWindows(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
     if (content.isEmpty || n <= 0) Seq.empty
     else {
       val win = math.max(1, content.length / n)
@@ -89,46 +193,72 @@ object MultimodalOps {
     }
   }
 
-  /** Frames table: one row per sampled frame (video/audio only), with a
-    * per-frame hash — the shape a frame-level feature extractor consumes.
-    * Binary payloads stay where they are; only (doc_id, frame_no, hash)
-    * leave the partition.
+  /** The real-bytes media table: one row per image/audio doc with genuine
+    * PNG/WAV content generated on the executors (video excluded — no JDK
+    * codec; see the object doc).
+    */
+  def rawMedia(spark: SparkSession, sfDir: String): Dataset[(Long, String, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 3 < 2)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 3 == 0) {
+            val (w, h) = pngDims(id)
+            (id, "image/png",
+              encodePng(w, h, pngRed(id), ((id * 13) % 256).toInt, ((id * 31) % 256).toInt))
+          } else (id, "audio/wav", encodeWav(wavFrames(id), id))
+        }
+      }
+      .toDF("doc_id", "mime", "content")
+      .as[(Long, String, Array[Byte])]
+  }
+
+  /** Frames table: one row per sampled PCM window of each audio doc, with
+    * a per-frame hash — the shape a frame-level feature extractor
+    * consumes. Binary payloads stay inside the partition; only
+    * (doc_id, frame_no, n bytes, hash) leave it.
     */
   def frameFeatures(spark: SparkSession, sfDir: String, nFrames: Int = 4): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir)
-      .select(col("doc_id"), col("mime"), col("content"))
-      .as[(Long, String, Array[Byte])]
+    rawMedia(spark, sfDir)
       .mapPartitions { it =>
-        it.filter(!_._2.startsWith("image")).flatMap { case (id, mime, bytes) =>
-          frameSampleStub(bytes, nFrames).zipWithIndex.map { case (frame, i) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.filter(_._2 == "audio/wav").flatMap { case (id, mime, bytes) =>
+          sampleAudioFrames(bytes, nFrames).zipWithIndex.map { case (frame, i) =>
             (id, mime, i.toLong, frame.length.toLong,
-              java.security.MessageDigest.getInstance("MD5").digest(frame)
-                .map("%02x".format(_)).mkString)
+              md.digest(frame).map("%02x".format(_)).mkString)
           }
         }
       }
       .toDF("doc_id", "mime", "frame_no", "frame_bytes", "frame_hash")
   }
 
-  /** Partition-parallel decode + feature extraction into a typed Dataset. */
+  /** Partition-parallel REAL decode + feature extraction into a typed
+    * Dataset: ImageIO for PNG, AudioSystem for WAV, per-partition with no
+    * driver involvement.
+    */
   def decodeFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(spark, sfDir)
-      .select(col("doc_id"), col("mime"), col("content"))
-      .as[(Long, String, Array[Byte])]
+    rawMedia(spark, sfDir)
       .mapPartitions { it =>
         it.map { case (id, mime, bytes) =>
-          val (w, h, dur) = decodeStub(mime, bytes)
-          val mean = if (bytes.isEmpty) 0.0
-            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-          MediaFeatures(id, mime, bytes.length.toLong, w, h, dur, mean)
+          if (mime == "image/png") {
+            val (w, h, rMean) = decodeImage(bytes)
+            MediaFeatures(id, mime, bytes.length.toLong, w, h, 0, 0, 0L, rMean)
+          } else {
+            val (ch, rate, durMs) = decodeWav(bytes)
+            MediaFeatures(id, mime, bytes.length.toLong, 0, 0, ch, rate, durMs, 0.0)
+          }
         }
       }
   }
 
   /** V+: metadata aggregate per mime type — the oracled query (binary
-    * length/hash plumbing; the stub-decoded fields stay out of the oracle).
+    * length/hash plumbing over the opaque-payload table; decoded fields
+    * live in [[mediaDecodeMeta]]).
     */
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
     mediaTable(spark, sfDir)
@@ -139,5 +269,20 @@ object MultimodalOps {
         countDistinct(col("content_hash")).as("n_distinct_content"),
         min(col("content_hash")).as("min_hash"))
       .orderBy(col("mime"))
+  }
+
+  /** V+: the DECLARED encode→decode round-trip — per-doc features read
+    * back by the REAL JDK codecs from genuinely-encoded PNG/WAV bytes,
+    * oracled against the closed-form generator parameters ([[pngDims]]
+    * etc.): if either codec direction were wrong, the hash would diverge.
+    */
+  def mediaDecodeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(spark, sfDir)
+      .map(f => (f.doc_id, f.mime, f.width.toLong, f.height.toLong, f.r_mean,
+        f.channels.toLong, f.sample_rate.toLong, f.duration_ms))
+      .toDF("doc_id", "mime", "width", "height", "r_mean",
+        "channels", "sample_rate", "duration_ms")
+      .orderBy(col("doc_id"))
   }
 }

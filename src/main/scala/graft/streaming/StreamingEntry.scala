@@ -29,16 +29,26 @@ case class StreamEvent(
   */
 object StreamingEntry {
 
-  def streamTumblingEvents(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The bounded, deterministic harness slice: first 5000 events by
+    * event_id. MemoryStream needs driver-side rows; TakeOrdered caps the
+    * collect at any SF (harness cost, not operator cost).
+    */
+  private def eventSlice(spark: SparkSession, sfDir: String): Seq[StreamEvent] = {
     import spark.implicits._
-    val slice = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id")).limit(5000)
       .as[StreamEvent].collect().toSeq
+  }
 
+  private def withTs(df: DataFrame): DataFrame =
+    df.withColumn("ts_utc", timestamp_micros(col("ts_us")))
+
+  def streamTumblingEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
     val stream = MemoryStream[StreamEvent](spark)
-    val streamingDf = stream.toDF().withColumn("ts_utc", timestamp_micros(col("ts_us")))
-    val q = StreamingQueries.tumblingStream(streamingDf)
+    val q = StreamingQueries.tumblingStream(withTs(stream.toDF()))
       .writeStream.format("memory").queryName("graft_stream_entry")
       .outputMode("complete").start()
     try {
@@ -51,5 +61,65 @@ object StreamingEntry {
     spark.table("graft_stream_entry")
       .select(col("ws_us"), col("event_type"), col("n"), col("sum_cents"))
       .orderBy(col("ws_us"), col("event_type"))
+  }
+
+  /** DECLARED session-window entry: the S-op with real state-store
+    * mechanics — `session_window` MERGES adjacent windows as new events
+    * arrive, so feeding the slice in three micro-batches exercises
+    * cross-batch session-merge state, the part a batch run can't. Oracled
+    * against the lag+cumsum sessionization of the same slice (complete
+    * output mode because the memory sink must hold the full answer; in
+    * production the same [[StreamingQueries.sessionStream]] transform runs
+    * append-mode over `readStream` with state = O(open sessions)).
+    */
+  def streamSessionEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    val q = StreamingQueries.sessionStream(withTs(stream.toDF()))
+      .writeStream.format("memory").queryName("graft_stream_session")
+      .outputMode("complete").start()
+    try {
+      slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    spark.table("graft_stream_session")
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  /** DECLARED stream-stream interval join entry: signups arrive in
+    * micro-batch 1, purchases in micro-batch 2 — every match therefore
+    * crosses a batch boundary, proving the join buffers the signup side in
+    * the state store. The global watermark is the MIN across both input
+    * streams, and the purchase stream has seen no data during batch 1, so
+    * no buffered signup can be GC'd before the purchases arrive — the
+    * result is exactly the batch interval join over the slice (the oracle).
+    * In production the same [[StreamingQueries.purchaseSignupStream]] runs
+    * over two live streams with state bounded by the 7-day interval +
+    * 1-hour watermark (see SCALING.md).
+    */
+  def streamIntervalJoinEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val pStream = MemoryStream[StreamEvent](spark)
+    val sStream = MemoryStream[StreamEvent](spark)
+    val q = StreamingQueries.purchaseSignupStream(
+        withTs(pStream.toDF()), withTs(sStream.toDF()))
+      .writeStream.format("memory").queryName("graft_stream_ssj")
+      .outputMode("append").start()
+    try {
+      sStream.addData(slice.filter(_.event_type == "signup"))
+      q.processAllAvailable()
+      pStream.addData(slice.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    spark.table("graft_stream_ssj")
+      .select(col("p_id"), col("s_id"), col("user_id"))
+      .orderBy(col("p_id"), col("s_id"))
   }
 }

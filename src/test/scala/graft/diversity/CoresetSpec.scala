@@ -62,4 +62,23 @@ class CoresetSpec extends AnyFunSuite {
     assert(selectWithP(1) == selectWithP(4))
     assert(selectWithP(1) == selectWithP(8))
   }
+
+  test("bounded re-coreset path is stable across partition counts when coresets cover") {
+    // Same anchor case, through remoteCliqueDiv's budgeted pipeline: union
+    // coreset → GMM re-coreset to a fixed budget → heuristics pool. When
+    // local coresets cover their partitions the union is p-invariant, so
+    // the re-coreset and everything selected from it must be too.
+    val pts = TestPoints.randomPoints(80, 8, 17)
+    def boundedWithP(p: Int): (Seq[Long], Seq[Long]) = {
+      val parts = pts.groupBy(x => x.id % p).values.toVector
+      val union = parts.flatMap(part =>
+        MapReduceCoreset.localCoreset(part.iterator, 80).toVector)
+        .map(w => Pt(w.id, w.vec)).sortBy(_.id)
+      val bounded = Gmm.select(union, 24)
+      (bounded.map(_.id), Heuristics.matching(bounded, 8).map(_.id))
+    }
+    assert(boundedWithP(1) == boundedWithP(2))
+    assert(boundedWithP(1) == boundedWithP(4))
+    assert(boundedWithP(1) == boundedWithP(8))
+  }
 }

@@ -60,6 +60,20 @@ class GmmSpec extends AnyFunSuite {
     assert(sel == Vector(0L, 3L, 1L, 2L))
   }
 
+  test("prefix consistency: GMM of a GMM re-coreset equals GMM of the full set") {
+    // the invariant DiversityOps.remoteCliqueDiv's bounded-budget step
+    // relies on: farthest-first is prefix-greedy, so selecting k from the
+    // budget-point re-coreset equals selecting k directly — for ANY input
+    // size (the heuristic pool shrinks, the GMM answer does not move)
+    for (seed <- 0 until 10) {
+      val pts = TestPoints.randomPoints(300 + seed * 17, 8, seed)
+      val budget = 64
+      val k = 2 + seed % 16
+      val bounded = Gmm.select(pts, budget)
+      assert(Gmm.select(bounded, k).map(_.id) == Gmm.select(pts, k).map(_.id))
+    }
+  }
+
   test("weighted assignment conserves mass") {
     for (seed <- 0 until 20) {
       val n = 20 + (seed * 31) % 100

@@ -9,16 +9,27 @@ import graft.SparkTestBase
   */
 class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
 
-  test("multimodal: decode is deterministic, partition-parallel, schema-typed") {
+  test("multimodal: REAL codec decode round-trips the generator parameters, deterministic") {
     val a = MultimodalOps.decodeFeatures(spark, sf0001).collect().sortBy(_.doc_id)
     val b = MultimodalOps.decodeFeatures(spark, sf0001).collect().sortBy(_.doc_id)
-    assert(a.length == 500)
+    // 500 docs, doc_id % 3 < 2 → image + audio rows only (no JDK mp4 codec)
+    assert(a.length == 500 * 2 / 3 + 1)
     assert(a.toSeq == b.toSeq)
-    // stub invariants: images have no duration, byte_mean is a real mean
     a.foreach { f =>
       assert(f.n_bytes > 0)
-      if (f.mime == "image/png") assert(f.duration_ms == 0L) else assert(f.duration_ms >= 1000L)
-      assert(f.byte_mean > 0 && f.byte_mean < 255)
+      if (f.mime == "image/png") {
+        // ImageIO.read of really-encoded PNG bytes: dimensions and the
+        // constant red fill must match the generator's closed form exactly
+        val (w, h) = MultimodalOps.pngDims(f.doc_id)
+        assert(f.width == w && f.height == h)
+        assert(f.r_mean == MultimodalOps.pngRed(f.doc_id).toDouble)
+        assert(f.duration_ms == 0L && f.channels == 0)
+      } else {
+        // AudioSystem parse of really-encoded WAV: format + frame count
+        assert(f.channels == 1 && f.sample_rate == 8000)
+        assert(f.duration_ms == 100L + f.doc_id % 200)
+        assert(f.width == 0 && f.height == 0)
+      }
     }
   }
 
@@ -32,19 +43,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"unpruned scan: $readSchema")
   }
 
-  test("multimodal: resize caps to the box; frame sampling is bounded and deterministic") {
-    val bytes = "some media payload bytes for the stub decoder to chew on".getBytes("UTF-8")
-    val (w, h) = MultimodalOps.resizeStub("image/png", bytes, 64, 64)
-    assert(w <= 64 && h <= 64 && w >= 1 && h >= 1)
-    val frames = MultimodalOps.frameSampleStub(bytes, 4)
+  test("multimodal: real resize rescales pixels; audio frame sampling is frame-aligned") {
+    // REAL rescale: 100×40 red PNG → bounded to 64×64, aspect preserved,
+    // decode of the resized bytes reports the new dimensions + same fill
+    val png = MultimodalOps.encodePng(100, 40, 200, 10, 10)
+    val (resized, w, h) = MultimodalOps.resizeImage(png, 64, 64)
+    assert(w == 64 && h == 25) // 100×40 scaled by 0.64
+    val (dw, dh, rMean) = MultimodalOps.decodeImage(resized)
+    assert(dw == 64 && dh == 25)
+    assert(math.abs(rMean - 200.0) < 1.0) // bilinear over a constant fill
+    // REAL audio sampling: windows are PCM-frame-aligned (16-bit mono → 2B)
+    val wav = MultimodalOps.encodeWav(800, seed = 7L)
+    val frames = MultimodalOps.sampleAudioFrames(wav, 4)
     assert(frames.length == 4)
-    assert(frames.map(_.length).sum <= bytes.length)
-    assert(frames.map(_.toSeq) == MultimodalOps.frameSampleStub(bytes, 4).map(_.toSeq))
+    assert(frames.map(_.length).sum == 1600) // all 800 frames, no header bytes
+    assert(frames.forall(_.length % 2 == 0))
+    assert(frames.map(_.toSeq) == MultimodalOps.sampleAudioFrames(wav, 4).map(_.toSeq))
+    // generic byte windows (the no-codec fallback) stay bounded
+    val bw = MultimodalOps.byteWindows("opaque container bytes".getBytes("UTF-8"), 4)
+    assert(bw.length == 4 && bw.map(_.length).sum <= 22)
 
     val ff = MultimodalOps.frameFeatures(spark, sf0001).collect()
     assert(ff.nonEmpty)
-    // only non-image media yields frames; frame_no bounded by the sample size
-    assert(ff.forall(r => r.getString(1) != "image/png"))
+    // only audio media yields frames; frame_no bounded by the sample size
+    assert(ff.forall(r => r.getString(1) == "audio/wav"))
     assert(ff.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 4))
     assert(ff.forall(r => r.getString(4).length == 32))
   }
