@@ -169,12 +169,23 @@ object Relational {
     * bucket count is a property of the written layout, sized to the table
     * at scale, not to session parallelism.
     */
-  def bucketedJoinOrders(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Force the co-bucketed table writes behind [[bucketedJoinOrders]]
+    * (memoized per session + fixture content). Bench times this as its own
+    * `stage_bucketed` line — the one-time layout job a production table
+    * pays at write time — so the query line reports the steady-state
+    * shuffle-free join cost the query exists to demonstrate.
+    */
+  def stageBucketedTables(spark: SparkSession, sfDir: String): (String, String) = {
     val liT = Materialize.bucketedTable(spark, s"li_$sfDir", 8, "l_orderkey", sfDir)(
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
     val ordT = Materialize.bucketedTable(spark, s"ord_$sfDir", 8, "o_orderkey", sfDir)(
       Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority")))
+    (liT, ordT)
+  }
+
+  def bucketedJoinOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val (liT, ordT) = stageBucketedTables(spark, sfDir)
     spark.table(liT).hint("merge")
       .join(spark.table(ordT).hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
