@@ -24,6 +24,7 @@ object SparkEntry {
     "partitioned_events_purchases" -> EventOps.partitionedEventsPurchases _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
     "csv_roundtrip_events" -> EventOps.csvRoundtripEvents _,
+    "orc_roundtrip_events" -> EventOps.orcRoundtripEvents _,
     // C: joins
     "join_nation_revenue" -> Relational.joinNationRevenue _,
     "q3_top_orders" -> Relational.q3TopOrders _,
@@ -77,6 +78,7 @@ object SparkEntry {
     "stream_tumbling_events" -> graft.streaming.StreamingEntry.streamTumblingEvents _,
     "stream_session_events" -> graft.streaming.StreamingEntry.streamSessionEvents _,
     "stream_interval_join_events" -> graft.streaming.StreamingEntry.streamIntervalJoinEvents _,
+    "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
     "tumbling_window" -> EventOps.tumblingWindow _,
     "sliding_window" -> EventOps.slidingWindow _,
     "sessionize" -> EventOps.sessionize _,
@@ -94,6 +96,8 @@ object SparkEntry {
     "dedup_clusters" -> TextOps.dedupClusters _,
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
+    "doc_chunks" -> TextOps.docChunks _,
+    "contamination_check" -> TextOps.contaminationCheck _,
     "text_stats_lang" -> TextOps.textStatsLang _,
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
     "regex_clean_stats" -> TextAnalysisOps.regexCleanStats _,
@@ -207,6 +211,18 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
 
     "csv_roundtrip_events" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(event_id) AS BIGINT) AS min_event,
+        |  CAST(max(event_id) AS BIGINT) AS max_event
+        |FROM e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "orc_roundtrip_events" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
@@ -631,6 +647,13 @@ object SparkEntry {
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin,
 
+    "stream_dedup_events" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |  FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT event_id, ts_us, user_id, event_type, value
+        |FROM e
+        |ORDER BY event_id""".stripMargin,
+
     "stream_interval_join_events" ->
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
         |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM e WHERE event_type = 'purchase'),
@@ -761,6 +784,34 @@ object SparkEntry {
         |FROM (SELECT a, min(b) AS m FROM reach GROUP BY a)
         |GROUP BY m
         |ORDER BY cluster_rep""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest((len(tk) - 1) // 24, 0) + 1),
+        |      i -> struct_pack(chunk_no := i, ch := tk[24 * i + 1 : 24 * i + 32]))) AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(s.chunk_no AS BIGINT) AS chunk_no,
+        |  CAST(len(s.ch) AS BIGINT) AS n_tokens,
+        |  array_to_string(s.ch, ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "contamination_check" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |    WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(0, len(tk) - 7),
+        |      i -> array_to_string(tk[i + 1 : i + 8], ' '))) AS gram
+        |  FROM t),
+        |e AS (SELECT doc_id AS eval_doc, gram FROM g WHERE doc_id % 10 = 7),
+        |tr AS (SELECT doc_id AS train_doc, gram FROM g WHERE doc_id % 10 <> 7)
+        |SELECT eval_doc,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams,
+        |  CAST(count(DISTINCT train_doc) AS BIGINT) AS n_train_docs
+        |FROM e JOIN tr USING (gram)
+        |GROUP BY eval_doc
+        |ORDER BY eval_doc""".stripMargin,
 
     "text_tokens" ->
       """WITH tk AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en')

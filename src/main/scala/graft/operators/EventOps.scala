@@ -61,6 +61,14 @@ object EventOps {
   def csvRoundtripEvents(spark: SparkSession, sfDir: String): DataFrame =
     roundtripEvents(spark, sfDir, "csv")
 
+  /** A+: ORC source/sink round-trip — the columnar-format sibling of the
+    * parquet path (Spark ships the ORC reader/writer natively): typed
+    * binary round-trip, predicate-pushdown-capable scan, same explicit
+    * schema contract as the text formats.
+    */
+  def orcRoundtripEvents(spark: SparkSession, sfDir: String): DataFrame =
+    roundtripEvents(spark, sfDir, "orc")
+
   private def roundtripEvents(spark: SparkSession, sfDir: String, format: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = Materialize.formatPath(spark, s"events_rt_$sfDir", format, sfDir) {
@@ -71,7 +79,11 @@ object EventOps {
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("cents", LongType)))
     val r = spark.read.schema(schema)
-    (if (format == "csv") r.option("header", "true").csv(path) else r.json(path))
+    (format match {
+      case "csv" => r.option("header", "true").csv(path)
+      case "orc" => r.orc(path)
+      case _     => r.json(path)
+    })
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),

@@ -112,6 +112,54 @@ object TextOps {
       .limit(20)
   }
 
+  /** V+: sliding-window document chunking — tokenize → fixed 32-token
+    * windows at stride 24 (8-token overlap), one row per (doc, chunk): the
+    * standard corpus→training-sample step before tokenizer packing. Pure
+    * map-side work (tokenize + transform + posexplode happen inside one
+    * WholeStageCodegen pass, no shuffle except the presentation sort), so
+    * at 100 TB it scales with scan bandwidth.
+    */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, greatest((size(t) - 1) div 24, 0)), i -> slice(t, i * 24 + 1, 32))")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_no"),
+        size(col("col")).cast("long").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
+  /** V+: train/eval contamination check — which held-out docs (doc_id ends
+    * in 7, a deterministic 10% split) share verbatim 8-token grams with the
+    * training split, and how many. The join key is xxhash64(gram) — an
+    * 8-byte key instead of a ~50-byte string — and each side is reduced to
+    * DISTINCT (doc, gram-hash) pairs before the join, so the shuffle
+    * carries hashes, never gram text. At 100 TB this is the standard
+    * decontamination plan: gram-hash both corpora, equi-join, aggregate;
+    * collision probability at 64 bits is negligible against corpus sizes.
+    */
+  def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8), i -> array_join(slice(t, i + 1, 8), ' '))")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .distinct()
+    val evalSide = grams.filter(col("doc_id") % 10 === 7)
+      .withColumnRenamed("doc_id", "eval_doc")
+    val trainSide = grams.filter(col("doc_id") % 10 =!= 7)
+      .withColumnRenamed("doc_id", "train_doc")
+    evalSide.join(trainSide, "g")
+      .groupBy(col("eval_doc"))
+      .agg(
+        countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("train_doc")).as("n_train_docs"))
+      .orderBy(col("eval_doc"))
+  }
+
   /** V: per-language doc count / avg chars / avg tokens. */
   def textStatsLang(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)

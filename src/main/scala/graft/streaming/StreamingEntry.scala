@@ -91,6 +91,37 @@ object StreamingEntry {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** DECLARED streaming-dedup entry: the event firehose is replayed with
+    * duplicates ACROSS micro-batch boundaries — each batch re-sends the
+    * tail of the previous one — and `dropDuplicatesWithinWatermark` must
+    * emit every event exactly once. Replayed rows are near the watermark
+    * front, so they are dropped from dedup STATE (not as late data),
+    * proving the key store carries across batches; genuine events are never
+    * late because the slice is time-ordered by event_id. Output equals the
+    * distinct slice (the oracle). State is O(keys per watermark hour),
+    * GC'd as the watermark advances.
+    */
+  def streamDedupEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    val q = StreamingQueries.dedupStream(withTs(stream.toDF()))
+      .writeStream.format("memory").queryName("graft_stream_dedup")
+      .outputMode("append").start()
+    try {
+      val chunks = slice.grouped(math.max(1, (slice.size + 2) / 3)).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val replay = if (i == 0) Seq.empty else chunks(i - 1).takeRight(500)
+        stream.addData(replay ++ chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    spark.table("graft_stream_dedup")
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** DECLARED stream-stream interval join entry: signups arrive in
     * micro-batch 1, purchases in micro-batch 2 — every match therefore
     * crosses a batch boundary, proving the join buffers the signup side in
