@@ -68,4 +68,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val p = plan(Relational.q1PricingSummary(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("contamination_check: only 8-byte gram hashes ride the exchanges, join stays equi") {
+    val p = plan(graft.operators.TextOps.contaminationCheck(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every shuffle's rows must already be (doc, hash): the ~50-byte gram
+    // string is projected away BEFORE any exchange (the point of hashing
+    // before the distinct+join at corpus scale). An exchange's rows are its
+    // child's output — the tree line right below it must carry no gram#.
+    val lines = p.linesIterator.toVector
+    val shuffles = lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+    assert(shuffles.nonEmpty, p)
+    shuffles.foreach { case (_, i) =>
+      assert(!lines(i + 1).contains("gram#"),
+        s"gram string on exchange:\n${lines.slice(i, i + 2).mkString("\n")}")
+    }
+  }
+
+  test("doc_chunks: map-side only — the sole exchange is the presentation sort") {
+    val p = plan(graft.operators.TextOps.docChunks(spark, sf0001))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+  }
 }
