@@ -77,6 +77,7 @@ object SparkEntry {
     // + the declared streaming entry: a real MemoryStream micro-batch run
     "stream_tumbling_events" -> graft.streaming.StreamingEntry.streamTumblingEvents _,
     "stream_session_events" -> graft.streaming.StreamingEntry.streamSessionEvents _,
+    "stream_sliding_events" -> graft.streaming.StreamingEntry.streamSlidingEvents _,
     "stream_interval_join_events" -> graft.streaming.StreamingEntry.streamIntervalJoinEvents _,
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
     "tumbling_window" -> EventOps.tumblingWindow _,
@@ -106,6 +107,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysisOps.docFingerprint _,
     "multimodal_meta" -> MultimodalOps.multimodalMeta _,
     "media_decode_meta" -> MultimodalOps.mediaDecodeMeta _,
+    "audio_frames_meta" -> MultimodalOps.audioFramesMeta _,
     // W: diversity core (no oracle — property-tested, SURVEY.md §2.2-W)
     "gmm_diverse_k32" -> DiversityOps.gmmDiverseK32 _,
     "diverse_docs_k16" -> DiversityOps.diverseDocsK16 _,
@@ -631,6 +633,18 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
 
+    "stream_sliding_events" ->
+      """WITH e AS (SELECT event_id, ts, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (k * 15) MINUTE) AS ws_us,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(k)
+        |GROUP BY 1, 2
+        |ORDER BY ws_us, event_type""".stripMargin,
+
     "stream_session_events" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events ORDER BY event_id LIMIT 5000),
         |x AS (SELECT user_id, ts_us,
@@ -965,6 +979,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct_content,
         |  min(content_hash) AS min_hash
         |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+
+    // n_frames and PCM byte totals are exact functions of the WAV
+    // generator's frame count; the Spark side re-derives them through the
+    // real container parse + frame-aligned sampling.
+    "audio_frames_meta" ->
+      """SELECT doc_id,
+        |  CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(16 * (100 + doc_id % 200) AS BIGINT) AS pcm_bytes
+        |FROM documents
+        |WHERE doc_id % 3 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // The oracle re-derives the closed-form generator parameters
     // (MultimodalOps.pngDims/pngRed/wavFrames); the Spark side reads them

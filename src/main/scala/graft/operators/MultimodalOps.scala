@@ -271,6 +271,20 @@ object MultimodalOps {
       .orderBy(col("mime"))
   }
 
+  /** V+: per-audio-doc frame-sampling summary over the REAL WAV path —
+    * [[sampleAudioFrames]] parses the container and slices frame-aligned
+    * PCM windows, so n_frames and the summed PCM bytes are exact functions
+    * of the generator's frame count (the oracle's closed form): a wrong
+    * header parse, frame size, or window split would hash-mismatch.
+    */
+  def audioFramesMeta(spark: SparkSession, sfDir: String): DataFrame =
+    frameFeatures(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("frame_bytes")).as("pcm_bytes"))
+      .orderBy(col("doc_id"))
+
   /** V+: the DECLARED encode→decode round-trip — per-doc features read
     * back by the REAL JDK codecs from genuinely-encoded PNG/WAV bytes,
     * oracled against the closed-form generator parameters ([[pngDims]]

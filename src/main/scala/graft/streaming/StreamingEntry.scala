@@ -63,6 +63,32 @@ object StreamingEntry {
       .orderBy(col("ws_us"), col("event_type"))
   }
 
+  /** DECLARED sliding-window entry: same three-micro-batch harness as
+    * [[streamTumblingEvents]], but each event lands in 4 overlapping
+    * 1-hour/15-minute windows — the state store carries ~4× the open
+    * windows of the tumbling case and late chunks must update windows
+    * opened by earlier batches. Oracled against the batch sliding
+    * aggregation over the same slice.
+    */
+  def streamSlidingEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    val q = StreamingQueries.slidingStream(withTs(stream.toDF()))
+      .writeStream.format("memory").queryName("graft_stream_sliding")
+      .outputMode("complete").start()
+    try {
+      slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    spark.table("graft_stream_sliding")
+      .select(col("ws_us"), col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("ws_us"), col("event_type"))
+  }
+
   /** DECLARED session-window entry: the S-op with real state-store
     * mechanics — `session_window` MERGES adjacent windows as new events
     * arrive, so feeding the slice in three micro-batches exercises
