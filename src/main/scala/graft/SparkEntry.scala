@@ -37,6 +37,7 @@ object SparkEntry {
     "asof_join_events" -> EventOps.asofJoinEvents _,
     // D: aggregations
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
+    "sql_interface_q1" -> Relational.sqlInterfaceQ1 _,
     "agg_distinct_users" -> Relational.aggDistinctUsers _,
     "rollup_orders" -> Relational.rollupOrders _,
     "cube_orders" -> Relational.cubeOrders _,
@@ -128,6 +129,21 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "sql_interface_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,

@@ -195,6 +195,30 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** D+: the SQL front door — the q1 pricing summary issued as a
+    * `spark.sql` TEXT query over a registered temp view, proving a
+    * SQL-only user of the library gets the identical result (and plan:
+    * Catalyst compiles both surfaces to the same logical plan) as the
+    * DataFrame builder [[q1PricingSummary]]. Shares q1's oracle shape.
+    */
+  def sqlInterfaceQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem_sql")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM graft_lineitem_sql
+        |WHERE l_shipdate <= CAST('2000-12-01 00:00:00' AS TIMESTAMP_NTZ)
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** C: semi/anti join — customers with vs without orders. */
   def semiAntiCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)

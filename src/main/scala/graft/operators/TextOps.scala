@@ -141,13 +141,19 @@ object TextOps {
     * collision probability at 64 bits is negligible against corpus sizes.
     */
   def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), tokens.as("t"))
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 8), i -> array_join(slice(t, i + 1, 8), ' '))")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
-      .distinct()
+    // The (doc, gram-hash) table is staged once (Materialize): both split
+    // branches then scan the staged file instead of re-running
+    // tokenize→explode→hash per side — at 100 TB that is one corpus read,
+    // not two, the same write-once pattern as the MinHash signature stage.
+    val grams = Materialize.stage(spark, s"contam_grams_$sfDir", sfDir) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), tokens.as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 8), i -> array_join(slice(t, i + 1, 8), ' '))")).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+        .distinct()
+    }
     val evalSide = grams.filter(col("doc_id") % 10 === 7)
       .withColumnRenamed("doc_id", "eval_doc")
     val trainSide = grams.filter(col("doc_id") % 10 =!= 7)
