@@ -100,6 +100,8 @@ object SparkEntry {
     "text_tokens" -> TextOps.textTokens _,
     "doc_chunks" -> TextOps.docChunks _,
     "contamination_check" -> TextOps.contaminationCheck _,
+    "dedup_incremental" -> TextOps.dedupIncremental _,
+    "doc_commonness" -> TextOps.docCommonness _,
     "text_stats_lang" -> TextOps.textStatsLang _,
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
     "regex_clean_stats" -> TextAnalysisOps.regexCleanStats _,
@@ -842,6 +844,27 @@ object SparkEntry {
         |FROM e JOIN tr USING (gram)
         |GROUP BY eval_doc
         |ORDER BY eval_doc""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH inc AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 4),
+        |ex AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+        |surv AS (SELECT doc_id, fp FROM inc WHERE fp NOT IN (SELECT fp FROM ex))
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        |FROM surv
+        |GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_commonness" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+        |counts AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_freq,
+        |  round(avg(cnt), 6) AS mean_freq
+        |FROM t JOIN counts USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """WITH tk AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en')

@@ -166,6 +166,59 @@ object TextOps {
       .orderBy(col("eval_doc"))
   }
 
+  /** V+: INCREMENTAL exact dedup — the nightly-ingest pattern: a 20% slice
+    * of docs (doc_id % 5 = 4) arrives as the "incoming" batch and is
+    * deduplicated against the fingerprint CATALOG of the other 80%
+    * ("already ingested"), then within itself. Only fingerprints cross the
+    * exchanges — the catalog side is (length, xxhash64, md5) ≈ 24 B/row
+    * (staged once, like a production catalog table), the incoming side
+    * anti-joins against it and keeps min-doc_id per fingerprint. At 100 TB
+    * the catalog join is a plain shuffle anti-join on short keys; the
+    * incoming batch is small by construction, so AQE broadcasts it.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    def fp(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      length(col("text")).as("fp_len"),
+      xxhash64(col("text")).as("fp_x"),
+      md5(col("text")).as("fp_m"))
+    val docs = Tables.documents(spark, sfDir)
+    val catalog = Materialize.stage(spark, s"dedup_catalog_$sfDir", sfDir) {
+      fp(docs.filter(col("doc_id") % 5 =!= 4))
+        .select(col("fp_len"), col("fp_x"), col("fp_m")).distinct()
+    }
+    fp(docs.filter(col("doc_id") % 5 === 4))
+      .join(catalog, Seq("fp_len", "fp_x", "fp_m"), "left_anti")
+      .groupBy(col("fp_len"), col("fp_x"), col("fp_m"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** V+: corpus-frequency commonness score — a model-free quality signal:
+    * per doc, the mean corpus frequency of its tokens (high = boilerplate
+    * vocabulary, low = rare/noisy). Exact integer arithmetic end-to-end
+    * (counts and sums of counts), so the score is bit-reproducible across
+    * engines — deliberately NOT log-probability, whose last-ulp libm
+    * differences would break hash matching. Plan: one token-count
+    * aggregate over the corpus (partial+final), then an explode+join on
+    * the token and a per-doc mean; the token-count side is a catalog-style
+    * aggregate that AQE broadcasts when small.
+    */
+  def docCommonness(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    toks.join(counts, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_freq"),
+        round(avg(col("cnt")), 6).as("mean_freq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** V: per-language doc count / avg chars / avg tokens. */
   def textStatsLang(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
