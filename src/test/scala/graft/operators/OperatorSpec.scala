@@ -197,4 +197,18 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(4) <= r.getLong(3))   // chars_clean <= chars_raw
     }
   }
+
+  test("dedup_incremental: survivors are incoming-only, unique, and absent from the catalog") {
+    import org.apache.spark.sql.functions._
+    val survivors = TextOps.dedupIncremental(spark, sf0001).collect().map(_.getLong(0))
+    assert(survivors.nonEmpty)
+    assert(survivors.forall(_ % 5 == 4))                  // incoming split only
+    assert(survivors.distinct.length == survivors.length) // one per fingerprint
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val catalogTexts = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(md5(col("text"))).collect().map(_.getString(0)).toSet
+    val survivorTexts = docs.filter(col("doc_id").isin(survivors.toSeq: _*))
+      .select(md5(col("text"))).collect().map(_.getString(0))
+    assert(survivorTexts.forall(!catalogTexts.contains(_)))
+  }
 }

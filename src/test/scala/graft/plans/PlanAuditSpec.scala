@@ -90,4 +90,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
   }
+
+  test("doc_commonness: vocab counts broadcast back onto the token scan") {
+    // the catalog-style aggregate (small vocab) must be the broadcast side
+    // of the join — never a shuffle of every exploded token row per side
+    val p = plan(graft.operators.TextOps.docCommonness(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_incremental: catalog anti-join is broadcast, equi, fingerprint-keyed") {
+    val p = plan(graft.operators.TextOps.dedupIncremental(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
