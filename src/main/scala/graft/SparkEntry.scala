@@ -81,6 +81,8 @@ object SparkEntry {
     "stream_sliding_events" -> graft.streaming.StreamingEntry.streamSlidingEvents _,
     "stream_interval_join_events" -> graft.streaming.StreamingEntry.streamIntervalJoinEvents _,
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
+    // rows-only: per-key doubling coreset state (diversity op, not SQL-expressible)
+    "stream_coreset_keys" -> graft.streaming.StreamingEntry.streamCoresetKeys _,
     "tumbling_window" -> EventOps.tumblingWindow _,
     "sliding_window" -> EventOps.slidingWindow _,
     "sessionize" -> EventOps.sessionize _,

@@ -148,6 +148,47 @@ object StreamingEntry {
       .orderBy(col("event_id"))
   }
 
+  /** DECLARED stateful-coreset entry (reference operator R6 as a LIVE
+    * streaming query): per-key doubling coresets maintained in
+    * `flatMapGroupsWithState` state across three micro-batches of the
+    * embedding stream; the result is each key's final kernel set. Because
+    * chunks ascend by vec_id and the operator sorts within each batch, the
+    * final kernels equal the sequential batch fold over the whole slice
+    * (asserted in StatefulCoresetSpec) — while state never exceeds O(m)
+    * kernels per key at any stream length. Rows-only (diversity op, not
+    * SQL-expressible), deterministic by the §7.3.4 protocol.
+    */
+  def streamCoresetKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(1024)
+      .as[(Long, Array[Float])]
+      .collect().toSeq
+      .map { case (id, v) => StatefulCoreset.VecEvent((id % 4).toInt, id, v) }
+
+    val stream = MemoryStream[StatefulCoreset.VecEvent](spark)
+    val q = StatefulCoreset.kernels(stream.toDS(), m = 16)
+      .writeStream.format("memory").queryName("graft_stream_coreset")
+      .outputMode("update").start()
+    try {
+      pts.grouped(math.max(1, (pts.size + 2) / 3)).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // final snapshot per key = the emission with that key's max `consumed`
+    // (window, not a self-join: the memory-sink view cannot be self-joined
+    // without conflicting attribute references)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    spark.table("graft_stream_coreset")
+      .withColumn("max_c", max(col("consumed")).over(w))
+      .filter(col("consumed") === col("max_c"))
+      .select(col("key"), col("vec_id"), col("weight"))
+      .orderBy(col("key"), col("vec_id"))
+  }
+
   /** DECLARED stream-stream interval join entry: signups arrive in
     * micro-batch 1, purchases in micro-batch 2 — every match therefore
     * crosses a batch boundary, proving the join buffers the signup side in
