@@ -64,15 +64,14 @@ object Bench {
     // green line. `once` returns Left(error) on exception; a pass records a
     // time only on success, and a query that failed EVERY pass is omitted
     // from `queries`/total and reported under a top-level "errors" object.
+    def errStr(e: Throwable): String =
+      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-      }
+      } catch { case e: Throwable => Left(errStr(e)) }
     }
     val ordered = SparkEntry.queries.toSeq
     val best = collection.mutable.Map.empty[String, Double]
@@ -86,11 +85,11 @@ object Bench {
       val t0 = System.nanoTime()
       record("stage_minhash",
         try { graft.operators.TextOps.stageDedupInputs(spark, sfDir); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") })
+        catch { case e: Throwable => Left(errStr(e)) })
       val t1 = System.nanoTime()
       record("stage_bucketed",
         try { graft.operators.Relational.stageBucketedTables(spark, sfDir); Right((System.nanoTime() - t1) / 1e9) }
-        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") })
+        catch { case e: Throwable => Left(errStr(e)) })
       for ((name, fn) <- ordered) {
         spark.catalog.clearCache()
         record(name, once(fn))
@@ -98,7 +97,18 @@ object Bench {
     }
     val results = (ordered.map(_._1) ++ Seq("stage_minhash", "stage_bucketed"))
       .flatMap(name => best.get(name).map(name -> _)).toMap
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape ALL control chars too: exception messages routinely contain
+    // newlines (ParseException prints the SQL), which would otherwise break
+    // the one-line metric JSON and lose every successful timing with it
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val failed = errs.keySet.diff(best.keySet)

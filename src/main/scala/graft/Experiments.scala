@@ -49,11 +49,11 @@ object Experiments {
       if (pts.size <= DiversityOps.HeuristicBudget) pts
       else Gmm.select(pts, DiversityOps.HeuristicBudget))
     println(f"%nheuristic pool A/B at k=32 (union=${pts.size}, budget=${bounded.size}, re-coreset ${tBound}%.3fs):")
-    for ((name, full, bound) <- Seq[(String, Seq[Pt] => IndexedSeq[Pt], Seq[Pt] => IndexedSeq[Pt])](
-        ("local-search", Heuristics.localSearch(_, 32), Heuristics.localSearch(_, 32)),
-        ("matching", Heuristics.matching(_, 32), Heuristics.matching(_, 32)))) {
-      val (fSel, tF) = timed(full(pts))
-      val (bSel, tB) = timed(bound(bounded))
+    for ((name, heuristic) <- Seq[(String, Seq[Pt] => IndexedSeq[Pt])](
+        ("local-search", Heuristics.localSearch(_, 32)),
+        ("matching", Heuristics.matching(_, 32)))) {
+      val (fSel, tF) = timed(heuristic(pts))
+      val (bSel, tB) = timed(heuristic(bounded))
       println(f"  $name%-12s full=${tF}%7.3fs clique=${Diversity.remoteClique(fSel)}%10.2f | " +
         f"bounded=${tB}%7.3fs clique=${Diversity.remoteClique(bSel)}%10.2f")
     }

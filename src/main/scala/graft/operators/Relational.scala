@@ -157,18 +157,6 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** C+: fact-fact join with NO shuffle — both sides written ONCE as
-    * parquet tables bucketed (and per-file sorted) on the join key via
-    * [[graft.sources.Materialize.bucketedTable]], then sort-merge-joined.
-    * Co-bucketed layout means each task reads bucket i of both tables and
-    * joins locally: zero Exchange under the join (asserted in
-    * PlanAuditSpec). This is THE layout move for a repeated 100 TB
-    * fact-fact join — pay one bucketed write, then every subsequent join
-    * is shuffle-free. `hint("merge")` pins SMJ: a broadcast would ignore
-    * the bucketing (and is exactly what we don't want to demonstrate);
-    * bucket count is a property of the written layout, sized to the table
-    * at scale, not to session parallelism.
-    */
   /** Force the co-bucketed table writes behind [[bucketedJoinOrders]]
     * (memoized per session + fixture content). Bench times this as its own
     * `stage_bucketed` line — the one-time layout job a production table
@@ -184,6 +172,18 @@ object Relational {
     (liT, ordT)
   }
 
+  /** C+: fact-fact join with NO shuffle — both sides written ONCE as
+    * parquet tables bucketed (and per-file sorted) on the join key via
+    * [[graft.sources.Materialize.bucketedTable]], then sort-merge-joined.
+    * Co-bucketed layout means each task reads bucket i of both tables and
+    * joins locally: zero Exchange under the join (asserted in
+    * PlanAuditSpec). This is THE layout move for a repeated 100 TB
+    * fact-fact join — pay one bucketed write, then every subsequent join
+    * is shuffle-free. `hint("merge")` pins SMJ: a broadcast would ignore
+    * the bucketing (and is exactly what we don't want to demonstrate);
+    * bucket count is a property of the written layout, sized to the table
+    * at scale, not to session parallelism.
+    */
   def bucketedJoinOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val (liT, ordT) = stageBucketedTables(spark, sfDir)
     spark.table(liT).hint("merge")

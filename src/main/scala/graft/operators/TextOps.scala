@@ -172,9 +172,13 @@ object TextOps {
     * ("already ingested"), then within itself. Only fingerprints cross the
     * exchanges — the catalog side is (length, xxhash64, md5) ≈ 24 B/row
     * (staged once, like a production catalog table), the incoming side
-    * anti-joins against it and keeps min-doc_id per fingerprint. At 100 TB
-    * the catalog join is a plain shuffle anti-join on short keys; the
-    * incoming batch is small by construction, so AQE broadcasts it.
+    * anti-joins against it and keeps min-doc_id per fingerprint. The
+    * catalog broadcasts while it fits the executors (the plan here); once
+    * it outgrows that — a LEFT ANTI can only build on the catalog side, so
+    * the incoming batch can never be the broadcast side — the plan becomes
+    * a shuffle anti-join on the 24-byte keys: both sides exchange only
+    * fingerprints, so even a full-catalog shuffle moves GB-scale data per
+    * 100 TB of corpus.
     */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     def fp(df: DataFrame): DataFrame = df.select(

@@ -118,14 +118,17 @@ object StreamingEntry {
   }
 
   /** DECLARED streaming-dedup entry: the event firehose is replayed with
-    * duplicates ACROSS micro-batch boundaries — each batch re-sends the
-    * tail of the previous one — and `dropDuplicatesWithinWatermark` must
-    * emit every event exactly once. Replayed rows are near the watermark
-    * front, so they are dropped from dedup STATE (not as late data),
-    * proving the key store carries across batches; genuine events are never
-    * late because the slice is time-ordered by event_id. Output equals the
-    * distinct slice (the oracle). State is O(keys per watermark hour),
-    * GC'd as the watermark advances.
+    * duplicates ACROSS micro-batch boundaries and
+    * `dropDuplicatesWithinWatermark` must emit every event exactly once.
+    * Each batch re-sends two kinds of duplicate from the previous chunk,
+    * exercising BOTH drop mechanisms: rows within the 1-hour watermark
+    * delay of that chunk's maximum event time are still in the KEYED STATE
+    * STORE and are dropped as in-state duplicates (proving state carries
+    * across batches); the chunk's oldest rows sit far behind the watermark
+    * and are dropped by the late-data filter instead. Genuine events are
+    * never late because the slice is time-ordered by event_id. Output
+    * equals the distinct slice (the oracle). State is O(keys per watermark
+    * hour), GC'd as the watermark advances.
     */
   def streamDedupEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -135,9 +138,15 @@ object StreamingEntry {
       .writeStream.format("memory").queryName("graft_stream_dedup")
       .outputMode("append").start()
     try {
+      val hourUs = 3600L * 1000000L
       val chunks = slice.grouped(math.max(1, (slice.size + 2) / 3)).toSeq
       chunks.zipWithIndex.foreach { case (chunk, i) =>
-        val replay = if (i == 0) Seq.empty else chunks(i - 1).takeRight(500)
+        val replay = if (i == 0) Seq.empty
+        else {
+          val prev = chunks(i - 1)
+          val front = prev.map(_.ts_us).max - hourUs
+          prev.filter(_.ts_us >= front).take(500) ++ prev.take(50)
+        }
         stream.addData(replay ++ chunk)
         q.processAllAvailable()
       }

@@ -80,7 +80,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val shuffles = lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
     assert(shuffles.nonEmpty, p)
     shuffles.foreach { case (_, i) =>
-      assert(!lines(i + 1).contains("gram#"),
+      assert(!lines.lift(i + 1).exists(_.contains("gram#")),
         s"gram string on exchange:\n${lines.slice(i, i + 2).mkString("\n")}")
     }
   }
