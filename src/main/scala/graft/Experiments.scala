@@ -57,6 +57,18 @@ object Experiments {
       println(f"  $name%-12s full=${tF}%7.3fs clique=${Diversity.remoteClique(fSel)}%10.2f | " +
         f"bounded=${tB}%7.3fs clique=${Diversity.remoteClique(bSel)}%10.2f")
     }
+    // ANN quality: recall@5 of the two IVF variants against the exact
+    // cosine top-k at this SF — the approximation-vs-speed trade the scale
+    // path rests on (EXPERIMENTS.md "ANN recall").
+    val exact = graft.operators.VectorOps.cosTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    for ((name, df) <- Seq(
+        "ivf_sign_lsh" -> graft.operators.VectorOps.cosTopkIvf(spark, sfDir),
+        "ivf_kmeans" -> graft.operators.VectorOps.cosTopkIvfKmeans(spark, sfDir))) {
+      val rows = df.collect()
+      val hits = rows.count(r => exact.contains((r.getLong(0), r.getLong(2))))
+      println(f"ann $name%-12s recall@5=${hits.toDouble / rows.length}%.3f over ${rows.length} results")
+    }
     spark.stop()
   }
 }
