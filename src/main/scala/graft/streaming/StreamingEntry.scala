@@ -44,19 +44,42 @@ object StreamingEntry {
   private def withTs(df: DataFrame): DataFrame =
     df.withColumn("ts_utc", timestamp_micros(col("ts_us")))
 
+  /** Pin a small streaming-state partition count for the harness entries.
+    *
+    * Every stateful operator materializes one state store per shuffle
+    * partition per micro-batch — a stream-stream join materializes FOUR
+    * (left/right × keyToNumValues/keyWithIndexToValue) — each with
+    * HDFS-backed checkpoint file I/O. At the bench session's 32 shuffle
+    * partitions that is 128 store snapshots per micro-batch for a
+    * 5,000-row slice: pure harness overhead, not operator cost. Streaming
+    * state partitioning is captured from the session conf when the query
+    * STARTS and then pinned in the checkpoint for the query's lifetime,
+    * so setting it around `start()` and restoring afterwards is safe —
+    * and scale-neutral: a production job over real volume starts under
+    * the cluster-sized default and gets wide state automatically.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def streamTumblingEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val slice = eventSlice(spark, sfDir)
     val stream = MemoryStream[StreamEvent](spark)
-    val q = StreamingQueries.tumblingStream(withTs(stream.toDF()))
-      .writeStream.format("memory").queryName("graft_stream_entry")
-      .outputMode("complete").start()
-    try {
-      slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
-        stream.addData(chunk)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.tumblingStream(withTs(stream.toDF()))
+        .writeStream.format("memory").queryName("graft_stream_entry")
+        .outputMode("complete").start()
+      try {
+        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
 
     spark.table("graft_stream_entry")
       .select(col("ws_us"), col("event_type"), col("n"), col("sum_cents"))
@@ -74,15 +97,17 @@ object StreamingEntry {
     import spark.implicits._
     val slice = eventSlice(spark, sfDir)
     val stream = MemoryStream[StreamEvent](spark)
-    val q = StreamingQueries.slidingStream(withTs(stream.toDF()))
-      .writeStream.format("memory").queryName("graft_stream_sliding")
-      .outputMode("complete").start()
-    try {
-      slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
-        stream.addData(chunk)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.slidingStream(withTs(stream.toDF()))
+        .writeStream.format("memory").queryName("graft_stream_sliding")
+        .outputMode("complete").start()
+      try {
+        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
 
     spark.table("graft_stream_sliding")
       .select(col("ws_us"), col("event_type"), col("n"), col("sum_cents"))
@@ -102,15 +127,17 @@ object StreamingEntry {
     import spark.implicits._
     val slice = eventSlice(spark, sfDir)
     val stream = MemoryStream[StreamEvent](spark)
-    val q = StreamingQueries.sessionStream(withTs(stream.toDF()))
-      .writeStream.format("memory").queryName("graft_stream_session")
-      .outputMode("complete").start()
-    try {
-      slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
-        stream.addData(chunk)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.sessionStream(withTs(stream.toDF()))
+        .writeStream.format("memory").queryName("graft_stream_session")
+        .outputMode("complete").start()
+      try {
+        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
 
     spark.table("graft_stream_session")
       .select(col("user_id"), col("session_start_us"), col("n_events"))
@@ -134,23 +161,25 @@ object StreamingEntry {
     import spark.implicits._
     val slice = eventSlice(spark, sfDir)
     val stream = MemoryStream[StreamEvent](spark)
-    val q = StreamingQueries.dedupStream(withTs(stream.toDF()))
-      .writeStream.format("memory").queryName("graft_stream_dedup")
-      .outputMode("append").start()
-    try {
-      val hourUs = 3600L * 1000000L
-      val chunks = slice.grouped(math.max(1, (slice.size + 2) / 3)).toSeq
-      chunks.zipWithIndex.foreach { case (chunk, i) =>
-        val replay = if (i == 0) Seq.empty
-        else {
-          val prev = chunks(i - 1)
-          val front = prev.map(_.ts_us).max - hourUs
-          prev.filter(_.ts_us >= front).take(500) ++ prev.take(50)
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.dedupStream(withTs(stream.toDF()))
+        .writeStream.format("memory").queryName("graft_stream_dedup")
+        .outputMode("append").start()
+      try {
+        val hourUs = 3600L * 1000000L
+        val chunks = slice.grouped(math.max(1, (slice.size + 2) / 3)).toSeq
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          val replay = if (i == 0) Seq.empty
+          else {
+            val prev = chunks(i - 1)
+            val front = prev.map(_.ts_us).max - hourUs
+            prev.filter(_.ts_us >= front).take(500) ++ prev.take(50)
+          }
+          stream.addData(replay ++ chunk)
+          q.processAllAvailable()
         }
-        stream.addData(replay ++ chunk)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      } finally q.stop()
+    }
 
     spark.table("graft_stream_dedup")
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
@@ -177,15 +206,17 @@ object StreamingEntry {
       .map { case (id, v) => StatefulCoreset.VecEvent((id % 4).toInt, id, v) }
 
     val stream = MemoryStream[StatefulCoreset.VecEvent](spark)
-    val q = StatefulCoreset.kernels(stream.toDS(), m = 16)
-      .writeStream.format("memory").queryName("graft_stream_coreset")
-      .outputMode("update").start()
-    try {
-      pts.grouped(math.max(1, (pts.size + 2) / 3)).foreach { chunk =>
-        stream.addData(chunk)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withStatePartitions(spark, 4) {
+      val q = StatefulCoreset.kernels(stream.toDS(), m = 16)
+        .writeStream.format("memory").queryName("graft_stream_coreset")
+        .outputMode("update").start()
+      try {
+        pts.grouped(math.max(1, (pts.size + 2) / 3)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
 
     // final snapshot per key = the emission with that key's max `consumed`
     // (window, not a self-join: the memory-sink view cannot be self-joined
@@ -214,16 +245,18 @@ object StreamingEntry {
     val slice = eventSlice(spark, sfDir)
     val pStream = MemoryStream[StreamEvent](spark)
     val sStream = MemoryStream[StreamEvent](spark)
-    val q = StreamingQueries.purchaseSignupStream(
-        withTs(pStream.toDF()), withTs(sStream.toDF()))
-      .writeStream.format("memory").queryName("graft_stream_ssj")
-      .outputMode("append").start()
-    try {
-      sStream.addData(slice.filter(_.event_type == "signup"))
-      q.processAllAvailable()
-      pStream.addData(slice.filter(_.event_type == "purchase"))
-      q.processAllAvailable()
-    } finally q.stop()
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.purchaseSignupStream(
+          withTs(pStream.toDF()), withTs(sStream.toDF()))
+        .writeStream.format("memory").queryName("graft_stream_ssj")
+        .outputMode("append").start()
+      try {
+        sStream.addData(slice.filter(_.event_type == "signup"))
+        q.processAllAvailable()
+        pStream.addData(slice.filter(_.event_type == "purchase"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
 
     spark.table("graft_stream_ssj")
       .select(col("p_id"), col("s_id"), col("user_id"))
