@@ -115,7 +115,18 @@ object Bench {
     val errJson = failed.toSeq.sorted.map(k => jstr(k) + ":" + jstr(errs(k)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // n_queries makes a silently-omitted erroring query visible in the
+    // metric line itself: a total over fewer queries than last round can't
+    // masquerade as a speedup (driver ADVICE r6).
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+        s""""incomplete":${failed.nonEmpty},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout with a bounded tail that has truncated
+    // ~17 per-query timings per round; the full line committed as a repo
+    // artifact keeps every timing comparable across rounds.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
     spark.stop()
   }
 }

@@ -66,6 +66,9 @@ object Experiments {
         "ivf_sign_lsh" -> graft.operators.VectorOps.cosTopkIvf(spark, sfDir),
         "ivf_kmeans" -> graft.operators.VectorOps.cosTopkIvfKmeans(spark, sfDir))) {
       val rows = df.collect()
+      // fail loudly on an empty variant: NaN recall over 0 results could be
+      // transcribed into EXPERIMENTS.md as a silent non-measurement
+      require(rows.nonEmpty, s"ann $name returned 0 rows — recall undefined")
       val hits = rows.count(r => exact.contains((r.getLong(0), r.getLong(2))))
       println(f"ann $name%-12s recall@5=${hits.toDouble / rows.length}%.3f over ${rows.length} results")
     }

@@ -81,6 +81,7 @@ object SparkEntry {
     "stream_sliding_events" -> graft.streaming.StreamingEntry.streamSlidingEvents _,
     "stream_interval_join_events" -> graft.streaming.StreamingEntry.streamIntervalJoinEvents _,
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
+    "stream_append_finalized" -> graft.streaming.StreamingEntry.streamAppendFinalized _,
     // rows-only: per-key doubling coreset state (diversity op, not SQL-expressible)
     "stream_coreset_keys" -> graft.streaming.StreamingEntry.streamCoresetKeys _,
     "tumbling_window" -> EventOps.tumblingWindow _,
@@ -92,6 +93,7 @@ object SparkEntry {
     // rows-only: quantizer is learned (GMM over the coreset), not SQL-expressible
     "cos_topk_ivf_kmeans" -> VectorOps.cosTopkIvfKmeans _,
     "knn_label_vote" -> VectorOps.knnLabelVote _,
+    "vector_source_scan" -> VectorOps.vectorSourceScan _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
     "dedup_docs_exact" -> TextOps.dedupDocsExact _,
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
@@ -112,6 +114,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysisOps.docFingerprint _,
     "multimodal_meta" -> MultimodalOps.multimodalMeta _,
     "media_decode_meta" -> MultimodalOps.mediaDecodeMeta _,
+    "image_resize_dims" -> MultimodalOps.imageResizeDims _,
     "audio_frames_meta" -> MultimodalOps.audioFramesMeta _,
     // W: diversity core (no oracle — property-tested, SURVEY.md §2.2-W)
     "gmm_diverse_k32" -> DiversityOps.gmmDiverseK32 _,
@@ -688,6 +691,21 @@ object SparkEntry {
         |FROM e
         |ORDER BY event_id""".stripMargin,
 
+    // Append-mode finalization: only windows whose end the final watermark
+    // (max event time − 1 h) has passed are ever emitted — the oracle is
+    // the batch tumbling aggregate restricted to that finalized set.
+    "stream_append_finalized" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |m AS (SELECT max(ts) AS mx FROM e),
+        |a AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wb, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT epoch_us(wb) AS ws_us, event_type, n, sum_cents
+        |FROM a, m
+        |WHERE wb + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        |ORDER BY ws_us, event_type""".stripMargin,
+
     "stream_interval_join_events" ->
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
         |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM e WHERE event_type = 'purchase'),
@@ -1009,6 +1027,27 @@ object SparkEntry {
         |FROM r WHERE rnk <= 5
         |ORDER BY q_id, "rank"""".stripMargin,
 
+    // The `graft-vectors` DSv2 source derives labels from
+    // splitmix64(seed ^ vec_id) (VectorSource.labelFor); the oracle
+    // recomputes that kernel closed-form: 64-bit wrap-around multiplies as
+    // 32-bit limbs in HUGEINT (a full 64×64 product overflows INT128), the
+    // xor-shift mixing on UBIGINT, and Java's floorMod via the signed
+    // reinterpretation. No table input — the source is synthetic, so the
+    // oracle is pure generate_series over the same pushed-down id range.
+    "vector_source_scan" ->
+      """WITH ids AS (SELECT unnest(generate_series(1000, 1499)) AS id),
+        |s0 AS (SELECT id, CAST(xor(CAST(42 AS BIGINT), id) AS UBIGINT) AS x FROM ids),
+        |s1 AS (SELECT id, CAST((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM s0),
+        |s1x AS (SELECT id, xor(z, z >> 30) AS z FROM s1),
+        |s2 AS (SELECT id, CAST(((CAST(z & 4294967295 AS HUGEINT) * 484763065) + (((CAST(z & 4294967295 AS HUGEINT) * 3210233709 + CAST(z >> 32 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM s1x),
+        |s2x AS (SELECT id, xor(z, z >> 27) AS z FROM s2),
+        |s3 AS (SELECT id, CAST(((CAST(z & 4294967295 AS HUGEINT) * 321982955) + (((CAST(z & 4294967295 AS HUGEINT) * 2496678331 + CAST(z >> 32 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
+        |s4 AS (SELECT id, xor(z, z >> 31) AS h FROM s3),
+        |s5 AS (SELECT id, CASE WHEN h >= 9223372036854775808 THEN CAST(h AS HUGEINT) - 18446744073709551616 ELSE CAST(h AS HUGEINT) END AS sgn FROM s4)
+        |SELECT id AS vec_id, CAST(((sgn % 10) + 10) % 10 AS INTEGER) AS label
+        |FROM s5
+        |ORDER BY vec_id""".stripMargin,
+
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -1020,6 +1059,26 @@ object SparkEntry {
         |  CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct_content,
         |  min(content_hash) AS min_hash
         |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+
+    // Closed-form scaled dims: the Spark side really encodes, resizes, and
+    // re-decodes PNGs (MultimodalOps.imageResizeDims); the oracle
+    // recomputes scale = min(1, 12/w, 12/h) and floor(dim * scale) with
+    // the same IEEE double operations, and r_mean is exact because
+    // bilinear interpolation of a constant-fill image is the constant.
+    "image_resize_dims" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS DOUBLE) AS w,
+        |    CAST(8 + doc_id % 12 AS DOUBLE) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (SELECT doc_id, w, h, LEAST(1.0, LEAST(12.0 / w, 12.0 / h)) AS sc FROM m)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS src_w,
+        |  CAST(h AS BIGINT) AS src_h,
+        |  CAST(GREATEST(1.0, floor(w * sc)) AS BIGINT) AS out_w,
+        |  CAST(GREATEST(1.0, floor(h * sc)) AS BIGINT) AS out_h,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS r_mean
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
 
     // n_frames and PCM byte totals are exact functions of the WAV
     // generator's frame count; the Spark side re-derives them through the

@@ -285,6 +285,35 @@ object MultimodalOps {
         sum(col("frame_bytes")).as("pcm_bytes"))
       .orderBy(col("doc_id"))
 
+  /** V+: the DECLARED image-resize round-trip — encode (real PNG via
+    * [[rawMedia]]) → [[resizeImage]] into a 12×12 bounding box (bilinear,
+    * aspect-preserving, never upscaling) → decode the RESIZED bytes back
+    * through the real codec. Output dims come from re-decoding the resized
+    * PNG, so both codec directions AND the scale arithmetic sit on the
+    * hash: the oracle recomputes the closed-form scaled dimensions
+    * (floor(dim × min(1, 12/w, 12/h)), identical IEEE double ops on both
+    * engines), and r_mean survives the resize exactly because bilinear
+    * interpolation of a constant-fill image is the constant. Per-partition
+    * executor work; only (id, dims, mean) leave the partition — the
+    * resized bytes never shuffle.
+    */
+  def imageResizeDims(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rawMedia(spark, sfDir)
+      .filter(col("mime") === "image/png")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, _, bytes) =>
+          val (sw, sh, _) = decodeImage(bytes)
+          val (resized, _, _) = resizeImage(bytes, 12, 12)
+          val (ow, oh, rMean) = decodeImage(resized)
+          (id, sw.toLong, sh.toLong, ow.toLong, oh.toLong, rMean)
+        }
+      }
+      .toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "r_mean")
+      .orderBy(col("doc_id"))
+  }
+
   /** V+: the DECLARED encode→decode round-trip — per-doc features read
     * back by the REAL JDK codecs from genuinely-encoded PNG/WAV bytes,
     * oracled against the closed-form generator parameters ([[pngDims]]

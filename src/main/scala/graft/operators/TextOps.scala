@@ -206,15 +206,20 @@ object TextOps {
     * engines — deliberately NOT log-probability, whose last-ulp libm
     * differences would break hash matching. Plan: one token-count
     * aggregate over the corpus (partial+final), then an explode+join on
-    * the token and a per-doc mean; the token-count side is a catalog-style
-    * aggregate that AQE broadcasts when small.
+    * xxhash64(token) — an 8-byte key instead of the raw (skew-prone)
+    * token string, the same pre-hash as [[contaminationCheck]], so token
+    * text never rides an exchange — and a per-doc mean; the token-count
+    * side is a catalog-style aggregate that AQE broadcasts when small.
+    * (Counts keyed by hash equal counts keyed by token up to 64-bit
+    * collisions — negligible against any real vocabulary size.)
     */
   def docCommonness(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens).as("tok"))
       .filter(length(col("tok")) > 0)
-    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    toks.join(counts, "tok")
+      .select(col("doc_id"), xxhash64(col("tok")).as("tk"))
+    val counts = toks.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+    toks.join(counts, "tk")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),

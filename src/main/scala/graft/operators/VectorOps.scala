@@ -146,6 +146,26 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** V/R8: the DECLARED read through the `graft-vectors` DataSource V2
+    * table ([[graft.sources.VectorSource]]) — a 10-million-row synthetic
+    * vector table scanned with a vec_id range predicate and an id/label
+    * projection. Both V2 pushdowns are load-bearing here and plan-asserted
+    * in PlanAuditSpec: the range filter clamps the generated id span at
+    * PLANNING time (500 rows materialize, not 10⁷), and column pruning
+    * drops `embedding`, so no gaussian vector is ever generated. The
+    * oracle recomputes the source's splitmix64 label kernel closed-form in
+    * SQL, so a wrong hash step, signed-mod, or range bound hash-mismatches.
+    * `sfDir` is unused: the source is parameter-deterministic, the same
+    * table at every SF.
+    */
+  def vectorSourceScan(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft-vectors")
+      .option("n", 10000000).option("dim", 32).option("seed", 42).option("partitions", 8)
+      .load()
+      .filter(col("vec_id") >= 1000 && col("vec_id") < 1500)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
   /** V: 10-NN majority label vote per query vector (ties → smallest label). */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {
     val wNn = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))

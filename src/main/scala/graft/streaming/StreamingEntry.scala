@@ -186,6 +186,50 @@ object StreamingEntry {
       .orderBy(col("event_id"))
   }
 
+  /** DECLARED append-mode watermark-finalization entry: the PRODUCTION
+    * emission semantics for windowed aggregates — each tumbling window is
+    * emitted EXACTLY ONCE, only when the watermark passes its end, instead
+    * of the complete-mode re-emission of every open window per batch. The
+    * three-chunk feed advances the watermark hours at a time, so windows
+    * finalize mid-stream (asserted in StreamingParitySpec); the sink holds
+    * each finalized window once, and windows still open at the end (those
+    * ending within 1 h of the slice's max event time) are NEVER emitted —
+    * the oracle is the batch tumbling aggregate restricted to exactly that
+    * finalized set. At 100 TB this is the mode that makes a downstream
+    * consumer incremental: O(closed windows) appended rows, not O(open
+    * state) rewritten per trigger (SCALING.md "append vs complete").
+    */
+  def streamAppendFinalized(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.tumblingStream(withTs(stream.toDF()))
+        .writeStream.format("memory").queryName("graft_stream_append")
+        .outputMode("append").start()
+      try {
+        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+        // One more DATA batch re-sending the already-seen max-ts event: it
+        // runs under the watermark computed after chunk 3, deterministically
+        // forcing the final emission pass (processAllAvailable alone can
+        // return before the watermark-advance no-data batch commits). The
+        // replayed row only increments the slice's LAST window — which ends
+        // after the final watermark and is never emitted — so the appended
+        // result is unaffected, and the watermark cannot move (the max is
+        // unchanged).
+        stream.addData(Seq(slice.last))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    spark.table("graft_stream_append")
+      .select(col("ws_us"), col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("ws_us"), col("event_type"))
+  }
+
   /** DECLARED stateful-coreset entry (reference operator R6 as a LIVE
     * streaming query): per-key doubling coresets maintained in
     * `flatMapGroupsWithState` state across three micro-batches of the

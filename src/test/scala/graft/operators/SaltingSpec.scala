@@ -8,8 +8,9 @@ import graft.sources.Tables
 class SaltingSpec extends AnyFunSuite with SparkTestBase {
 
   test("saltedJoin result == plain join result on a genuinely skewed (zipf) key distribution") {
-    // zipfKeyed's head key draws ~18% of all rows — the distribution the
-    // salt trick exists for (EXPERIMENTS.md "skew mitigation")
+    // zipfKeyed's head key draws ~32% of all rows at keys=100, alpha=4
+    // (head share ≈ (1/keys)^(1/alpha)) — the distribution the salt trick
+    // exists for (EXPERIMENTS.md "skew mitigation")
     // integer micro-units: double summation order differs between the two
     // plans, so only an exact integer measure can be compared for equality
     val fact = graft.sources.Generators.zipfKeyed(spark, 50000, 100, 4.0)

@@ -97,6 +97,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val p = plan(graft.operators.TextOps.docCommonness(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // and the join key is the 8-byte xxhash64 pre-hash, not the raw token
+    // string — an exchange/broadcast carrying tok# would ship token text
+    assert(!p.linesIterator.exists(l =>
+      (l.contains("Exchange") || l.contains("BroadcastExchange")) && l.contains("tok#")), p)
+  }
+
+  test("vector_source_scan: vec_id range pushed into the DSv2 scan, embedding pruned") {
+    val df = graft.operators.VectorOps.vectorSourceScan(spark, sf0001)
+    // range pushdown: the scan plans only [1000, 1500) of the 10⁷-row id
+    // space (Scan.description surfaces in formatted explain)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("IdRange: [1000, 1500)"), fmt)
+    // column pruning: an id/label projection must never mention embedding
+    // anywhere in the executed plan — no gaussian generation per row
+    val p = plan(df)
+    assert(!p.contains("embedding"), p)
+    assert(p.contains("Filter"), p) // residual re-check keeps semantics
   }
 
   test("dedup_incremental: catalog anti-join is broadcast, equi, fingerprint-keyed") {

@@ -127,6 +127,74 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("session_window gap-tie: event at exactly prev+gap MERGES (matches the > gap oracle)") {
+    // Pins the boundary convention (driver ADVICE r5/r6): MEASURED on
+    // Spark 4.1, an event at exactly prev+gap is merged into the SAME
+    // session — session_window treats the touching windows [prev,
+    // prev+gap) and [prev+gap, prev+2gap) as overlapping for merge
+    // purposes. That is exactly the lag+cumsum convention the
+    // `stream_session_events` oracle uses (`diff > gap` starts a new
+    // session, so == gap stays in-session), and the same `> gap` used by
+    // the batch `sessionize` pair — all four sides agree, so a fixture
+    // regeneration with coarser (tie-producing) timestamps cannot flip
+    // the driver compare. If a Spark upgrade ever changes the tie rule,
+    // this test fails before the oracle does.
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
+    val gapUs = 1800L * 1000000L
+    val df = Seq(
+      (1L, base), (1L, base + gapUs),      // exactly the gap apart → merged
+      (2L, base), (2L, base + gapUs + 1L)  // 1 µs beyond the gap → 2 sessions
+    ).toDF("user_id", "ts_us").withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val sessions = df
+      .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sessions == Map(1L -> 1L, 2L -> 2L), sessions.toString)
+  }
+
+  test("append-mode finalization: windows emit exactly once, mid-stream, = batch agg on the finalized set") {
+    import spark.implicits._
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id")).limit(5000).as[Ev].collect().toSeq
+    val stream = MemoryStream[Ev](spark)
+    val q = StreamingQueries.tumblingStream(
+        stream.toDF().withColumn("ts_utc", timestamp_micros(col("ts_us"))))
+      .writeStream.format("memory").queryName("graft_append_final")
+      .outputMode("append").start()
+    val sinkCounts = collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+        sinkCounts += spark.table("graft_append_final").count()
+      }
+      stream.addData(Seq(slice.last)) // deterministic finalization pass
+      q.processAllAvailable()
+      sinkCounts += spark.table("graft_append_final").count()
+    } finally q.stop()
+    // windows finalize MID-stream (some emission before the last batch)
+    // and the sink only ever grows (append = emit-once, no rewrites)
+    assert(sinkCounts.init.exists(_ > 0L), sinkCounts.toString)
+    assert(sinkCounts.zip(sinkCounts.tail).forall { case (a, b) => a <= b }, sinkCounts.toString)
+    val emitted = spark.sql(
+        "SELECT ws_us, event_type, n, sum_cents FROM graft_append_final ORDER BY ws_us, event_type")
+      .collect().toSeq
+    // exactly once: no window key appears twice
+    assert(emitted.map(r => (r.getLong(0), r.getString(1))).distinct.size == emitted.size)
+    // final content = batch tumbling agg restricted to finalized windows
+    // (window end <= max event time - 1 h watermark)
+    val mx = slice.map(_.ts_us).max
+    val hourUs = 3600L * 1000000L
+    val batch = StreamingQueries.tumblingAgg(
+        graft.sources.Tables.events(spark, sf0001).orderBy(col("event_id")).limit(5000))
+      .filter(col("ws_us") + hourUs <= mx - hourUs)
+      .orderBy(col("ws_us"), col("event_type")).collect().toSeq
+    assert(emitted.nonEmpty && emitted == batch)
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
