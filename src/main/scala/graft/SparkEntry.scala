@@ -82,6 +82,7 @@ object SparkEntry {
     "stream_interval_join_events" -> graft.streaming.StreamingEntry.streamIntervalJoinEvents _,
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
     "stream_append_finalized" -> graft.streaming.StreamingEntry.streamAppendFinalized _,
+    "stream_vector_source" -> graft.streaming.StreamingEntry.streamVectorSource _,
     // rows-only: per-key doubling coreset state (diversity op, not SQL-expressible)
     "stream_coreset_keys" -> graft.streaming.StreamingEntry.streamCoresetKeys _,
     "tumbling_window" -> EventOps.tumblingWindow _,
@@ -690,6 +691,28 @@ object SparkEntry {
         |SELECT event_id, ts_us, user_id, event_type, value
         |FROM e
         |ORDER BY event_id""".stripMargin,
+
+    // The live DSv2 micro-batch read of the graft-vectors source: same
+    // splitmix64 label kernel as vector_source_scan (see that oracle's
+    // comment), aggregated over the full 20,000-id stream — an offset
+    // bookkeeping error (skipped/re-emitted id span) breaks n_vecs/id_sum.
+    "stream_vector_source" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 19999)) AS id),
+        |s0 AS (SELECT id, CAST(xor(CAST(42 AS BIGINT), id) AS UBIGINT) AS x FROM ids),
+        |s1 AS (SELECT id, CAST((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM s0),
+        |s1x AS (SELECT id, xor(z, z >> 30) AS z FROM s1),
+        |s2 AS (SELECT id, CAST(((CAST(z & 4294967295 AS HUGEINT) * 484763065) + (((CAST(z & 4294967295 AS HUGEINT) * 3210233709 + CAST(z >> 32 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM s1x),
+        |s2x AS (SELECT id, xor(z, z >> 27) AS z FROM s2),
+        |s3 AS (SELECT id, CAST(((CAST(z & 4294967295 AS HUGEINT) * 321982955) + (((CAST(z & 4294967295 AS HUGEINT) * 2496678331 + CAST(z >> 32 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
+        |s4 AS (SELECT id, xor(z, z >> 31) AS h FROM s3),
+        |s5 AS (SELECT id, CASE WHEN h >= 9223372036854775808 THEN CAST(h AS HUGEINT) - 18446744073709551616 ELSE CAST(h AS HUGEINT) END AS sgn FROM s4),
+        |lab AS (SELECT id, CAST(((sgn % 10) + 10) % 10 AS INTEGER) AS label FROM s5)
+        |SELECT label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(id) AS BIGINT) AS id_sum
+        |FROM lab
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
 
     // Append-mode finalization: only windows whose end the final watermark
     // (max event time − 1 h) has passed are ever emitted — the oracle is

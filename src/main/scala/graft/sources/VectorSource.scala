@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,14 +93,16 @@ class VectorTable(props: Map[String, String]) extends Table with SupportsRead {
   private val seed = props.getOrElse("seed", "42").toLong
   private val partitions = props.getOrElse("partitions", "4").toInt
 
+  private val rowsPerBatch = props.getOrElse("rowsPerBatch", "1000").toLong
+
   override def name(): String = s"graft-vectors(n=$n, dim=$dim, seed=$seed)"
   override def schema(): StructType = VectorSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
-      with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      with SupportsPushDownRequiredColumns with SupportsPushDownFilters { self =>
 
       private var required: StructType = VectorSource.schema
       private var lo: Long = 0L            // inclusive id lower bound
@@ -165,7 +168,51 @@ class VectorTable(props: Map[String, String]) extends Table with SupportsRead {
           }
         }
       }
+
+      /** MICRO_BATCH_READ: the same deterministic id space served as a
+        * stream — offsets are positions in [0, n], each trigger admits the
+        * next `rowsPerBatch` ids, and a batch's rows come from the SAME
+        * row kernel and reader as the batch scan (an id yields identical
+        * rows in either mode, any partitioning, any retry). `latestOffset`
+        * saturates at n, so `processAllAvailable()` terminates — a bounded
+        * replay of an unbounded-source contract, like a Kafka topic read
+        * end-to-end. Restart note: offsets live in the CHECKPOINT (Spark
+        * feeds them back via deserializeOffset/planInputPartitions); the
+        * in-memory admission cursor restarts at 0 and simply yields empty
+        * spans until it passes the committed start — no id is re-emitted.
+        */
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MicroBatchStream {
+          private var admitted = 0L
+          override def initialOffset(): Offset = VectorOffset(0L)
+          override def latestOffset(): Offset = {
+            admitted = math.min(n, admitted + rowsPerBatch)
+            VectorOffset(admitted)
+          }
+          override def deserializeOffset(json: String): Offset =
+            VectorOffset(json.trim.toLong)
+          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+            val s = start.asInstanceOf[VectorOffset].pos
+            val e = end.asInstanceOf[VectorOffset].pos
+            val span = math.max(0L, e - s)
+            val per = math.max(1L, (span + partitions - 1) / partitions)
+            (s until e by per)
+              .map(st => VectorRange(st, math.min(st + per, e), dim, seed))
+              .toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            self.createReaderFactory()
+          override def commit(end: Offset): Unit = ()
+          override def stop(): Unit = ()
+        }
     }
 }
 
 case class VectorRange(start: Long, end: Long, dim: Int, seed: Long) extends InputPartition
+
+/** Stream offset = position in the id space, serialized as the bare
+  * number (the checkpoint-log format).
+  */
+case class VectorOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}

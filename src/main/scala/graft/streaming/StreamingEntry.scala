@@ -211,6 +211,38 @@ object StreamingEntry {
       .orderBy(col("event_id"))
   }
 
+  /** DECLARED DSv2 STREAMING-SOURCE entry: a live micro-batch read
+    * through the `graft-vectors` source's MICRO_BATCH_READ capability
+    * ([[graft.sources.VectorSource]]) — no MemoryStream, no driver-side
+    * rows at all: the SOURCE paces itself, admitting 6,000 ids per
+    * trigger until the 20,000-row id space is drained (4 micro-batches,
+    * asserted in VectorSourceSpec), with a complete-mode label aggregate
+    * accumulating across batches. The oracle recomputes the splitmix64
+    * label kernel closed-form over the same id range, so offset
+    * bookkeeping errors (a skipped or re-emitted id span) hash-mismatch
+    * in n_vecs/id_sum. This is the production shape for "embedding
+    * firehose → live aggregate": at scale the same query runs unbounded
+    * (latestOffset never saturates) with the sink swapped for an
+    * append/update store.
+    */
+  def streamVectorSource(spark: SparkSession, sfDir: String): DataFrame = {
+    withStatePartitions(spark, 4) {
+      val q = spark.readStream.format("graft-vectors")
+        .option("n", 20000).option("dim", 8).option("seed", 42)
+        .option("partitions", 4).option("rowsPerBatch", 6000)
+        .load()
+        .select(col("vec_id"), col("label"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
+        .writeStream.format("memory").queryName("graft_stream_vecsource")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table("graft_stream_vecsource")
+      .select(col("label"), col("n_vecs"), col("id_sum"))
+      .orderBy(col("label"))
+  }
+
   /** DECLARED append-mode watermark-finalization entry: the PRODUCTION
     * emission semantics for windowed aggregates — each tumbling window is
     * emitted EXACTLY ONCE, only when the watermark passes its end, instead
