@@ -83,6 +83,7 @@ object SparkEntry {
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
     "stream_append_finalized" -> graft.streaming.StreamingEntry.streamAppendFinalized _,
     "stream_vector_source" -> graft.streaming.StreamingEntry.streamVectorSource _,
+    "stream_file_sink_events" -> graft.streaming.StreamingEntry.streamFileSinkEvents _,
     // rows-only: per-key doubling coreset state (diversity op, not SQL-expressible)
     "stream_coreset_keys" -> graft.streaming.StreamingEntry.streamCoresetKeys _,
     "tumbling_window" -> EventOps.tumblingWindow _,
@@ -718,6 +719,21 @@ object SparkEntry {
     // (max event time − 1 h) has passed are ever emitted — the oracle is
     // the batch tumbling aggregate restricted to that finalized set.
     "stream_append_finalized" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |m AS (SELECT max(ts) AS mx FROM e),
+        |a AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wb, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT epoch_us(wb) AS ws_us, event_type, n, sum_cents
+        |FROM a, m
+        |WHERE wb + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        |ORDER BY ws_us, event_type""".stripMargin,
+
+    // Exactly-once parquet file sink read back through _spark_metadata:
+    // same finalized-window set as stream_append_finalized — a dropped or
+    // double-committed micro-batch file changes n/sum_cents and the hash.
+    "stream_file_sink_events" ->
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
         |m AS (SELECT max(ts) AS mx FROM e),
         |a AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wb, event_type,

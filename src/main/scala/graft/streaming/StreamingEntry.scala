@@ -287,6 +287,54 @@ object StreamingEntry {
       .orderBy(col("ws_us"), col("event_type"))
   }
 
+  /** DECLARED transactional FILE-SINK entry: the same append-mode
+    * finalization pipeline as [[streamAppendFinalized]], but written to
+    * Spark's exactly-once parquet file sink and read back through its
+    * `_spark_metadata` commit log — the most common production sink. The
+    * metadata log is what makes the output transactional: a reader lists
+    * COMMITTED files from the log, never the directory, so a crashed
+    * micro-batch's orphan files are invisible and every finalized window
+    * appears in exactly one committed file. Fresh output+checkpoint dirs
+    * per invocation (a file-sink checkpoint pins source offsets, and the
+    * harness MemoryStream restarts from zero each run); the previous
+    * invocation's scratch is wiped at entry, so bench passes don't
+    * accumulate files. Oracle = the batch tumbling aggregate restricted
+    * to finalized windows, identical to `stream_append_finalized` — if
+    * the sink double-committed or dropped a batch, the hash diverges.
+    */
+  def streamFileSinkEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File("target/graft-stream-sink").getAbsoluteFile
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(base)
+    base.mkdirs()
+    val outDir = new java.io.File(base, "out").getPath
+    val ckDir = new java.io.File(base, "ck").getPath
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.tumblingStream(withTs(stream.toDF()))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+      try {
+        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+        stream.addData(Seq(slice.last)) // deterministic finalization pass
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.read.parquet(outDir) // lists files via the _spark_metadata log
+      .select(col("ws_us"), col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("ws_us"), col("event_type"))
+  }
+
   /** DECLARED stateful-coreset entry (reference operator R6 as a LIVE
     * streaming query): per-key doubling coresets maintained in
     * `flatMapGroupsWithState` state across three micro-batches of the
