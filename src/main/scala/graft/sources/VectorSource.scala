@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -173,22 +173,25 @@ class VectorTable(props: Map[String, String]) extends Table with SupportsRead {
         * stream — offsets are positions in [0, n], each trigger admits the
         * next `rowsPerBatch` ids, and a batch's rows come from the SAME
         * row kernel and reader as the batch scan (an id yields identical
-        * rows in either mode, any partitioning, any retry). `latestOffset`
-        * saturates at n, so `processAllAvailable()` terminates — a bounded
-        * replay of an unbounded-source contract, like a Kafka topic read
-        * end-to-end. Restart note: offsets live in the CHECKPOINT (Spark
-        * feeds them back via deserializeOffset/planInputPartitions); the
-        * in-memory admission cursor restarts at 0 and simply yields empty
-        * spans until it passes the committed start — no id is re-emitted.
+        * rows in either mode, any partitioning, any retry). Admission is
+        * the proper [[SupportsAdmissionControl]] contract: `latestOffset`
+        * is a pure function of the START offset Spark passes in (no
+        * mutable cursor), so a query restarted from its checkpoint resumes
+        * exactly at the committed position — proven by the
+        * restart-from-checkpoint spec in VectorSourceSpec. It saturates at
+        * n, so `processAllAvailable()` terminates — a bounded replay of an
+        * unbounded-source contract, like a Kafka topic read end-to-end.
         */
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new MicroBatchStream {
-          private var admitted = 0L
+        new MicroBatchStream with SupportsAdmissionControl {
           override def initialOffset(): Offset = VectorOffset(0L)
-          override def latestOffset(): Offset = {
-            admitted = math.min(n, admitted + rowsPerBatch)
-            VectorOffset(admitted)
-          }
+          override def latestOffset(): Offset =
+            throw new UnsupportedOperationException(
+              "latestOffset(Offset, ReadLimit) should be called instead")
+          override def getDefaultReadLimit: ReadLimit =
+            ReadLimit.maxRows(rowsPerBatch)
+          override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+            VectorOffset(math.min(n, start.asInstanceOf[VectorOffset].pos + rowsPerBatch))
           override def deserializeOffset(json: String): Offset =
             VectorOffset(json.trim.toLong)
           override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
