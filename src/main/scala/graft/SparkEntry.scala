@@ -86,6 +86,8 @@ object SparkEntry {
     "stream_file_sink_events" -> graft.streaming.StreamingEntry.streamFileSinkEvents _,
     // rows-only: per-key doubling coreset state (diversity op, not SQL-expressible)
     "stream_coreset_keys" -> graft.streaming.StreamingEntry.streamCoresetKeys _,
+    // rows-only: same operator on the transformWithState API (RocksDB state)
+    "stream_coreset_tws" -> graft.streaming.StreamingEntry.streamCoresetTws _,
     "tumbling_window" -> EventOps.tumblingWindow _,
     "sliding_window" -> EventOps.slidingWindow _,
     "sessionize" -> EventOps.sessionize _,

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.diversity.{Pt, StreamingCoreset, WeightedPt}
 
 /** Event-time streaming coreset: the reference's one-pass doubling coreset
@@ -53,5 +53,45 @@ object StatefulCoreset {
     val sc = new StreamingCoreset(m)
     points.sortBy(_.id).foreach(sc.update)
     sc.result()
+  }
+
+  /** The SAME operator on Spark 4's `transformWithState` API — the
+    * successor to flatMapGroupsWithState: typed named state
+    * ([[ValueState]]) resolved from a [[StatefulProcessorHandle]] in
+    * `init`, RocksDB-backed (the API requires the RocksDB provider —
+    * see [[graft.streaming.StreamingEntry.streamCoresetTws]] for the
+    * session pin), with TTL and timers available per state. One
+    * ValueState holds the O(m) coreset snapshot per key; update logic
+    * and emissions are byte-identical to [[updateGroup]], and
+    * StatefulCoresetSpec asserts the two APIs' final kernels are equal.
+    */
+  class CoresetProcessor(m: Int) extends StatefulProcessor[Int, VecEvent, KernelOut] {
+    @transient private var kernels: ValueState[StreamingCoreset.State] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      kernels = getHandle.getValueState[StreamingCoreset.State](
+        "coreset", Encoders.product[StreamingCoreset.State], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Int,
+        rows: Iterator[VecEvent],
+        timerValues: TimerValues): Iterator[KernelOut] = {
+      val sc =
+        if (kernels.exists()) StreamingCoreset.fromState(m, kernels.get())
+        else new StreamingCoreset(m)
+      rows.toArray.sortBy(_.vec_id).foreach(e => sc.update(Pt(e.vec_id, e.vec)))
+      kernels.update(sc.snapshot)
+      val consumed = sc.pointsConsumed
+      sc.result().iterator.map(w => KernelOut(key, w.id, w.weight, consumed))
+    }
+  }
+
+  /** Wire the transformWithState form onto a stream of [[VecEvent]]. */
+  def kernelsTws(events: Dataset[VecEvent], m: Int = 64): Dataset[KernelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .transformWithState(new CoresetProcessor(m), TimeMode.None(), OutputMode.Update())
   }
 }

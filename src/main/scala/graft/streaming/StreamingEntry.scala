@@ -378,6 +378,62 @@ object StreamingEntry {
       .orderBy(col("key"), col("vec_id"))
   }
 
+  /** Pin one session conf around a streaming start (captured at query
+    * start, like the state partition count).
+    */
+  private def withConf[A](spark: SparkSession, key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** DECLARED `transformWithState` coreset entry: the SAME per-key
+    * doubling-coreset operator as [[streamCoresetKeys]], on Spark 4's
+    * successor stateful API — a [[StatefulCoreset.CoresetProcessor]] with
+    * named typed [[org.apache.spark.sql.streaming.ValueState]] resolved in
+    * `init`, running on the RocksDB state store (required by the API;
+    * pinned here, restored after). Same three-micro-batch feed, same final
+    * kernels — StatefulCoresetSpec asserts equality with the
+    * flatMapGroupsWithState form AND the sequential batch fold, so the two
+    * state APIs are interchangeable carriers of operator R6. Rows-only
+    * like every diversity op.
+    */
+  def streamCoresetTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(1024)
+      .as[(Long, Array[Float])]
+      .collect().toSeq
+      .map { case (id, v) => StatefulCoreset.VecEvent((id % 4).toInt, id, v) }
+
+    val stream = MemoryStream[StatefulCoreset.VecEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = StatefulCoreset.kernelsTws(stream.toDS(), m = 16)
+          .writeStream.format("memory").queryName("graft_stream_coreset_tws")
+          .outputMode("update").start()
+        try {
+          pts.grouped(math.max(1, (pts.size + 2) / 3)).foreach { chunk =>
+            stream.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+    }
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    spark.table("graft_stream_coreset_tws")
+      .withColumn("max_c", max(col("consumed")).over(w))
+      .filter(col("consumed") === col("max_c"))
+      .select(col("key"), col("vec_id"), col("weight"))
+      .orderBy(col("key"), col("vec_id"))
+  }
+
   /** DECLARED stream-stream interval join entry: signups arrive in
     * micro-batch 1, purchases in micro-batch 2 — every match therefore
     * crosses a batch boundary, proving the join buffers the signup side in

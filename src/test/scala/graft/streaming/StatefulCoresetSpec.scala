@@ -65,6 +65,27 @@ class StatefulCoresetSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("transformWithState entry == flatMapGroupsWithState entry == batch fold") {
+    import org.apache.spark.sql.functions._
+    val tws = graft.streaming.StreamingEntry.streamCoresetTws(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val fgws = graft.streaming.StreamingEntry.streamCoresetKeys(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tws.nonEmpty && tws == fgws,
+      s"state-API divergence: tws=${tws.take(5)} fgws=${fgws.take(5)}")
+    import spark.implicits._
+    val pts = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(1024)
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => graft.diversity.Pt(id, v) }
+    for (k <- 0 until 4) {
+      val expect = StatefulCoreset.batchFold(pts.filter(_.id % 4 == k).toSeq, 16)
+        .map(w => (k, w.id, w.weight)).sortBy(_._2)
+      assert(tws.filter(_._1 == k).sortBy(_._2) == expect)
+    }
+  }
+
   test("declared entry: final per-key kernels equal the sequential batch fold") {
     import org.apache.spark.sql.functions._
     val out = graft.streaming.StreamingEntry.streamCoresetKeys(spark, sf0001)
