@@ -62,6 +62,7 @@ object SparkEntry {
     "date_funcs" -> ScalarOps.dateFuncs _,
     "json_props" -> EventOps.jsonProps _,
     "from_json_props" -> EventOps.fromJsonProps _,
+    "variant_props" -> EventOps.variantProps _,
     "vocab_coverage" -> TextAnalysisOps.vocabCoverage _,
     "array_map_funcs" -> ScalarOps.arrayMapFuncs _,
     "map_roundtrip" -> ScalarOps.mapRoundtrip _,
@@ -73,6 +74,7 @@ object SparkEntry {
     "argmax_orders" -> Relational.argmaxOrders _,
     "salted_heavy_hitters" -> Relational.saltedHeavyHitters _,
     "calendar_months" -> Relational.calendarMonths _,
+    "recursive_month_spine" -> Relational.recursiveMonthSpine _,
     "null_semantics" -> Relational.nullSemantics _,
     // S: event-time windows (batch forms; streaming parity in graft.streaming)
     // + the declared streaming entry: a real MemoryStream micro-batch run
@@ -1001,6 +1003,36 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // VARIANT engine path (parse once → binary typed probes); the oracle is
+    // the same JSON extraction as from_json_props — result parity across
+    // the string-parse and VARIANT paths is the point.
+    "variant_props" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // Spark-side recursion (WITH RECURSIVE month spine) against the same
+    // generate_series oracle as calendar_months: the recursion engine's
+    // seed, step, and termination all sit on the hash.
+    "recursive_month_spine" ->
+      """WITH pm AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |spine AS (SELECT strftime(m, '%Y-%m') AS ym FROM (
+        |  SELECT unnest(generate_series(
+        |      date_trunc('month', CAST(min(o_orderdate) AS DATE)),
+        |      date_trunc('month', CAST(max(o_orderdate) AS DATE)),
+        |      INTERVAL 1 MONTH)) AS m
+        |  FROM orders))
+        |SELECT spine.ym, coalesce(pm.n_orders, 0) AS n_orders
+        |FROM spine LEFT JOIN pm ON spine.ym = pm.ym
+        |ORDER BY spine.ym""".stripMargin,
 
     "vocab_coverage" ->
       """WITH toks AS (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),

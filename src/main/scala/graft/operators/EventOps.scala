@@ -287,6 +287,28 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** H+: the VARIANT path for semi-structured props — Spark 4's binary
+    * semi-structured type: `parse_json` encodes the string ONCE into
+    * VARIANT, `variant_get` then extracts typed fields as binary probes,
+    * not re-parses. At 100 TB this is the lakehouse answer to repeated
+    * JSON string parsing: parse at ingest, store VARIANT in parquet, and
+    * every downstream typed access skips the string scan. Same aggregate
+    * shape (and oracle) as [[fromJsonProps]], through the VARIANT engine
+    * path — a wrong encode or probe hash-mismatches against DuckDB's
+    * json_extract oracle.
+    */
+  def variantProps(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'bigint')"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir)
       .select(

@@ -448,6 +448,37 @@ object Relational {
       .orderBy(col("ym"))
   }
 
+  /** D+/SQL front door: the month spine via Spark 4's RECURSIVE CTE — the
+    * anchor row is the data-driven min month, each recursion step adds one
+    * month until the max; same (ym, n_orders) result as [[calendarMonths]]
+    * (sequence()-based) and the same DuckDB oracle, so the recursion
+    * engine itself sits on the hash. UNION ALL with an acyclic step —
+    * Spark 4.1 has no distinct-union recursion (pinned in
+    * Spark4FeatureSpec), which is also why connected components stay on
+    * the union-find/label-propagation path. Depth = month span (~80 «
+    * the default recursion limit); a spine is O(spanned months) rows at
+    * any data scale.
+    */
+  def recursiveMonthSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_rec")
+    spark.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS hi
+        |  FROM graft_orders_rec),
+        |spine AS (
+        |  SELECT lo AS m, hi FROM bounds
+        |  UNION ALL
+        |  SELECT add_months(m, 1) AS m, hi FROM spine WHERE m < hi),
+        |pm AS (
+        |  SELECT date_format(o_orderdate, 'yyyy-MM') AS ym, count(*) AS n_orders
+        |  FROM graft_orders_rec GROUP BY 1)
+        |SELECT s.ym, CAST(coalesce(pm.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM (SELECT date_format(m, 'yyyy-MM') AS ym FROM spine) s
+        |LEFT JOIN pm ON s.ym = pm.ym
+        |ORDER BY s.ym""".stripMargin)
+  }
+
   /** B+: null semantics — a null-safe (`<=>`) self-join keeps the NULL
     * group that plain `=` would drop (asserted in OperatorSpec), and the
     * output ordering is explicit NULLS FIRST.
