@@ -109,6 +109,7 @@ object SparkEntry {
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
     "doc_chunks" -> TextOps.docChunks _,
+    "doc_repetition" -> TextOps.docRepetition _,
     "contamination_check" -> TextOps.contaminationCheck _,
     "dedup_incremental" -> TextOps.dedupIncremental _,
     "doc_commonness" -> TextOps.docCommonness _,
@@ -915,6 +916,21 @@ object SparkEntry {
         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
         |FROM surv
         |GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
+
+    // Repetition is computed per doc with list functions on both engines —
+    // identical shingle construction to the MinHash oracle, then
+    // distinct-vs-total inside the row.
+    "doc_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS shs FROM tok)
+        |SELECT doc_id,
+        |  CAST(len(shs) AS BIGINT) AS n_shingles,
+        |  CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / CAST(len(shs) AS DOUBLE), 6) AS dup_ratio
+        |FROM sh
         |ORDER BY doc_id""".stripMargin,
 
     "doc_commonness" ->

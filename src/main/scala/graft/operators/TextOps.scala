@@ -228,6 +228,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** V+: within-document repetition ratio — the Gopher-style quality
+    * filter: the fraction of DUPLICATE 3-token shingles inside each doc
+    * (high = boilerplate/looping text, a standard pre-training drop rule).
+    * Repetition is a per-document property, so the whole computation is
+    * map-side higher-order functions (transform → array_distinct → size)
+    * on the one row that holds the doc: NO shuffle except the
+    * presentation sort, plan-asserted — at 100 TB this scales with scan
+    * bandwidth exactly like [[docChunks]].
+    */
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))").as("shs"))
+      .select(
+        col("doc_id"),
+        size(col("shs")).cast("long").as("n_shingles"),
+        size(array_distinct(col("shs"))).cast("long").as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+
   /** V: per-language doc count / avg chars / avg tokens. */
   def textStatsLang(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)

@@ -103,6 +103,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       (l.contains("Exchange") || l.contains("BroadcastExchange")) && l.contains("tok#")), p)
   }
 
+  test("doc_repetition: map-side only — the sole exchange is the presentation sort") {
+    // repetition is a per-document property: transform/array_distinct/size
+    // run inside the scan's partition, no shingle ever rides a shuffle
+    val p = plan(graft.operators.TextOps.docRepetition(spark, sf0001))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("variant_props: VARIANT probe aggregates partial+final off one scan") {
+    val p = plan(graft.operators.EventOps.variantProps(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert("Scan ".r.findAllIn(p).length == 1, p) // parse once, no re-scan
+  }
+
+  test("image_resize_dims: binary payloads never ride an exchange") {
+    // codec work happens per-partition; only (id, dims, mean) leave it —
+    // every exchange's input row (the tree line below it) must be free of
+    // the binary content column
+    val p = plan(graft.operators.MultimodalOps.imageResizeDims(spark, sf0001))
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange")).foreach { case (_, i) =>
+      assert(!lines.lift(i + 1).exists(_.contains("content#")),
+        s"binary content on exchange:\n${lines.slice(i, i + 2).mkString("\n")}")
+    }
+  }
+
   test("vector_source_scan: vec_id range pushed into the DSv2 scan, embedding pruned") {
     val df = graft.operators.VectorOps.vectorSourceScan(spark, sf0001)
     // range pushdown: the scan plans only [1000, 1500) of the 10⁷-row id
