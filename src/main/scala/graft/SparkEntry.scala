@@ -100,6 +100,7 @@ object SparkEntry {
     "cos_topk_ivf_kmeans" -> VectorOps.cosTopkIvfKmeans _,
     "knn_label_vote" -> VectorOps.knnLabelVote _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
+    "vector_source_agg" -> VectorOps.vectorSourceAgg _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
     "dedup_docs_exact" -> TextOps.dedupDocsExact _,
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
@@ -1136,6 +1137,14 @@ object SparkEntry {
         |SELECT id AS vec_id, CAST(((sgn % 10) + 10) % 10 AS INTEGER) AS label
         |FROM s5
         |ORDER BY vec_id""".stripMargin,
+
+    // Closed form of the pushed-down count/min/max over the clamped id
+    // range [100, 40000100) of a 50M-row synthetic table: the Spark side
+    // must answer from partition bounds alone (plan-asserted O(1) rows).
+    "vector_source_agg" ->
+      """SELECT CAST(40000000 AS BIGINT) AS n_vecs,
+        |  CAST(100 AS BIGINT) AS min_id,
+        |  CAST(40000099 AS BIGINT) AS max_id""".stripMargin,
 
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id,

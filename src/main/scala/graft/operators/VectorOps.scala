@@ -166,6 +166,25 @@ object VectorOps {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
+  /** V/R8: DECLARED aggregate-pushdown read of the `graft-vectors` DSv2
+    * source — COUNT(*)/MIN/MAX over a 40-million-id range answered in O(1)
+    * per partition from the planned bounds ([[graft.sources.VectorSource]]
+    * SupportsPushDownAggregates): no row is generated, which is the whole
+    * point — a catalog/stats-style query over a 10⁹-row synthetic table
+    * costs planning time, not scan time. Requires the vec_id range filter
+    * to be fully consumed by the scan (Spark refuses aggregate pushdown
+    * over residual filters) — both pushdowns are plan-asserted.
+    */
+  def vectorSourceAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft-vectors")
+      .option("n", 50000000).option("dim", 32).option("seed", 42).option("partitions", 8)
+      .load()
+      .filter(col("vec_id") >= 100 && col("vec_id") < 40000100)
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+
   /** V: 10-NN majority label vote per query vector (ties → smallest label). */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {
     val wNn = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))

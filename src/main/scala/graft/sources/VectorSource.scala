@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -102,12 +104,52 @@ class VectorTable(props: Map[String, String]) extends Table with SupportsRead {
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
-      with SupportsPushDownRequiredColumns with SupportsPushDownFilters { self =>
+      with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+      with SupportsPushDownAggregates { self =>
 
       private var required: StructType = VectorSource.schema
       private var lo: Long = 0L            // inclusive id lower bound
       private var hi: Long = n             // exclusive id upper bound
       private var pushed: Array[Filter] = Array.empty
+      private var pushedAggs: Seq[AggregateFunc] = Nil
+      private var aggSchema: StructType = new StructType()
+
+      /** Aggregate pushdown (PARTIAL contract): COUNT(*)/MIN(vec_id)/
+        * MAX(vec_id) with no GROUP BY are closed-form over the planned id
+        * range, so each partition answers from its [start, end) bounds in
+        * O(1) — no row, let alone a vector, is ever generated. Spark
+        * merges the per-partition partials (sum of counts, min of mins,
+        * max of maxes); an empty clamped range plans zero partitions and
+        * the final aggregate correctly yields 0/NULL/NULL.
+        */
+      private def isVecId(f: AggregateFunc): Boolean = f match {
+        case m: Min => m.column() match {
+          case r: NamedReference => r.fieldNames.sameElements(Array("vec_id"))
+          case _ => false
+        }
+        case m: Max => m.column() match {
+          case r: NamedReference => r.fieldNames.sameElements(Array("vec_id"))
+          case _ => false
+        }
+        case _ => false
+      }
+
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        val ok = agg.groupByExpressions().isEmpty &&
+          agg.aggregateExpressions().nonEmpty &&
+          agg.aggregateExpressions().forall {
+            case _: CountStar => true
+            case f => isVecId(f)
+          }
+        if (ok) {
+          pushedAggs = agg.aggregateExpressions().toSeq
+          aggSchema = StructType(pushedAggs.zipWithIndex.map {
+            case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+            case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+          })
+        }
+        ok
+      }
 
       override def pruneColumns(requiredSchema: StructType): Unit =
         // preserve source field order; empty projection (count(*)) is legal
@@ -121,24 +163,42 @@ class VectorTable(props: Map[String, String]) extends Table with SupportsRead {
       private def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        pushed = filters.collect {
-          case f @ GreaterThan("vec_id", v: Long) => lo = math.max(lo, succ(v)); f
-          case f @ GreaterThanOrEqual("vec_id", v: Long) => lo = math.max(lo, v); f
-          case f @ LessThan("vec_id", v: Long) => hi = math.min(hi, v); f
-          case f @ LessThanOrEqual("vec_id", v: Long) => hi = math.min(hi, succ(v)); f
-          case f @ EqualTo("vec_id", v: Long) =>
-            lo = math.max(lo, v); hi = math.min(hi, succ(v)); f
+        // vec_id comparisons are ACCEPTED (not residual): the range clamp
+        // is an exact evaluation — generated ids are precisely [lo, hi) —
+        // and fully-consumed filters are what unlocks aggregate pushdown
+        // (Spark refuses to push an aggregate over post-scan filters).
+        // Anything else (other columns, IN/OR shapes) stays residual.
+        val (accepted, residual) = filters.partition {
+          case GreaterThan("vec_id", _: Long) => true
+          case GreaterThanOrEqual("vec_id", _: Long) => true
+          case LessThan("vec_id", _: Long) => true
+          case LessThanOrEqual("vec_id", _: Long) => true
+          case EqualTo("vec_id", _: Long) => true
+          case _ => false
         }
-        filters // all residual: the range clamp is pruning, not evaluation
+        accepted.foreach {
+          case GreaterThan("vec_id", v: Long) => lo = math.max(lo, succ(v))
+          case GreaterThanOrEqual("vec_id", v: Long) => lo = math.max(lo, v)
+          case LessThan("vec_id", v: Long) => hi = math.min(hi, v)
+          case LessThanOrEqual("vec_id", v: Long) => hi = math.min(hi, succ(v))
+          case EqualTo("vec_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, succ(v))
+          case _ => ()
+        }
+        pushed = accepted
+        residual
       }
 
       override def pushedFilters(): Array[Filter] = pushed
 
       override def build(): Scan = this
-      override def readSchema(): StructType = required
+      override def readSchema(): StructType =
+        if (pushedAggs.nonEmpty) aggSchema else required
       override def toBatch: Batch = this
       override def description(): String =
-        s"PushedFilters: [${pushed.mkString(", ")}], IdRange: [$lo, $hi)"
+        s"PushedFilters: [${pushed.mkString(", ")}], IdRange: [$lo, $hi)" +
+          (if (pushedAggs.nonEmpty)
+            s", PushedAggregates: [${pushedAggs.map(_.describe()).mkString(", ")}]"
+          else "")
 
       override def planInputPartitions(): Array[InputPartition] = {
         val first = math.max(0L, lo)
@@ -151,6 +211,29 @@ class VectorTable(props: Map[String, String]) extends Table with SupportsRead {
       }
 
       override def createReaderFactory(): PartitionReaderFactory = {
+        if (pushedAggs.nonEmpty) {
+          // one O(1) partial row per planned range: count/min/max are
+          // functions of the bounds, not of generated rows
+          val kinds = pushedAggs.map {
+            case _: CountStar => 'c'
+            case _: Min => 'n'
+            case _ => 'x'
+          }.toArray
+          return (partition: InputPartition) => {
+            val r = partition.asInstanceOf[VectorRange]
+            new PartitionReader[InternalRow] {
+              private var emitted = false
+              override def next(): Boolean = { val go = !emitted; emitted = true; go }
+              override def get(): InternalRow = InternalRow.fromSeq(
+                kinds.toIndexedSeq.map {
+                  case 'c' => r.end - r.start
+                  case 'n' => r.start
+                  case _   => r.end - 1
+                })
+              override def close(): Unit = ()
+            }
+          }
+        }
         val fields = required.fieldNames
         (partition: InputPartition) => {
           val r = partition.asInstanceOf[VectorRange]

@@ -129,6 +129,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("vector_source_agg: count/min/max pushed into the DSv2 scan with the range clamp") {
+    val df = graft.operators.VectorOps.vectorSourceAgg(spark, sf0001)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("PushedAggregates: [COUNT(*), MIN(vec_id), MAX(vec_id)]"), fmt)
+    assert(fmt.contains("IdRange: [100, 40000100)"), fmt)
+  }
+
   test("vector_source_scan: vec_id range pushed into the DSv2 scan, embedding pruned") {
     val df = graft.operators.VectorOps.vectorSourceScan(spark, sf0001)
     // range pushdown: the scan plans only [1000, 1500) of the 10⁷-row id

@@ -57,10 +57,9 @@ class VectorSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(df.agg(min("vec_id"), max("vec_id")).collect()(0).toSeq == Seq(500L, 1499L))
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec < 30, s"range pushdown not effective: took $sec s")
-    // the residual Filter node remains (semantics unchanged) and the scan
-    // reports its pushed range via Scan.description (formatted explain)
-    val plan = df.queryExecution.executedPlan
-    assert(plan.toString.contains("Filter"), plan.toString)
+    // vec_id comparisons are fully CONSUMED by the scan (exact range
+    // clamp — which is what unlocks aggregate pushdown), and the scan
+    // reports the clamped range via Scan.description (formatted explain)
     assert(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       .contains("IdRange: [500, 1500)"), "no pushdown reported in formatted explain")
@@ -74,6 +73,33 @@ class VectorSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(eq.count() == 0L)
     val gt = load(1000, 4).filter(col("vec_id") > Long.MaxValue)
     assert(gt.count() == 0L)
+  }
+
+  test("aggregate pushdown: count/min/max answered from partition bounds, no rows generated") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max => mx, min => mn}
+    // 2 billion ids: generating even pruned rows would take minutes —
+    // completing fast proves the aggregate was answered at the source
+    val t0 = System.nanoTime()
+    val df = spark.read.format("graft-vectors")
+      .option("n", 2000000000L).option("dim", 8).option("seed", 7).option("partitions", 4)
+      .load()
+      .filter(col("vec_id") >= 1000000L && col("vec_id") < 1900000000L)
+      .agg(cnt(lit(1)).as("n"), mn(col("vec_id")).as("lo"), mx(col("vec_id")).as("hi"))
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1899000000L, 1000000L, 1899999999L))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30, s"aggregate pushdown not effective: took $sec s")
+    assert(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .contains("PushedAggregates: [COUNT(*), MIN(vec_id), MAX(vec_id)]"),
+      "no aggregate pushdown reported")
+    // empty clamped range: zero partitions -> count 0, null min/max
+    val empty = spark.read.format("graft-vectors")
+      .option("n", 1000).option("dim", 8).option("seed", 7).option("partitions", 4)
+      .load()
+      .filter(col("vec_id") > 5000L)
+      .agg(cnt(lit(1)).as("n"), mn(col("vec_id")).as("lo")).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1), empty.toString)
   }
 
   test("micro-batch stream: source-paced batches drain the id space, result == batch scan") {
