@@ -86,6 +86,7 @@ object SparkEntry {
     "stream_append_finalized" -> graft.streaming.StreamingEntry.streamAppendFinalized _,
     "stream_vector_source" -> graft.streaming.StreamingEntry.streamVectorSource _,
     "stream_file_sink_events" -> graft.streaming.StreamingEntry.streamFileSinkEvents _,
+    "stream_file_source_events" -> graft.streaming.StreamingEntry.streamFileSourceEvents _,
     // rows-only: per-key doubling coreset state (diversity op, not SQL-expressible)
     "stream_coreset_keys" -> graft.streaming.StreamingEntry.streamCoresetKeys _,
     // rows-only: same operator on the transformWithState API (RocksDB state)
@@ -734,6 +735,17 @@ object SparkEntry {
         |SELECT epoch_us(wb) AS ws_us, event_type, n, sum_cents
         |FROM a, m
         |WHERE wb + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        |ORDER BY ws_us, event_type""".stripMargin,
+
+    // FileStreamSource over the staged slice: same full-slice tumbling
+    // aggregate as stream_tumbling_events (complete mode, order-free).
+    "stream_file_source_events" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM e
+        |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
 
     // Exactly-once parquet file sink read back through _spark_metadata:

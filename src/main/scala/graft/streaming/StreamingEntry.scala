@@ -287,6 +287,43 @@ object StreamingEntry {
       .orderBy(col("ws_us"), col("event_type"))
   }
 
+  /** DECLARED FILE-SOURCE entry: `readStream` over a parquet DIRECTORY —
+    * the production "stream the lake" pattern: the FileStreamSource
+    * discovers files, admits `maxFilesPerTrigger=1` per micro-batch (the
+    * file-source backpressure knob), tracks processed files in its source
+    * log, and the tumbling aggregate accumulates across the resulting
+    * batches. The slice is staged ONCE per fixture content as three
+    * time-contiguous parquet files (input staging, like a fixture — not
+    * per-run query work); complete mode without a watermark makes the
+    * result independent of file discovery order (the watermarked forms
+    * are the other S entries' story). Oracle = the batch tumbling
+    * aggregate over the slice, same as `stream_tumbling_events`.
+    */
+  def streamFileSourceEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File("target/graft-stream-src").getAbsoluteFile
+    val dir = new java.io.File(base, graft.sources.Materialize.contentToken(sfDir)).getPath
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val slice = eventSlice(spark, sfDir)
+      // three sequential single-file writes → three discoverable files
+      slice.grouped(math.max(1, (slice.size + 2) / 3)).zipWithIndex.foreach { case (chunk, i) =>
+        spark.createDataset(chunk).coalesce(1).write
+          .mode(if (i == 0) "overwrite" else "append").parquet(dir)
+      }
+    }
+    val schema = org.apache.spark.sql.Encoders.product[StreamEvent].schema
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.tumblingAgg(withTs(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)))
+        .writeStream.format("memory").queryName("graft_stream_filesrc")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table("graft_stream_filesrc")
+      .select(col("ws_us"), col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("ws_us"), col("event_type"))
+  }
+
   /** DECLARED transactional FILE-SINK entry: the same append-mode
     * finalization pipeline as [[streamAppendFinalized]], but written to
     * Spark's exactly-once parquet file sink and read back through its
