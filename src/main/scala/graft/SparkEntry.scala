@@ -46,6 +46,7 @@ object SparkEntry {
     "grouping_sets_lineitem" -> Relational.groupingSetsLineitem _,
     "pivot_events" -> Relational.pivotEvents _,
     "percentiles_qty" -> Relational.percentilesQty _,
+    "agg_decimal_money" -> Relational.aggDecimalMoney _,
     "stats_agg" -> Relational.statsAgg _,
     "subquery_above_avg" -> Relational.subqueryAboveAvg _,
     // E: window functions
@@ -415,6 +416,18 @@ object SparkEntry {
         |                WHERE p2.p_brand = p.p_brand)
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    // DECIMAL(18,2) money: exact integer cents summed, then decimal-by-
+    // decimal division — no double ever enters the decimal path, so the
+    // 2-dp value (and its parquet decimal scale) is engine-identical.
+    "agg_decimal_money" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "win_topk_parts" ->
       """WITH r AS (

@@ -448,6 +448,30 @@ object Relational {
       .orderBy(col("ym"))
   }
 
+  /** D+: exact DECIMAL-typed money — the BI-facing output type, reached
+    * WITHOUT double-rounding hazards: amounts go to integer cents first
+    * (the §7.4 exact protocol), are summed as BIGINT, and only then become
+    * `DECIMAL(18,2)` via decimal-by-decimal division (never a double in
+    * the decimal path, so both engines produce the identical 2-dp value —
+    * a double→decimal cast would instead round each engine's shortest
+    * representation). At 100 TB the plan is the plain partial+final
+    * integer aggregate; the decimal conversion touches G rows, not rows.
+    */
+  def aggDecimalMoney(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n_items"))
+      .select(
+        col("l_returnflag"),
+        expr("CAST(CAST(sc AS DECIMAL(18,2)) / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2))")
+          .as("revenue"),
+        col("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** D+/SQL front door: the month spine via Spark 4's RECURSIVE CTE — the
     * anchor row is the data-driven min month, each recursion step adds one
     * month until the max; same (ym, n_orders) result as [[calendarMonths]]
