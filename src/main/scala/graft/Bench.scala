@@ -124,9 +124,15 @@ object Bench {
     println(line)
     // The driver captures stdout with a bounded tail that has truncated
     // ~17 per-query timings per round; the full line committed as a repo
-    // artifact keeps every timing comparable across rounds.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+    // artifact keeps every timing comparable across rounds. The per-SF
+    // file survives a later run at another SF (plain BENCH_LOCAL.json is
+    // always the LATEST run and would otherwise silently replace it).
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      val sfName = new java.io.File(sfDir).getName
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_LOCAL-$sfName.json"), line + "\n"): Unit
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL write failed: $e") }
     spark.stop()
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -273,8 +273,22 @@ class VectorTable(props: Map[String, String]) extends Table with SupportsRead {
               "latestOffset(Offset, ReadLimit) should be called instead")
           override def getDefaultReadLimit: ReadLimit =
             ReadLimit.maxRows(rowsPerBatch)
-          override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-            VectorOffset(math.min(n, start.asInstanceOf[VectorOffset].pos + rowsPerBatch))
+          // Honors the limit Spark passes (the admission-control CONTRACT,
+          // not just the default): Trigger.AvailableNow/Once may ask for
+          // allAvailable and must get everything — answering with the
+          // default pace there would commit a PARTIAL batch that a
+          // terminating trigger reports as complete (silent data loss).
+          private def capFor(s: Long, limit: ReadLimit): Long = limit match {
+            case m: ReadMaxRows      => s + m.maxRows()
+            case _: ReadAllAvailable => n
+            case c: CompositeReadLimit =>
+              c.getReadLimits.map(capFor(s, _)).min
+            case _                   => s + rowsPerBatch
+          }
+          override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+            val s = start.asInstanceOf[VectorOffset].pos
+            VectorOffset(math.min(n, capFor(s, limit)))
+          }
           override def deserializeOffset(json: String): Offset =
             VectorOffset(json.trim.toLong)
           override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -53,6 +53,24 @@ object StreamingEntry {
   private def withTs(df: DataFrame): DataFrame =
     df.withColumn("ts_utc", timestamp_micros(col("ts_us")))
 
+  /** The shared harness feed: three event-ordered chunks, one micro-batch
+    * each (state must carry across batches — the thing a single batch
+    * can't prove).
+    */
+  private def feedChunks[A](
+      stream: MemoryStream[A],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      xs: Seq[A]): Unit =
+    xs.grouped(math.max(1, (xs.size + 2) / 3)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+
+  private def wipeDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(wipeDir)
+    f.delete(): Unit
+  }
+
   /** Pin a small streaming-state partition count for the harness entries.
     *
     * Every stateful operator materializes one state store per shuffle
@@ -99,10 +117,7 @@ object StreamingEntry {
         .writeStream.format("memory").queryName("graft_stream_entry")
         .outputMode("complete").start()
       try {
-        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
-          stream.addData(chunk)
-          q.processAllAvailable()
-        }
+        feedChunks(stream, q, slice)
       } finally q.stop()
     }
 
@@ -127,10 +142,7 @@ object StreamingEntry {
         .writeStream.format("memory").queryName("graft_stream_sliding")
         .outputMode("complete").start()
       try {
-        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
-          stream.addData(chunk)
-          q.processAllAvailable()
-        }
+        feedChunks(stream, q, slice)
       } finally q.stop()
     }
 
@@ -157,10 +169,7 @@ object StreamingEntry {
         .writeStream.format("memory").queryName("graft_stream_session")
         .outputMode("complete").start()
       try {
-        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
-          stream.addData(chunk)
-          q.processAllAvailable()
-        }
+        feedChunks(stream, q, slice)
       } finally q.stop()
     }
 
@@ -265,10 +274,7 @@ object StreamingEntry {
         .writeStream.format("memory").queryName("graft_stream_append")
         .outputMode("append").start()
       try {
-        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
-          stream.addData(chunk)
-          q.processAllAvailable()
-        }
+        feedChunks(stream, q, slice)
         // One more DATA batch re-sending the already-seen max-ts event: it
         // runs under the watermark computed after chunk 3, deterministically
         // forcing the final emission pass (processAllAvailable alone can
@@ -303,13 +309,19 @@ object StreamingEntry {
     import spark.implicits._
     val base = new java.io.File("target/graft-stream-src").getAbsoluteFile
     val dir = new java.io.File(base, graft.sources.Materialize.contentToken(sfDir)).getPath
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    // Own sentinel, written only after ALL three chunk writes: Spark puts
+    // _SUCCESS after EACH job, so guarding on it would let a crash between
+    // chunk writes leave a permanently-reused partial fixture.
+    val staged = new java.io.File(dir, "_GRAFT_STAGED")
+    if (!staged.exists()) {
       val slice = eventSlice(spark, sfDir)
       // three sequential single-file writes → three discoverable files
+      // (chunk 0 overwrites, so a half-staged dir restages from scratch)
       slice.grouped(math.max(1, (slice.size + 2) / 3)).zipWithIndex.foreach { case (chunk, i) =>
         spark.createDataset(chunk).coalesce(1).write
           .mode(if (i == 0) "overwrite" else "append").parquet(dir)
       }
+      staged.createNewFile(): Unit
     }
     val schema = org.apache.spark.sql.Encoders.product[StreamEvent].schema
     withStatePartitions(spark, 4) {
@@ -342,11 +354,7 @@ object StreamingEntry {
   def streamFileSinkEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = new java.io.File("target/graft-stream-sink").getAbsoluteFile
-    def wipe(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-      f.delete(): Unit
-    }
-    wipe(base)
+    wipeDir(base)
     base.mkdirs()
     val outDir = new java.io.File(base, "out").getPath
     val ckDir = new java.io.File(base, "ck").getPath
@@ -359,10 +367,7 @@ object StreamingEntry {
         .option("checkpointLocation", ckDir)
         .outputMode("append").start()
       try {
-        slice.grouped(math.max(1, (slice.size + 2) / 3)).foreach { chunk =>
-          stream.addData(chunk)
-          q.processAllAvailable()
-        }
+        feedChunks(stream, q, slice)
         stream.addData(Seq(slice.last)) // deterministic finalization pass
         q.processAllAvailable()
       } finally q.stop()
@@ -397,10 +402,7 @@ object StreamingEntry {
         .writeStream.format("memory").queryName("graft_stream_coreset")
         .outputMode("update").start()
       try {
-        pts.grouped(math.max(1, (pts.size + 2) / 3)).foreach { chunk =>
-          stream.addData(chunk)
-          q.processAllAvailable()
-        }
+        feedChunks(stream, q, pts)
       } finally q.stop()
     }
 

@@ -145,10 +145,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       org.apache.spark.sql.execution.FormattedMode)
     assert(fmt.contains("IdRange: [1000, 1500)"), fmt)
     // column pruning: an id/label projection must never mention embedding
-    // anywhere in the executed plan — no gaussian generation per row
+    // anywhere in the executed plan — no gaussian generation per row.
+    // (No residual Filter node exists: vec_id comparisons are fully
+    // consumed by the scan — the clamp's exactness is what
+    // VectorSourceSpec's range/MaxValue/aggregate tests pin.)
     val p = plan(df)
     assert(!p.contains("embedding"), p)
-    assert(p.contains("Filter"), p) // residual re-check keeps semantics
   }
 
   test("dedup_incremental: catalog anti-join is broadcast, equi, fingerprint-keyed") {

@@ -129,7 +129,7 @@ class VectorSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
-  test("restart from checkpoint: admission resumes at the committed offset, file sink exactly-once") {
+  test("restart from checkpoint: a grown source resumes at the committed offset, file sink exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     val base = new java.io.File("target/vec-restart-spec").getAbsoluteFile
     def wipe(f: java.io.File): Unit = {
@@ -138,30 +138,35 @@ class VectorSourceSpec extends AnyFunSuite with SparkTestBase {
     wipe(base); base.mkdirs()
     val out = new java.io.File(base, "out").getPath
     val ck = new java.io.File(base, "ck").getPath
-    // each incarnation = a fresh query over the SAME checkpoint: Trigger.Once
-    // admits one rowsPerBatch span, then the "job" dies — the next
-    // incarnation must resume from the COMMITTED offset, because
-    // latestOffset is a pure function of the start offset Spark replays
-    // from the checkpoint (SupportsAdmissionControl), not of any in-memory
-    // cursor that a crash would reset.
-    def runOnce(): Unit = {
+    // Each incarnation is a fresh query over the SAME checkpoint,
+    // Trigger.AvailableNow: drain what the source has, in rowsPerBatch
+    // steps (AvailableNow paces by getDefaultReadLimit but must reach the
+    // snapshot target — the honored-ReadLimit contract), then terminate.
+    // Run 2 sees a GROWN source (n 6000 → 10000, i.e. new data arrived
+    // while the job was down) and must resume exactly at the committed
+    // offset — latestOffset is a pure function of the start offset Spark
+    // replays from the checkpoint, not of an in-memory cursor a crash
+    // would reset.
+    def drain(n: Int): Unit = {
       val q = spark.readStream.format("graft-vectors")
-        .option("n", 10000).option("dim", 8).option("seed", 7)
+        .option("n", n).option("dim", 8).option("seed", 7)
         .option("partitions", 4).option("rowsPerBatch", 3000)
         .load()
         .select(col("vec_id"), col("label"))
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .trigger(Trigger.Once())
+        .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination(120000): Unit
     }
-    (1 to 4).foreach(_ => runOnce()) // 3000 + 3000 + 3000 + 1000
+    drain(6000)
+    assert(spark.read.parquet(out).count() == 6000L) // run 1 drained fully
+    drain(10000) // "new data arrived while down": resumes at 6000
     val read = spark.read.parquet(out) // via the _spark_metadata commit log
     assert(read.count() == 10000L)
     assert(read.select(countDistinct(col("vec_id"))).collect()(0).getLong(0) == 10000L,
       "restart re-emitted or skipped ids")
-    runOnce() // a 5th incarnation finds the source drained: nothing new lands
+    drain(10000) // a third incarnation finds the source drained: no new rows
     assert(spark.read.parquet(out).count() == 10000L)
   }
 
