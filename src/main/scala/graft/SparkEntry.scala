@@ -92,6 +92,7 @@ object SparkEntry {
     "stream_coreset_keys" -> graft.streaming.StreamingEntry.streamCoresetKeys _,
     // rows-only: same operator on the transformWithState API (RocksDB state)
     "stream_coreset_tws" -> graft.streaming.StreamingEntry.streamCoresetTws _,
+    "stream_session_tws" -> graft.streaming.StreamingEntry.streamSessionTws _,
     "tumbling_window" -> EventOps.tumblingWindow _,
     "sliding_window" -> EventOps.slidingWindow _,
     "sessionize" -> EventOps.sessionize _,
@@ -705,6 +706,33 @@ object SparkEntry {
         |FROM z
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // Timer-driven sessionization (transformWithState, event-time timers):
+    // the lag+cumsum sessions restricted to EMITTED ones — every non-final
+    // session per user (closed by data), plus final sessions whose timer
+    // (last//1000 + 30min, the processor's ms arithmetic) the final
+    // watermark (max//1000 - 1h) passed.
+    "stream_session_tws" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events ORDER BY event_id LIMIT 5000),
+        |m AS (SELECT max(ts_us) AS mx FROM e),
+        |x AS (SELECT user_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts FROM e),
+        |y AS (SELECT user_id, ts_us,
+        |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT user_id, ts_us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y),
+        |s AS (SELECT user_id, sid,
+        |    CAST(min(ts_us) AS BIGINT) AS session_start_us,
+        |    CAST(max(ts_us) AS BIGINT) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM z GROUP BY user_id, sid),
+        |f AS (SELECT user_id, max(sid) AS max_sid FROM s GROUP BY user_id)
+        |SELECT s.user_id, s.session_start_us, s.n_events
+        |FROM s JOIN f ON s.user_id = f.user_id, m
+        |WHERE s.sid < f.max_sid
+        |   OR (s.last_us // 1000 + 1800000) <= (m.mx // 1000 - 3600000)
+        |ORDER BY s.user_id, s.session_start_us""".stripMargin,
 
     "stream_dedup_events" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 import graft.sources.Tables
 
 /** Row shape fed through the driver-visible streaming entry. */
@@ -471,6 +472,49 @@ object StreamingEntry {
       .filter(col("consumed") === col("max_c"))
       .select(col("key"), col("vec_id"), col("weight"))
       .orderBy(col("key"), col("vec_id"))
+  }
+
+  /** DECLARED timer-driven sessionization entry: [[SessionProcessor]] on
+    * `transformWithState` with EVENT-TIME TIMERS — each session emitted
+    * exactly once, closed by data (same-user event beyond the gap) or by
+    * time (the watermark passes last + gap and the registered timer
+    * fires). The three-chunk feed closes most sessions by data across
+    * batch boundaries; the replay pass (re-sending the already-seen
+    * max-ts event, as in [[streamAppendFinalized]]) runs one more DATA
+    * batch under the final watermark so due timers fire
+    * deterministically — the replayed duplicate only extends its own
+    * user's final session, which ends within the watermark delay of the
+    * slice max and is therefore never emitted. Oracle = the lag+cumsum
+    * sessionization restricted to EMITTED sessions: every non-final
+    * session per user, plus final sessions whose last + gap (in the
+    * timer's ms arithmetic) the final watermark passed.
+    */
+  def streamSessionTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = withTs(stream.toDF())
+          .withWatermark("ts_utc", "1 hour")
+          .as[StreamEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new SessionProcessor(gapUs = 30L * 60L * 1000000L),
+            TimeMode.EventTime(), OutputMode.Append())
+          .writeStream.format("memory").queryName("graft_stream_sess_tws")
+          .outputMode("append").start()
+        try {
+          feedChunks(stream, q, slice)
+          stream.addData(Seq(slice.last)) // deterministic timer-firing pass
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+    }
+    spark.table("graft_stream_sess_tws")
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
   }
 
   /** DECLARED stream-stream interval join entry: signups arrive in
