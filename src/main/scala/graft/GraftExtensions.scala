@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.DotProductF32
+import graft.functions.{BloomMightContainLong, DotProductF32}
 
 /** Session extensions registering graft's native expressions, for users who
   * configure `spark.sql.extensions=graft.GraftExtensions`. The engine's own
@@ -15,6 +15,7 @@ import graft.functions.DotProductF32
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotF32)
+    ext.injectFunction(GraftFunctions.bloomMightContain)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
@@ -25,11 +26,18 @@ object GraftFunctions {
     DotProductF32.info,
     (children: Seq[Expression]) => DotProductF32(children(0), children(1)): Expression)
 
+  private[graft] val bloomMightContain = (
+    FunctionIdentifier("bloom_might_contain"),
+    BloomMightContainLong.info,
+    (children: Seq[Expression]) => BloomMightContainLong(children(0), children(1)): Expression)
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(dotF32._1)) {
-      registry.registerFunction(dotF32._1, dotF32._2, dotF32._3)
+    Seq(dotF32, bloomMightContain).foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
 }

@@ -83,6 +83,7 @@ object SparkEntry {
     "stream_session_events" -> graft.streaming.StreamingEntry.streamSessionEvents _,
     "stream_sliding_events" -> graft.streaming.StreamingEntry.streamSlidingEvents _,
     "stream_interval_join_events" -> graft.streaming.StreamingEntry.streamIntervalJoinEvents _,
+    "stream_outer_join_events" -> graft.streaming.StreamingEntry.streamOuterJoinEvents _,
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
     "stream_append_finalized" -> graft.streaming.StreamingEntry.streamAppendFinalized _,
     "stream_vector_source" -> graft.streaming.StreamingEntry.streamVectorSource _,
@@ -116,6 +117,7 @@ object SparkEntry {
     "doc_repetition" -> TextOps.docRepetition _,
     "contamination_check" -> TextOps.contaminationCheck _,
     "dedup_incremental" -> TextOps.dedupIncremental _,
+    "dedup_bloom_prune" -> TextOps.dedupBloomPrune _,
     "doc_commonness" -> TextOps.docCommonness _,
     "text_stats_lang" -> TextOps.textStatsLang _,
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
@@ -813,6 +815,18 @@ object SparkEntry {
         |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 7 DAYS
         |ORDER BY p_id, s_id""".stripMargin,
 
+    // LEFT OUTER stream-stream join: every purchase appears exactly once
+    // per qualifying signup, or once with the −1 sentinel when the
+    // watermark proved no signup can still arrive.
+    "stream_outer_join_events" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts FROM e WHERE event_type = 'signup')
+        |SELECT p_id, CAST(COALESCE(s_id, -1) AS BIGINT) AS s_id, p_user AS user_id
+        |FROM p LEFT JOIN s ON p_user = s_user
+        |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 7 DAYS
+        |ORDER BY p_id, s_id""".stripMargin,
+
     "tumbling_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -964,6 +978,18 @@ object SparkEntry {
         |ORDER BY eval_doc""".stripMargin,
 
     "dedup_incremental" ->
+      """WITH inc AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 4),
+        |ex AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+        |surv AS (SELECT doc_id, fp FROM inc WHERE fp NOT IN (SELECT fp FROM ex))
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        |FROM surv
+        |GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
+
+    // Bloom-pruned incremental dedup: the runtime filter only PRUNES the
+    // catalog side of the exact anti-join, so the answer — and the oracle —
+    // is identical to dedup_incremental's.
+    "dedup_bloom_prune" ->
       """WITH inc AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 4),
         |ex AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
         |surv AS (SELECT doc_id, fp FROM inc WHERE fp NOT IN (SELECT fp FROM ex))

@@ -199,6 +199,59 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** V+: BLOOM-PRUNED incremental dedup — [[dedupIncremental]]'s exact
+    * semantics with a runtime-filter stage in front of the anti-join: a
+    * Bloom filter is built driver-side over the INCOMING batch's 64-bit
+    * fingerprints (the small side — `df.stat.bloomFilter`, a few hundred
+    * KB for millions of keys) and probed against the CATALOG side with the
+    * native codegen [[graft.functions.BloomMightContainLong]] expression
+    * BEFORE the catalog rows reach the exchange. A catalog fingerprint the
+    * filter rejects cannot kill any incoming row, so dropping it is
+    * result-transparent; false positives merely pass extra rows into the
+    * exact anti-join. The oracle is therefore identical to
+    * `dedup_incremental`'s restricted to the same output.
+    *
+    * Why this is THE 100 TB shape: the catalog is the corpus-sized side
+    * (O(all documents ever ingested)) while a nightly batch is ~1% of it —
+    * without the bloom stage a shuffle anti-join exchanges the FULL
+    * catalog every night; with it, catalog exchange volume drops to
+    * ≈ |batch| × (1 + fpp) rows regardless of catalog size, turning the
+    * nightly cost from O(corpus) to O(ingest). Same mechanism as Spark's
+    * own runtime-row-level bloom join filters, made explicit and plannable.
+    */
+  def dedupBloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    def fp(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      length(col("text")).as("fp_len"),
+      xxhash64(col("text")).as("fp_x"),
+      md5(col("text")).as("fp_m"))
+    val docs = Tables.documents(spark, sfDir)
+    // Same staged catalog as dedupIncremental (shared stage key — one
+    // corpus read serves both declared queries per bench pass).
+    val catalog = Materialize.stage(spark, s"dedup_catalog_$sfDir", sfDir) {
+      fp(docs.filter(col("doc_id") % 5 =!= 4))
+        .select(col("fp_len"), col("fp_x"), col("fp_m")).distinct()
+    }
+    val incoming = fp(docs.filter(col("doc_id") % 5 === 4))
+    // Build phase: one pass over the (projected) incoming batch. The item
+    // count only sizes the filter, so the cheap upper bound |documents|/5
+    // avoids a separate count job; fpp 1% keeps the filter KB-scale here
+    // and ~1.2 MB per million keys in production.
+    val nEstimate = math.max(64L, docs.count() / 5)
+    val bloom = incoming.stat.bloomFilter("fp_x", nEstimate, 0.01)
+    val bytesOut = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytesOut)
+    val pruned = catalog.filter(
+      call_function("bloom_might_contain", lit(bytesOut.toByteArray), col("fp_x")))
+    incoming
+      .join(pruned, Seq("fp_len", "fp_x", "fp_m"), "left_anti")
+      .groupBy(col("fp_len"), col("fp_x"), col("fp_m"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** V+: corpus-frequency commonness score — a model-free quality signal:
     * per doc, the mean corpus frequency of its tokens (high = boilerplate
     * vocabulary, low = rare/noisy). Exact integer arithmetic end-to-end

@@ -550,4 +550,52 @@ object StreamingEntry {
       .select(col("p_id"), col("s_id"), col("user_id"))
       .orderBy(col("p_id"), col("s_id"))
   }
+
+  /** DECLARED stream-stream LEFT OUTER interval join entry: the append-mode
+    * emission semantics for outer joins — matched pairs emit on arrival
+    * (batch 2), and each unmatched purchase emits its sentinel row exactly
+    * once, only after the watermark proves no qualifying signup can still
+    * arrive. The harness forces that proof deterministically: batch 3 sends
+    * a far-future flush event down BOTH streams (the global watermark is
+    * the min across inputs), lifting the watermark past every real
+    * purchase's eviction bound; batch 4 sends a second flush that runs
+    * under that watermark, forcing the state-eviction pass that emits the
+    * outer rows (same explicit-replay device as [[streamAppendFinalized]] —
+    * eviction in batch N uses the watermark committed after batch N−1).
+    * The flush events use negative user ids, never join (purchase flushes
+    * user −1, signup flushes user −2), sit above the final watermark so
+    * they can never emit as unmatched, and are filtered out of the result
+    * by `user_id >= 0`. The oracle is the batch LEFT JOIN over the slice —
+    * every purchase present, s_id = −1 where unmatched.
+    */
+  def streamOuterJoinEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val flushTs = slice.map(_.ts_us).max + 30L * 24 * 3600 * 1000000L
+    val pStream = MemoryStream[StreamEvent](spark)
+    val sStream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.purchaseSignupLeftStream(
+          withTs(pStream.toDF()), withTs(sStream.toDF()))
+        .writeStream.format("memory").queryName("graft_stream_ssj_outer")
+        .outputMode("append").start()
+      try {
+        sStream.addData(slice.filter(_.event_type == "signup"))
+        q.processAllAvailable()
+        pStream.addData(slice.filter(_.event_type == "purchase"))
+        q.processAllAvailable()
+        pStream.addData(Seq(StreamEvent(-1L, flushTs, -1L, "purchase", 0.0)))
+        sStream.addData(Seq(StreamEvent(-2L, flushTs, -2L, "signup", 0.0)))
+        q.processAllAvailable()
+        pStream.addData(Seq(StreamEvent(-3L, flushTs + 3600L * 1000000L, -1L, "purchase", 0.0)))
+        sStream.addData(Seq(StreamEvent(-4L, flushTs + 3600L * 1000000L, -2L, "signup", 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    spark.table("graft_stream_ssj_outer")
+      .filter(col("user_id") >= 0)
+      .select(col("p_id"), col("s_id"), col("user_id"))
+      .orderBy(col("p_id"), col("s_id"))
+  }
 }

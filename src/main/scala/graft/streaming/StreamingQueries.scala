@@ -84,6 +84,39 @@ object StreamingQueries {
       purchases.withWatermark("ts_utc", "1 hour"),
       signups.withWatermark("ts_utc", "1 hour"))
 
+  /** LEFT OUTER variant of [[purchaseSignupJoin]]: every purchase appears,
+    * matched or not; the missing signup id surfaces as −1 (not NULL — a
+    * concrete sentinel keeps the presentation sort and the engine-vs-oracle
+    * compare free of null-ordering divergence). Batch- and
+    * stream-compatible.
+    */
+  def purchaseSignupLeftJoin(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts_utc").as("p_ts"))
+      .join(
+        signups.select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts_utc").as("s_ts")),
+        expr("""p_user = s_user AND
+               |s_ts <= p_ts AND
+               |s_ts >= p_ts - INTERVAL 7 DAYS""".stripMargin),
+        "left_outer")
+      .select(
+        col("p_id"),
+        coalesce(col("s_id"), lit(-1L)).as("s_id"),
+        col("p_user").as("user_id"))
+
+  /** Stream-stream LEFT OUTER join — the production "did this purchase
+    * have a preceding signup?" semantics: matches emit on arrival (inner
+    * path), and an unmatched purchase emits its null-padded row exactly
+    * once, when the watermark proves no qualifying signup can still
+    * arrive (signup-side watermark past the purchase's event time). Same
+    * state bound as the inner form; the outer path adds no state, only a
+    * deferred emission at eviction.
+    */
+  def purchaseSignupLeftStream(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchaseSignupLeftJoin(
+      purchases.withWatermark("ts_utc", "1 hour"),
+      signups.withWatermark("ts_utc", "1 hour"))
+
   /** Session windows (30-minute gap) — native `session_window`, usable on
     * batch (cross-validates the lag+cumsum sessionize) and on streams
     * (state-store backed).

@@ -158,4 +158,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("dedup_bloom_prune: bloom probe filters the catalog BELOW the exact anti-join") {
+    val df = graft.operators.TextOps.dedupBloomPrune(spark, sf0001)
+    val p = plan(df)
+    // The runtime filter must sit on the catalog side as a plain Filter
+    // (pre-exchange at scale), and the exact join must stay an equi
+    // anti-join — no cartesian fallback.
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -90,6 +90,25 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER join: entry == batch left join, sentinel rows emitted") {
+    import spark.implicits._
+    val entry = graft.streaming.StreamingEntry.streamOuterJoinEvents(spark, sf0001)
+      .collect().toSeq
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+    val batch = StreamingQueries.purchaseSignupLeftJoin(
+        withTs(slice.filter(col("event_type") === "purchase")),
+        withTs(slice.filter(col("event_type") === "signup")))
+      .orderBy(col("p_id"), col("s_id")).collect().toSeq
+    assert(entry.nonEmpty && entry == batch)
+    // The outer path must actually fire: at least one purchase with no
+    // preceding signup inside the 7-day bound emits the −1 sentinel.
+    assert(entry.exists(_.getLong(1) == -1L),
+      "no unmatched purchase in the fixture — outer emission untested")
+  }
+
   test("session_window agrees with lag+cumsum sessionize on per-user session counts") {
     val native = StreamingQueries.sessionCounts(graft.sources.Tables.events(spark, sf0001))
       .orderBy(col("user_id"))
