@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_clusters" -> TextOps.dedupClusters _,
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
+    "heavy_hitters_tokens" -> TextOps.heavyHittersTokens _,
     "doc_chunks" -> TextOps.docChunks _,
     "doc_repetition" -> TextOps.docRepetition _,
     "contamination_check" -> TextOps.contaminationCheck _,
@@ -1032,6 +1033,18 @@ object SparkEntry {
         |GROUP BY tok
         |ORDER BY n DESC, tok
         |LIMIT 20""".stripMargin,
+
+    // Heavy hitters: the sketch pass only nominates candidates; the final
+    // counts are exact, so the oracle is the plain exact φ=1/512 query.
+    "heavy_hitters_tokens" ->
+      """WITH tk AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT tok FROM tk WHERE length(tok) > 0),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |FROM t
+        |GROUP BY tok
+        |HAVING count(*) * 512 > (SELECT n FROM tot)
+        |ORDER BY n DESC, tok""".stripMargin,
 
     "text_stats_lang" ->
       """SELECT lang,

@@ -112,6 +112,69 @@ object TextOps {
       .limit(20)
   }
 
+  /** Misra-Gries frequent-items sketch over one partition's tokens: at most
+    * `k` counters; a miss on a full table decrements every counter and
+    * drops zeros. Guarantee (the classic one): any item whose true count in
+    * the partition exceeds n_p/(k+1) still holds a counter at the end —
+    * NO false negatives above that threshold (false positives are fine;
+    * the caller re-counts exactly). Amortized O(1)/item: each
+    * decrement-all removes k units of count and is charged against the k
+    * arrivals that paid them in.
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = new scala.collection.mutable.HashMap[String, Long]()
+    it.foreach { t =>
+      counters.get(t) match {
+        case Some(c) => counters.update(t, c + 1)
+        case None if counters.size < k => counters.update(t, 1L)
+        case None =>
+          val dead = new scala.collection.mutable.ArrayBuffer[String]()
+          counters.foreachEntry { (key, c) =>
+            if (c == 1L) dead += key else counters.update(key, c - 1)
+          }
+          dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** V+: heavy hitters WITHOUT a full-cardinality shuffle — the two-pass
+    * sketch-then-recount plan: (1) each partition runs a bounded
+    * [[misraGries]] sketch (k=1024 counters) over its tokens and emits
+    * only its ≤k candidate tokens — sound distributively because a token
+    * with global count > n/(k+1) must exceed n_p/(k+1) in at least one
+    * partition; (2) the candidates (≤ k × partitions rows, a plan-time
+    * broadcast) semi-join back onto the token stream and ONLY those are
+    * exactly re-counted and filtered to the φ = 1/512 support threshold
+    * (k=1024 > 512 ⇒ no true heavy hitter is missed). Output is exact
+    * counts — deterministic regardless of sketch merge order, which is
+    * what makes it oracle-able.
+    *
+    * At 100 TB the exchange after the recount's partial agg carries
+    * ≤ candidates × partitions rows — bounded by the SKETCH size, not the
+    * token vocabulary (billions of distinct typos/ids in a web corpus);
+    * the naive exact plan shuffles the full vocabulary. mapPartitions is
+    * justified here: a decaying counter table is genuinely imperative
+    * per-partition state Catalyst can't express.
+    */
+  def heavyHittersTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokens).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val candidates = toks.as[String]
+      .mapPartitions(it => misraGries(it, 1024))
+      .toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(total)
+      .filter(col("n") * 512 > col("n_total"))
+      .select(col("tok"), col("n"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
   /** V+: sliding-window document chunking — tokenize → fixed 32-token
     * windows at stride 24 (8-token overlap), one row per (doc, chunk): the
     * standard corpus→training-sample step before tokenizer packing. Pure

@@ -555,18 +555,22 @@ object StreamingEntry {
     * emission semantics for outer joins — matched pairs emit on arrival
     * (batch 2), and each unmatched purchase emits its sentinel row exactly
     * once, only after the watermark proves no qualifying signup can still
-    * arrive. The harness forces that proof deterministically: batch 3 sends
-    * a far-future flush event down BOTH streams (the global watermark is
-    * the min across inputs), lifting the watermark past every real
-    * purchase's eviction bound; batch 4 sends a second flush that runs
-    * under that watermark, forcing the state-eviction pass that emits the
-    * outer rows (same explicit-replay device as [[streamAppendFinalized]] —
-    * eviction in batch N uses the watermark committed after batch N−1).
-    * The flush events use negative user ids, never join (purchase flushes
-    * user −1, signup flushes user −2), sit above the final watermark so
-    * they can never emit as unmatched, and are filtered out of the result
-    * by `user_id >= 0`. The oracle is the batch LEFT JOIN over the slice —
-    * every purchase present, s_id = −1 where unmatched.
+    * arrive. The harness forces that proof deterministically in three
+    * micro-batches: batch 2 carries the purchases PLUS a far-future flush
+    * event on BOTH streams (the global watermark is the min across
+    * inputs, and it only advances when the batch COMMITS — so the
+    * purchases in the same batch still process under batch 1's low
+    * watermark, while the commit lifts the watermark past every real
+    * purchase's eviction bound); batch 3 replays one flush event, running
+    * under that watermark and forcing the state-eviction pass that emits
+    * the outer rows (same explicit-replay device as
+    * [[streamAppendFinalized]] — eviction in batch N uses the watermark
+    * committed after batch N−1). The flush events use negative user ids,
+    * never join (purchase flushes user −1, signup flushes user −2), sit
+    * above the final watermark so they can never emit as unmatched, and
+    * are filtered out of the result by `user_id >= 0`. The oracle is the
+    * batch LEFT JOIN over the slice — every purchase present, s_id = −1
+    * where unmatched.
     */
   def streamOuterJoinEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -582,13 +586,11 @@ object StreamingEntry {
       try {
         sStream.addData(slice.filter(_.event_type == "signup"))
         q.processAllAvailable()
-        pStream.addData(slice.filter(_.event_type == "purchase"))
-        q.processAllAvailable()
-        pStream.addData(Seq(StreamEvent(-1L, flushTs, -1L, "purchase", 0.0)))
+        pStream.addData(slice.filter(_.event_type == "purchase") :+
+          StreamEvent(-1L, flushTs, -1L, "purchase", 0.0))
         sStream.addData(Seq(StreamEvent(-2L, flushTs, -2L, "signup", 0.0)))
         q.processAllAvailable()
-        pStream.addData(Seq(StreamEvent(-3L, flushTs + 3600L * 1000000L, -1L, "purchase", 0.0)))
-        sStream.addData(Seq(StreamEvent(-4L, flushTs + 3600L * 1000000L, -2L, "signup", 0.0)))
+        pStream.addData(Seq(StreamEvent(-3L, flushTs, -1L, "purchase", 0.0)))
         q.processAllAvailable()
       } finally q.stop()
     }
