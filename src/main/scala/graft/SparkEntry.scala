@@ -114,6 +114,8 @@ object SparkEntry {
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
     "heavy_hitters_tokens" -> TextOps.heavyHittersTokens _,
+    "pack_token_bins" -> TextOps.packTokenBins _,
+    "rarity_top_terms" -> TextAnalysisOps.rarityTopTerms _,
     "doc_chunks" -> TextOps.docChunks _,
     "doc_repetition" -> TextOps.docRepetition _,
     "contamination_check" -> TextOps.contaminationCheck _,
@@ -1033,6 +1035,35 @@ object SparkEntry {
         |GROUP BY tok
         |ORDER BY n DESC, tok
         |LIMIT 20""".stripMargin,
+
+    // Sequence packing: all-integer contiguous fill per shard — the bin
+    // manifest is a pure window computation on both engines.
+    "pack_token_bins" ->
+      """WITH d AS (SELECT doc_id, doc_id % 16 AS shard,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS strt FROM d)
+        |SELECT shard, doc_id, n_tokens,
+        |  CAST(strt // 2048 AS BIGINT) AS bin_id,
+        |  CAST(strt % 2048 AS BIGINT) AS bin_offset
+        |FROM c
+        |ORDER BY shard, doc_id""".stripMargin,
+
+    // Rarity-weighted top terms: score = tf × N / df — multiply/divide
+    // only (IEEE-exact, engine-identical), never ln.
+    "rarity_top_terms" ->
+      """WITH tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM tk WHERE len(tok) > 0),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf,
+        |    round(tf.tf * CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df, 6) AS score
+        |  FROM tf JOIN df USING (tok)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, CAST(tf AS BIGINT) AS tf, score
+        |FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     // Heavy hitters: the sketch pass only nominates candidates; the final
     // counts are exact, so the oracle is the plain exact φ=1/512 query.

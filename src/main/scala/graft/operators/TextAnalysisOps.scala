@@ -183,6 +183,40 @@ object TextAnalysisOps {
   /** Oracle SQL builders (shared term generation keeps the 16 simhash
     * terms in lockstep with the Spark side).
     */
+  /** V+: rarity-weighted top terms per document — tf-idf-shaped keyword
+    * extraction with a HASH-SAFE score: `tf × N_docs / df` (document
+    * frequency), which ranks identically to tf × (N/df) monotone
+    * transforms but uses only IEEE-exact multiply/divide — deliberately
+    * NOT `tf·ln(N/df)`, whose last-ulp libm differences across engines
+    * would break the 6-dp hash protocol (same reasoning as
+    * [[TextOps.docCommonness]]'s no-log rule). Plan: one (doc, term)
+    * count aggregate (partial+final), a vocab-sized df aggregate that
+    * broadcasts back onto it, a 1-row N crossJoin, and a per-doc top-3
+    * window — at 100 TB every exchange carries per-doc or per-vocab
+    * aggregates, never raw text, and the window partitions by doc_id (no
+    * skew: per-doc term counts are bounded by doc length).
+    */
+  def rarityTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(n)
+      .withColumn("score",
+        round(col("tf") * col("n_docs").cast("double") / col("df"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   object Oracle {
     val langIdConfusion: String = {
       val scores = langKeywords.map { case (l, kws) =>

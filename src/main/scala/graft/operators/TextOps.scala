@@ -175,6 +175,35 @@ object TextOps {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** V+: sequence PACKING — the step between chunking and the trainer:
+    * assign documents to fixed-capacity (2048-token) bins, recording each
+    * doc's bin and starting offset, using the streaming contiguous-fill
+    * discipline (docs straddle bin boundaries; the trainer's loader splits
+    * at the boundary — same convention as packed pre-training shards).
+    * Packing is inherently sequential, so the plan SHARDS it: doc_id % 16
+    * streams pack independently — one shuffle on the shard key, then a
+    * per-shard running sum (window) computes every assignment in one
+    * pass. At 100 TB the shard count scales with the cluster (it only
+    * changes which bins exist, not their tightness), each shard's window
+    * is a single ordered scan, and the output is exactly the manifest a
+    * packed-dataset writer consumes. All-integer arithmetic → oracled.
+    */
+  def packTokenBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 2048
+    val d = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      (col("doc_id") % 16).as("shard"),
+      expr("CAST(size(filter(split(text, ' '), x -> length(x) > 0)) AS BIGINT)").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    d.withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("shard"), col("doc_id"), col("n_tokens"),
+        expr(s"CAST(start DIV $cap AS BIGINT)").as("bin_id"),
+        expr(s"CAST(start % $cap AS BIGINT)").as("bin_offset"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
   /** V+: sliding-window document chunking — tokenize → fixed 32-token
     * windows at stride 24 (8-token overlap), one row per (doc, chunk): the
     * standard corpus→training-sample step before tokenizer packing. Pure
