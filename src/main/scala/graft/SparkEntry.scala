@@ -116,6 +116,9 @@ object SparkEntry {
     "heavy_hitters_tokens" -> TextOps.heavyHittersTokens _,
     "pack_token_bins" -> TextOps.packTokenBins _,
     "rarity_top_terms" -> TextAnalysisOps.rarityTopTerms _,
+    // rows-only: GK sketch estimates are engine-specific (SURVEY.md §7.4
+    // approximate-output carve-out, like agg_distinct_users_approx)
+    "value_quantiles_sketch" -> Relational.valueQuantilesSketch _,
     "doc_chunks" -> TextOps.docChunks _,
     "doc_repetition" -> TextOps.docRepetition _,
     "contamination_check" -> TextOps.contaminationCheck _,

@@ -324,6 +324,33 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** D+: quantile SKETCH per event_type — `percentile_approx` (the
+    * Greenwald-Khanna mergeable summary) at accuracy 10000 for
+    * p50/p95/p99 of `value`, alongside the exact row count. At 100 TB
+    * this is THE percentile plan, completing the engine's sketch family
+    * (HLL count-distinct, bloom membership, Misra-Gries frequency): exact
+    * percentiles need a global sort or full-value shuffle per group; the
+    * GK summary is a bounded-size algebraic state with map-side combine —
+    * one narrow exchange of sketches, error ≤ 1/accuracy of rank,
+    * independent of row count. Rows-only by design (sketch estimates are
+    * engine-specific; PackingSpec pins the rank-error envelope vs the
+    * exact percentiles instead).
+    */
+  def valueQuantilesSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+          .as("qs"))
+      .select(
+        col("event_type"), col("n"),
+        round(col("qs").getItem(0), 6).as("p50"),
+        round(col("qs").getItem(1), 6).as("p95"),
+        round(col("qs").getItem(2), 6).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** D+: pivot — events per (day-of-week × event_type) as a wide table.
     * Explicit value list → deterministic column set; DuckDB oracle uses
     * the equivalent conditional aggregation. Day-of-week normalized to

@@ -342,6 +342,17 @@ object TextOps {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
+      // observe(): result-transparent pipeline metrics, the production
+      // alerting hook — a survivor-rate collapse (all dups) or spike
+      // (catalog miss) pages before bad data lands. Read post-action from
+      // queryExecution.observedMetrics (BloomPruneSpec) or a
+      // QueryExecutionListener in a real deployment; computed inline with
+      // the pass, no extra job. Placed ABOVE the sort: range partitioning
+      // runs a sampling pass over its child, which would double-count any
+      // observation below it.
+      .observe("dedup_metrics",
+        count(lit(1)).as("survivors"),
+        min(col("doc_id")).as("min_surviving_doc"))
   }
 
   /** V+: corpus-frequency commonness score — a model-free quality signal:

@@ -54,4 +54,12 @@ class BloomPruneSpec extends AnyFunSuite with SparkTestBase {
     val exact = TextOps.dedupIncremental(spark, sf0001).collect().toSeq
     assert(pruned.nonEmpty && pruned == exact)
   }
+
+  test("observe(): dedup pipeline metrics match the result, computed in-pass") {
+    val df = TextOps.dedupBloomPrune(spark, sf0001)
+    val rows = df.collect()
+    val m = df.queryExecution.observedMetrics("dedup_metrics")
+    assert(m.getAs[Long]("survivors") == rows.length.toLong)
+    assert(m.getAs[Long]("min_surviving_doc") == rows.map(_.getLong(0)).min)
+  }
 }

@@ -27,6 +27,32 @@ class HeavyHitterSpec extends AnyFunSuite with SparkTestBase {
     assert(out.contains("a") && out.contains("b"), out.toString)
   }
 
+  test("value_quantiles_sketch: GK estimates honor the rank-error guarantee") {
+    val approx = Relational.valueQuantilesSketch(spark, sf0001).collect()
+    assert(approx.nonEmpty)
+    val values = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { r =>
+      val vs = values(r.getString(0))
+      val n = vs.length
+      // GK guarantee at accuracy=10000: the returned value's rank is
+      // within n/10000 (+1 for boundary arithmetic) of the target rank.
+      def rankOk(p: Double, est: Double): Boolean = {
+        val lo = vs.count(_ < est - 1e-6) // est is rounded to 6 dp
+        val hi = vs.count(_ <= est + 1e-6)
+        val target = p * n
+        val tol = n / 10000.0 + 1.0
+        target >= lo - tol && target <= hi + tol
+      }
+      assert(n.toLong == r.getLong(1))
+      assert(rankOk(0.50, r.getDouble(2)), s"p50 ${r}")
+      assert(rankOk(0.95, r.getDouble(3)), s"p95 ${r}")
+      assert(rankOk(0.99, r.getDouble(4)), s"p99 ${r}")
+    }
+  }
+
   test("heavy_hitters_tokens == exact φ=1/512 heavy hitters (sketch is candidates-only)") {
     val sketched = TextOps.heavyHittersTokens(spark, sf0001).collect().toSeq
     val toks = graft.sources.Tables.documents(spark, sf0001)
