@@ -169,4 +169,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("heavy_hitters_tokens: candidate recount is a broadcast semi-join, no vocab-wide plan") {
+    val p = plan(graft.operators.TextOps.heavyHittersTokens(spark, sf0001))
+    // candidates (≤ k × partitions) broadcast back onto the token stream;
+    // the exact recount must not fall back to a shuffled or nested-loop
+    // join. The single BroadcastNestedLoopJoin is the intentional 1-row
+    // scalar combine gluing n_total onto the counts (the engine's
+    // standard scalar-crossJoin pattern), not a data join.
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
+
+  test("pack_token_bins: exactly one data shuffle — the shard exchange under the window") {
+    val p = plan(graft.operators.TextOps.packTokenBins(spark, sf0001))
+    // hashpartitioning(shard) feeds the per-shard running-sum window; the
+    // only other exchange is the presentation sort's range partitioning
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    assert(p.contains("Window"), p)
+  }
 }
