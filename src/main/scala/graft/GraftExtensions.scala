@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotF32)
     ext.injectFunction(GraftFunctions.bloomMightContain)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.CoresetStrategy)
   }
 }
 
@@ -38,6 +39,18 @@ object GraftFunctions {
       if (!registry.functionExists(id)) {
         registry.registerFunction(id, info, builder)
       }
+    }
+  }
+
+  /** Idempotent runtime registration of the coreset planner strategy, for
+    * sessions created without `spark.sql.extensions` (the test harness) —
+    * `experimental.extraStrategies` is the public runtime equivalent of
+    * `injectPlannerStrategy`.
+    */
+  def registerStrategy(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.CoresetStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.CoresetStrategy
     }
   }
 }

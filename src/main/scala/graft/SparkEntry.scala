@@ -137,6 +137,9 @@ object SparkEntry {
     "audio_frames_meta" -> MultimodalOps.audioFramesMeta _,
     // W: diversity core (no oracle — property-tested, SURVEY.md §2.2-W)
     "gmm_diverse_k32" -> DiversityOps.gmmDiverseK32 _,
+    // rows-only: coreset kernel not SQL-expressible; CoresetPlanSpec
+    // asserts plan-node ≡ mapPartitions output
+    "coreset_exec_k64" -> DiversityOps.coresetExecK64 _,
     "diverse_docs_k16" -> DiversityOps.diverseDocsK16 _,
     "curate_corpus_k16" -> DiversityOps.curateCorpusK16 _,
     "remote_edge_div" -> DiversityOps.remoteEdgeDiv _,

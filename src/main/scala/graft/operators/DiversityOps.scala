@@ -77,6 +77,32 @@ object DiversityOps {
   def selectDiverse(spark: SparkSession, sfDir: String, k: Int): IndexedSeq[Pt] =
     Gmm.select(coreset(spark, sfDir).map(w => Pt(w.id, w.vec)), k)
 
+  /** W+: the coreset map stage as a FIRST-CLASS PLAN NODE — same kernel
+    * and same deterministic pmod partitioning as [[coreset]], but entering
+    * the query through [[graft.plans.CoresetPlan]] → `CoresetStrategy` →
+    * `CoresetExec` (the custom LogicalPlan/Strategy/SparkPlan extension
+    * path), so the operator is visible to EXPLAIN and the planner instead
+    * of hiding in a mapPartitions closure. Declared rows-only (the kernel
+    * is not SQL-expressible); CoresetPlanSpec asserts exec ≡ mapPartitions
+    * output and weight-mass conservation. Output here summarizes each
+    * kernel row reproducibly: (id, weight, 6-dp center norm).
+    */
+  def coresetExecK64(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.registerStrategy(spark)
+    val p = coresetParallelism(spark)
+    val child = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding"))
+      .repartition(p, pmod(col("id"), lit(p)))
+    val kernels = org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(
+      spark, graft.plans.CoresetPlan(child.queryExecution.analyzed, KPrime))
+    kernels.select(
+        col("id"), col("weight"),
+        round(sqrt(expr(
+          "aggregate(center, 0D, (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 6)
+          .as("c_norm"))
+      .orderBy(col("id"))
+  }
+
   /** W: deterministic GMM k=32 → (rank, vec_id). No oracle (not
     * SQL-expressible); invariants are property-tested in scalatest.
     */
