@@ -44,6 +44,62 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Morton/Z-order interleave of two 8-bit bucket columns into a 16-bit
+    * code — built from shiftright/bitwiseAND/shiftleft so the whole
+    * expression stays inside codegen. Bit i of x lands at position 2i,
+    * bit i of y at 2i+1, so sorting by the code clusters rows that are
+    * close in BOTH dimensions.
+    */
+  private def morton8(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** A+/layout: Z-ORDER clustering — the multi-dimensional data-skipping
+    * layout: events are staged ONCE sorted by the Morton interleave of
+    * range-binned (user_id, ts) buckets, then a 2-D box query (middle
+    * quarter of each dimension) runs over the staged table with RAW range
+    * predicates. Because the bins are range-based, every staged file/row
+    * group covers a small rectangle of (user, time) space, so the raw
+    * min/max stats prune most of the table for box queries on EITHER or
+    * BOTH dimensions — where a single-column sort prunes only its own
+    * dimension. This is the lakehouse ZORDER BY move, built from plain
+    * expressions + orderBy; at 100 TB it is the difference between
+    * scanning ~1/16 and scanning everything for sliced dashboards
+    * (measured A/B in EXPERIMENTS.md "z-order"). The result is layout-
+    * independent (the oracle computes the same box over the raw table) —
+    * what the layout changes is bytes read, not answers.
+    */
+  def zorderEventsBox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), cents.as("cents"))
+    val (umin, umax, tmin, tmax) =
+      raw.agg(min(col("user_id")), max(col("user_id")), min(col("ts_us")), max(col("ts_us")))
+        .as[(Long, Long, Long, Long)].collect()(0)
+    val uSpan = umax - umin + 1
+    val tSpan = tmax - tmin + 1
+    val staged = Materialize.stage(spark, s"zorder_events_$sfDir", sfDir) {
+      raw.withColumn("z", morton8(
+          expr(s"CAST(((user_id - $umin) * 256) DIV $uSpan AS INT)"),
+          expr(s"CAST(((ts_us - $tmin) * 256) DIV $tSpan AS INT)")))
+        .orderBy(col("z")).drop("z")
+    }
+    // middle-quarter box in both dimensions; integer floor arithmetic so
+    // the DuckDB oracle derives bit-identical bounds from min/max
+    val (uLo, uHi) = (umin + uSpan / 4, umin + uSpan / 2)
+    val (tLo, tHi) = (tmin + tSpan / 4, tmin + tSpan / 2)
+    staged
+      .filter(col("user_id") >= uLo && col("user_id") < uHi &&
+        col("ts_us") >= tLo && col("ts_us") < tHi)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_eid"),
+        max(col("event_id")).as("max_eid"))
+  }
+
   /** A+: JSON-lines source/sink round-trip — events exported once as JSONL
     * ([[graft.sources.Materialize.formatPath]]), read back with an EXPLICIT
     * schema (never inference: that is a second full scan of the data at

@@ -182,6 +182,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
 
+  test("zorder_events_box: raw range predicates push to the staged clustered scan") {
+    val p = plan(graft.operators.EventOps.zorderEventsBox(spark, sf0001))
+    // pruning rides the pushed min/max filters on the RAW columns — the
+    // z-code itself is layout-only and must not appear in the query
+    // (PushedFilters prints truncated, so assert the head of the pushed
+    // list plus both range ends in the Filter condition)
+    assert(p.contains("GreaterThanOrEqual(user_id"), p)
+    assert(p.contains("user_id") && p.contains("ts_us"), p)
+    assert(!p.contains("shiftright"), p)
+  }
+
   test("pack_token_bins: exactly one data shuffle — the shard exchange under the window") {
     val p = plan(graft.operators.TextOps.packTokenBins(spark, sf0001))
     // hashpartitioning(shard) feeds the per-shard running-sum window; the
