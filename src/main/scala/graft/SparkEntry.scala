@@ -85,6 +85,7 @@ object SparkEntry {
     "stream_sliding_events" -> graft.streaming.StreamingEntry.streamSlidingEvents _,
     "stream_interval_join_events" -> graft.streaming.StreamingEntry.streamIntervalJoinEvents _,
     "stream_outer_join_events" -> graft.streaming.StreamingEntry.streamOuterJoinEvents _,
+    "stream_static_enrich" -> graft.streaming.StreamingEntry.streamStaticEnrich _,
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
     "stream_append_finalized" -> graft.streaming.StreamingEntry.streamAppendFinalized _,
     "stream_vector_source" -> graft.streaming.StreamingEntry.streamVectorSource _,
@@ -840,6 +841,17 @@ object SparkEntry {
         |FROM p JOIN s ON p_user = s_user
         |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 7 DAYS
         |ORDER BY p_id, s_id""".stripMargin,
+
+    // Stream-static enrichment: the static dim adds no state and no
+    // watermark — the result equals the batch join+aggregate exactly.
+    "stream_static_enrich" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT c.c_nationkey AS nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1
+        |ORDER BY nationkey""".stripMargin,
 
     // LEFT OUTER stream-stream join: every purchase appears exactly once
     // per qualifying signup, or once with the −1 sentinel when the

@@ -600,4 +600,31 @@ object StreamingEntry {
       .select(col("p_id"), col("s_id"), col("user_id"))
       .orderBy(col("p_id"), col("s_id"))
   }
+
+  /** DECLARED stream-STATIC join entry: the live event stream enriched
+    * against the static customer dimension ([[StreamingQueries.enrichAgg]])
+    * with per-nation spend accumulated across three micro-batches. The
+    * static side carries no watermark and no state — it is re-planned
+    * each micro-batch (the mechanism that lets a file-backed dimension
+    * pick up slow changes) and broadcast when small, so the entry proves
+    * the third join family (batch-batch, stream-stream, stream-static)
+    * through the same driver-checked harness. Oracle = the identical
+    * batch join+aggregate over the slice.
+    */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.enrichAgg(
+          stream.toDF(), Tables.customer(spark, sfDir))
+        .writeStream.format("memory").queryName("graft_stream_enrich")
+        .outputMode("complete").start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+
+    spark.table("graft_stream_enrich")
+      .select(col("nationkey"), col("n"), col("sum_cents"))
+      .orderBy(col("nationkey"))
+  }
 }

@@ -117,6 +117,23 @@ object StreamingQueries {
       purchases.withWatermark("ts_utc", "1 hour"),
       signups.withWatermark("ts_utc", "1 hour"))
 
+  /** Stream-STATIC enrichment: the event stream joined to a static
+    * dimension table (customers) with per-nation spend aggregated — the
+    * standard streaming-enrichment pattern, distinct from stream-stream
+    * joins: the static side needs no watermark and holds NO join state
+    * (it is re-planned per micro-batch, which is also what lets a
+    * file-backed dimension pick up slowly-changing updates), so the only
+    * state is the aggregation's. Works identically on a batch events
+    * DataFrame, which is what the oracle checks.
+    */
+  def enrichAgg(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(customers.select(col("c_custkey"), col("c_nationkey")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .select(col("c_nationkey").as("nationkey"), col("n"), col("sum_cents"))
+
   /** Session windows (30-minute gap) — native `session_window`, usable on
     * batch (cross-validates the lag+cumsum sessionize) and on streams
     * (state-store backed).

@@ -109,6 +109,17 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
       "no unmatched purchase in the fixture — outer emission untested")
   }
 
+  test("stream-static join: enrichment entry == batch join+aggregate over the slice") {
+    val entry = graft.streaming.StreamingEntry.streamStaticEnrich(spark, sf0001)
+      .collect().toSeq
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+    val batch = StreamingQueries.enrichAgg(
+        slice, graft.sources.Tables.customer(spark, sf0001))
+      .orderBy(col("nationkey")).collect().toSeq
+    assert(entry.nonEmpty && entry == batch)
+  }
+
   test("session_window agrees with lag+cumsum sessionize on per-user session counts") {
     val native = StreamingQueries.sessionCounts(graft.sources.Tables.events(spark, sf0001))
       .orderBy(col("user_id"))
