@@ -121,6 +121,7 @@ object SparkEntry {
     // rows-only: GK sketch estimates are engine-specific (SURVEY.md §7.4
     // approximate-output carve-out, like agg_distinct_users_approx)
     "value_quantiles_sketch" -> Relational.valueQuantilesSketch _,
+    "bitmap_distinct_users" -> Relational.bitmapDistinctUsers _,
     "doc_chunks" -> TextOps.docChunks _,
     "doc_repetition" -> TextOps.docRepetition _,
     "contamination_check" -> TextOps.contaminationCheck _,
@@ -380,6 +381,15 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // Bitmap exact distinct: the bitmap pipeline must reproduce the plain
+    // COUNT(DISTINCT) exactly — that equivalence IS the check.
+    "bitmap_distinct_users" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

@@ -324,6 +324,30 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** D+: BITMAP exact distinct — Spark 4's bitmap functions as the exact
+    * count-distinct plan for dense integer keys: user ids bucket into
+    * 32768-bit bitmaps (`bitmap_bucket_number`/`bitmap_bit_position`),
+    * each (event_type, bucket) group ORs its positions into one 4 KB
+    * bitmap (`bitmap_construct_agg` — algebraic, map-side combinable),
+    * and the per-type distinct count is the sum of `bitmap_count` over
+    * buckets. Unlike the expand-based `count(DISTINCT)` (state = every
+    * distinct pair), bitmap state is FIXED at 4 KB per occupied bucket
+    * regardless of how many ids land in it — between exact-expand and
+    * HLL: exact like the former, bounded-state like the latter, at the
+    * price of requiring dense integer keys. The oracle is the plain
+    * COUNT(DISTINCT): the bitmap pipeline must reproduce it exactly.
+    */
+  def bitmapDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))")
+        .as("bucket_users"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("bucket_users")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** D+: quantile SKETCH per event_type — `percentile_approx` (the
     * Greenwald-Khanna mergeable summary) at accuracy 10000 for
     * p50/p95/p99 of `value`, alongside the exact row count. At 100 TB

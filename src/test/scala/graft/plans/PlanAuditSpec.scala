@@ -182,6 +182,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
 
+  test("bitmap_distinct_users: bitmap aggregation is partial+final, no Expand") {
+    val p = plan(Relational.bitmapDistinctUsers(spark, sf0001))
+    // fixed-size bitmap states combine map-side; the expand-based
+    // count(DISTINCT) shape must not appear
+    assert(p.contains("bitmap_construct_agg"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Expand"), p)
+  }
+
   test("zorder_events_box: raw range predicates push to the staged clustered scan") {
     val p = plan(graft.operators.EventOps.zorderEventsBox(spark, sf0001))
     // pruning rides the pushed min/max filters on the RAW columns — the
