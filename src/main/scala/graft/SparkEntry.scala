@@ -26,6 +26,7 @@ object SparkEntry {
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
     "csv_roundtrip_events" -> EventOps.csvRoundtripEvents _,
     "orc_roundtrip_events" -> EventOps.orcRoundtripEvents _,
+    "xml_roundtrip_events" -> EventOps.xmlRoundtripEvents _,
     // C: joins
     "join_nation_revenue" -> Relational.joinNationRevenue _,
     "q3_top_orders" -> Relational.q3TopOrders _,
@@ -136,6 +137,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysisOps.docFingerprint _,
     "multimodal_meta" -> MultimodalOps.multimodalMeta _,
     "media_decode_meta" -> MultimodalOps.mediaDecodeMeta _,
+    "binary_files_meta" -> MultimodalOps.binaryFilesMeta _,
     "image_resize_dims" -> MultimodalOps.imageResizeDims _,
     "audio_frames_meta" -> MultimodalOps.audioFramesMeta _,
     // W: diversity core (no oracle — property-tested, SURVEY.md §2.2-W)
@@ -275,6 +277,29 @@ object SparkEntry {
         |FROM e
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "xml_roundtrip_events" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(event_id) AS BIGINT) AS min_event,
+        |  CAST(max(event_id) AS BIGINT) AS max_event
+        |FROM e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // binaryFile ingestion: file names carry the doc id, content decodes
+    // through the real JDK codec — the oracle is the generator closed form.
+    "binary_files_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 12 AS BIGINT) AS height,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS r_mean
+        |FROM documents
+        |WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "csv_roundtrip_events" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -125,6 +125,15 @@ object EventOps {
   def orcRoundtripEvents(spark: SparkSession, sfDir: String): DataFrame =
     roundtripEvents(spark, sfDir, "orc")
 
+  /** A+: XML source/sink round-trip — Spark 4's BUILT-IN XML data source
+    * (rowTag-delimited records), same contract as the JSONL/CSV/ORC
+    * round-trips: explicit schema on read (never inference), integer
+    * cents so the text round-trip is exact, oracle reads the original
+    * parquet so any serialization loss hash-mismatches.
+    */
+  def xmlRoundtripEvents(spark: SparkSession, sfDir: String): DataFrame =
+    roundtripEvents(spark, sfDir, "xml")
+
   private def roundtripEvents(spark: SparkSession, sfDir: String, format: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = Materialize.formatPath(spark, s"events_rt_$sfDir", format, sfDir) {
@@ -138,6 +147,7 @@ object EventOps {
     (format match {
       case "csv" => r.option("header", "true").csv(path)
       case "orc" => r.orc(path)
+      case "xml" => r.option("rowTag", "event").format("xml").load(path)
       case _     => r.json(path)
     })
       .groupBy(col("event_type"))

@@ -328,4 +328,70 @@ object MultimodalOps {
         "channels", "sample_rate", "duration_ms")
       .orderBy(col("doc_id"))
   }
+
+  private val binDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage one REAL PNG file per image doc under target/graft-stage, once
+    * per fixture content. Files are written executor-side via
+    * foreachPartition — correct in local mode (shared FS); in production
+    * the media files already live in object storage and only the READ
+    * path below matters. A _SUCCESS marker makes re-staging idempotent
+    * across sessions.
+    */
+  private def stageBinaryFiles(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    binDirMemo.computeIfAbsent(
+      s"$sfDir@${graft.sources.Materialize.contentToken(sfDir)}", _ => {
+        val dir = new java.io.File("target/graft-stage",
+          s"binfiles_${graft.sources.Materialize.contentToken(sfDir)}_" +
+            sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+        val marker = new java.io.File(dir, "_SUCCESS")
+        if (!marker.exists()) {
+          dir.mkdirs()
+          val dirPath = dir.getAbsolutePath
+          rawMedia(spark, sfDir)
+            .filter(col("_2") === "image/png")
+            .foreachPartition { it: Iterator[(Long, String, Array[Byte])] =>
+              it.foreach { case (id, _, bytes) =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(dirPath, s"$id.png"), bytes): Unit
+              }
+            }
+          marker.createNewFile(): Unit
+        }
+        dir.getAbsolutePath
+      })
+  }
+
+  /** V+: the binaryFile INGESTION path — `spark.read.format("binaryFile")`
+    * over a directory of real PNG files (the lake layout raw media
+    * actually arrives in), glob-filtered, each file decoded executor-side
+    * by the JDK codec. This is the missing first hop in front of
+    * [[mediaDecodeMeta]]'s bytes-in-a-column model: files → (path,
+    * length, content) rows → decoded features, with the doc id recovered
+    * from the file name. At 100 TB the source parallelizes by file and
+    * never moves bytes through a shuffle (decode happens where the read
+    * happens); the oracle is the generator closed form, so a wrong byte
+    * read or decode hash-mismatches.
+    */
+  def binaryFilesMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageBinaryFiles(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, rMean) = decodeImage(bytes)
+          (id, w.toLong, h.toLong, rMean)
+        }
+      }
+      .toDF("doc_id", "width", "height", "r_mean")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -191,8 +191,13 @@ object Materialize {
     val tokenKey = s"fmt:$format:$key@${contentToken(inputDir)}"
     memoized(paths, s"${sessionTag(spark)}:$tokenKey") {
       val path = stageDir(spark, tokenKey)
-      val w = df.write.mode("overwrite")
-      (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
+      val w0 = df.write.mode("overwrite")
+      val w = format match {
+        case "csv" => w0.option("header", "true")
+        case "xml" => w0.option("rowTag", "event")
+        case _     => w0
+      }
+      w.format(format).save(path)
       path
     }
   }
