@@ -53,6 +53,20 @@ class HeavyHitterSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bitmap distinct pattern: bucket-boundary ids count exactly once") {
+    import spark.implicits._
+    // ids straddling the 32768-bit bucket edges, with duplicates — the
+    // two-level bitmap pipeline must count each distinct id exactly once
+    // across bucket boundaries (same expressions as bitmap_distinct_users)
+    val ids = Seq(0L, 32767L, 32768L, 65535L, 65536L, 0L, 32768L, 32769L)
+    val n = ids.toDF("user_id")
+      .groupBy(expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))")
+        .as("c"))
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(n == ids.distinct.length.toLong, s"got $n")
+  }
+
   test("heavy_hitters_tokens == exact φ=1/512 heavy hitters (sketch is candidates-only)") {
     val sketched = TextOps.heavyHittersTokens(spark, sf0001).collect().toSeq
     val toks = graft.sources.Tables.documents(spark, sf0001)
