@@ -87,6 +87,7 @@ object SparkEntry {
     "stream_interval_join_events" -> graft.streaming.StreamingEntry.streamIntervalJoinEvents _,
     "stream_outer_join_events" -> graft.streaming.StreamingEntry.streamOuterJoinEvents _,
     "stream_static_enrich" -> graft.streaming.StreamingEntry.streamStaticEnrich _,
+    "stream_semi_join_events" -> graft.streaming.StreamingEntry.streamSemiJoinEvents _,
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
     "stream_append_finalized" -> graft.streaming.StreamingEntry.streamAppendFinalized _,
     "stream_vector_source" -> graft.streaming.StreamingEntry.streamVectorSource _,
@@ -876,6 +877,18 @@ object SparkEntry {
         |FROM p JOIN s ON p_user = s_user
         |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 7 DAYS
         |ORDER BY p_id, s_id""".stripMargin,
+
+    // Stream-stream LEFT SEMI: exactly-once existence — each purchase with
+    // at least one qualifying signup appears once, fan-out collapsed.
+    "stream_semi_join_events" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id AS s_user, ts AS s_ts FROM e WHERE event_type = 'signup')
+        |SELECT p_id, p_user AS user_id
+        |FROM p
+        |WHERE EXISTS (SELECT 1 FROM s
+        |  WHERE s_user = p_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 7 DAYS)
+        |ORDER BY p_id""".stripMargin,
 
     // Stream-static enrichment: the static dim adds no state and no
     // watermark — the result equals the batch join+aggregate exactly.

@@ -601,6 +601,37 @@ object StreamingEntry {
       .orderBy(col("p_id"), col("s_id"))
   }
 
+  /** DECLARED stream-stream LEFT SEMI join entry: signups in micro-batch
+    * 1, purchases in micro-batch 2 (every existence proof crosses the
+    * state store), each matched purchase emitted exactly once even where
+    * several signups qualify — semi semantics collapse the fan-out the
+    * inner entry (`stream_interval_join_events`) deliberately exhibits.
+    * Unmatched purchases emit nothing, so no flush batches are needed.
+    * Oracle = the batch EXISTS query over the slice.
+    */
+  def streamSemiJoinEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val pStream = MemoryStream[StreamEvent](spark)
+    val sStream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.purchaseSignupSemiStream(
+          withTs(pStream.toDF()), withTs(sStream.toDF()))
+        .writeStream.format("memory").queryName("graft_stream_ssj_semi")
+        .outputMode("append").start()
+      try {
+        sStream.addData(slice.filter(_.event_type == "signup"))
+        q.processAllAvailable()
+        pStream.addData(slice.filter(_.event_type == "purchase"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    spark.table("graft_stream_ssj_semi")
+      .select(col("p_id"), col("user_id"))
+      .orderBy(col("p_id"))
+  }
+
   /** DECLARED stream-STATIC join entry: the live event stream enriched
     * against the static customer dimension ([[StreamingQueries.enrichAgg]])
     * with per-nation spend accumulated across three micro-batches. The

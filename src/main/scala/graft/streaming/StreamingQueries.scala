@@ -117,6 +117,34 @@ object StreamingQueries {
       purchases.withWatermark("ts_utc", "1 hour"),
       signups.withWatermark("ts_utc", "1 hour"))
 
+  /** LEFT SEMI variant of [[purchaseSignupJoin]] — the existence check:
+    * each purchase appears EXACTLY ONCE if any qualifying signup exists,
+    * no matter how many match (semi semantics deduplicate the fan-out a
+    * plain join would produce). Batch- and stream-compatible.
+    */
+  def purchaseSignupSemiJoin(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts_utc").as("p_ts"))
+      .join(
+        signups.select(col("user_id").as("s_user"), col("ts_utc").as("s_ts")),
+        expr("""p_user = s_user AND
+               |s_ts <= p_ts AND
+               |s_ts >= p_ts - INTERVAL 7 DAYS""".stripMargin),
+        "left_semi")
+      .select(col("p_id"), col("p_user").as("user_id"))
+
+  /** Stream-stream LEFT SEMI join — exactly-once existence alerts: a
+    * purchase emits the moment its first qualifying signup is seen and
+    * never again (no fan-out to deduplicate downstream, unlike the inner
+    * join), and an unmatched purchase emits nothing. Same state bound as
+    * the inner form; semi is the shape for "has this key ever..." alerts
+    * where emitting per-match would double-fire downstream actions.
+    */
+  def purchaseSignupSemiStream(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchaseSignupSemiJoin(
+      purchases.withWatermark("ts_utc", "1 hour"),
+      signups.withWatermark("ts_utc", "1 hour"))
+
   /** Stream-STATIC enrichment: the event stream joined to a static
     * dimension table (customers) with per-nation spend aggregated — the
     * standard streaming-enrichment pattern, distinct from stream-stream

@@ -109,6 +109,23 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
       "no unmatched purchase in the fixture — outer emission untested")
   }
 
+  test("stream-stream LEFT SEMI join: entry == batch EXISTS, one row per matched purchase") {
+    import spark.implicits._
+    val entry = graft.streaming.StreamingEntry.streamSemiJoinEvents(spark, sf0001)
+      .collect().toSeq
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+    val batch = StreamingQueries.purchaseSignupSemiJoin(
+        withTs(slice.filter(col("event_type") === "purchase")),
+        withTs(slice.filter(col("event_type") === "signup")))
+      .orderBy(col("p_id")).collect().toSeq
+    assert(entry.nonEmpty && entry == batch)
+    // semi semantics: p_id unique even where several signups qualify
+    assert(entry.map(_.getLong(0)).distinct.length == entry.length)
+  }
+
   test("stream-static join: enrichment entry == batch join+aggregate over the slice") {
     val entry = graft.streaming.StreamingEntry.streamStaticEnrich(spark, sf0001)
       .collect().toSeq
