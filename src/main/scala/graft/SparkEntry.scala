@@ -139,6 +139,7 @@ object SparkEntry {
     "multimodal_meta" -> MultimodalOps.multimodalMeta _,
     "media_decode_meta" -> MultimodalOps.mediaDecodeMeta _,
     "binary_files_meta" -> MultimodalOps.binaryFilesMeta _,
+    "media_byte_windows" -> MultimodalOps.mediaByteWindows _,
     "image_resize_dims" -> MultimodalOps.imageResizeDims _,
     "audio_frames_meta" -> MultimodalOps.audioFramesMeta _,
     // W: diversity core (no oracle — property-tested, SURVEY.md §2.2-W)
@@ -290,6 +291,23 @@ object SparkEntry {
         |FROM e
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // Frame-sample plumbing for the codec-less modality: 4 evenly-spaced
+    // byte windows per video doc; fixture content is ASCII text bytes, so
+    // substr reproduces each window and md5 pins the exact boundaries.
+    "media_byte_windows" ->
+      """WITH v AS (SELECT doc_id, text, length(text) AS len,
+        |    greatest(length(text) // 4, 1) AS win
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |g AS (SELECT doc_id, text, len, win,
+        |    UNNEST(generate_series(0, CAST(least(4, len) AS BIGINT) - 1)) AS i FROM v),
+        |s AS (SELECT doc_id, i,
+        |    substr(text, CAST(i * win + 1 AS BIGINT), CAST(win AS BIGINT)) AS piece
+        |  FROM g)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(length(piece) AS BIGINT) AS n_bytes, md5(piece) AS frame_md5
+        |FROM s WHERE length(piece) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // binaryFile ingestion: file names carry the doc id, content decodes
     // through the real JDK codec — the oracle is the generator closed form.

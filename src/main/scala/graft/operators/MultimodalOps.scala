@@ -329,6 +329,36 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** V+: the DECLARED frame-sample stage for the codec-less modality —
+    * video rows flow through [[byteWindows]] (4 evenly-spaced byte slices
+    * per doc, honest byte-level chunking, NOT a pretend keyframe decode)
+    * with per-window byte length and md5. This pins the one-media-row →
+    * n-frame-rows PLUMBING the external video codec plugs into
+    * (bytes in → rows out, per-partition, no driver): swapping
+    * [[byteWindows]] for a real keyframe extractor changes only the
+    * lambda. Window bytes are UTF-8 text slices in the fixture, so the
+    * oracle reproduces each window's md5 with substr — a wrong boundary
+    * or off-by-one hash-mismatches.
+    */
+  def mediaByteWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("mime") === "video/mp4")
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        byteWindows(bytes, 4).zipWithIndex.map { case (w, i) =>
+          (id, i.toLong, w.length.toLong, md5hex(w))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_bytes", "frame_md5")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   private val binDirMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
