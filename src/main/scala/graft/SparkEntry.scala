@@ -1007,13 +1007,16 @@ object SparkEntry {
         |sh AS (SELECT doc_id, shingle
         |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
-        |hx AS (SELECT doc_id, md5(shingle) AS m1 FROM sh),
         |g AS (SELECT doc_id,
-        |    min(substr(m1, 1, 8)) AS s0, min(substr(m1, 9, 8)) AS s1,
-        |    min(substr(m1, 17, 8)) AS s2, min(substr(m1, 25, 8)) AS s3,
-        |    min(reverse(substr(m1, 1, 8))) AS s4, min(reverse(substr(m1, 9, 8))) AS s5,
-        |    min(reverse(substr(m1, 17, 8))) AS s6, min(reverse(substr(m1, 25, 8))) AS s7
-        |  FROM hx GROUP BY doc_id),
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
+        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
+        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |  FROM sh GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
         |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
@@ -1029,13 +1032,16 @@ object SparkEntry {
         |sh AS (SELECT doc_id, shingle
         |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
-        |hx AS (SELECT doc_id, md5(shingle) AS m1 FROM sh),
         |g AS (SELECT doc_id,
-        |    min(substr(m1, 1, 8)) AS s0, min(substr(m1, 9, 8)) AS s1,
-        |    min(substr(m1, 17, 8)) AS s2, min(substr(m1, 25, 8)) AS s3,
-        |    min(reverse(substr(m1, 1, 8))) AS s4, min(reverse(substr(m1, 9, 8))) AS s5,
-        |    min(reverse(substr(m1, 17, 8))) AS s6, min(reverse(substr(m1, 25, 8))) AS s7
-        |  FROM hx GROUP BY doc_id),
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
+        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
+        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |  FROM sh GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
         |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
@@ -1193,13 +1199,16 @@ object SparkEntry {
         |shl AS (SELECT doc_id, shingle
         |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
-        |hx AS (SELECT doc_id, md5(shingle) AS m1 FROM shl),
         |g AS (SELECT doc_id,
-        |    min(substr(m1, 1, 8)) AS s0, min(substr(m1, 9, 8)) AS s1,
-        |    min(substr(m1, 17, 8)) AS s2, min(substr(m1, 25, 8)) AS s3,
-        |    min(reverse(substr(m1, 1, 8))) AS s4, min(reverse(substr(m1, 9, 8))) AS s5,
-        |    min(reverse(substr(m1, 17, 8))) AS s6, min(reverse(substr(m1, 25, 8))) AS s7
-        |  FROM hx GROUP BY doc_id),
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
+        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
+        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |  FROM shl GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
         |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g

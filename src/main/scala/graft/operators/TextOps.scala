@@ -37,31 +37,32 @@ object TextOps {
     * family, consumed by [[dedupDocsMinhash]], [[ngramJaccard]] and
     * [[dedupClusters]].
     *
-    * The 8 hash functions come from ONE md5 per shingle: the four disjoint
-    * 8-hex-char windows of md5(s), plus the character-reversed form of each
-    * window. Reversing the hex is a bijection on 32-bit values, so each
-    * reversed window induces a valid uniform ordering of shingle space and
-    * the per-ordering collision property P(min_A = min_B) = J holds.
-    * HONESTY NOTE: s4–s7 are deterministic functions of the same 32 bits as
-    * s0–s3, so bands 2–3 are statistically correlated with bands 0–1 — the
-    * 8 orderings are NOT fully independent, and candidate-recall guarantees
-    * are softer than 8 independent hashes would give (exact dups still
-    * always collide; the banding bound 1-(1-J²)⁴ is approximate). This is a
-    * deliberate cost/portability trade for the cross-engine oracle; a
-    * production build would use 8 seeded xxhash64 draws instead. md5 (not
-    * murmur `hash()`) because it is bit-identical across engines.
+    * k = 8 INDEPENDENT seeded permutations: s_i = min over shingles of the
+    * first 16 hex chars (64 bits) of md5("mh<i>:" ++ shingle). Distinct
+    * salts give independent orderings of shingle space in the random-oracle
+    * model, so with b=4 bands × r=2 rows the textbook LSH recall bound
+    * P(candidate) = 1-(1-J²)⁴ holds exactly (a J=0.8 pair is caught with
+    * p≈0.98; exact dups always collide). md5 — not murmur `hash()` or
+    * xxhash64 — because it is bit-identical across engines and keeps these
+    * three queries oracle-checkable; a production 100 TB build swaps the
+    * salted md5 for 8 seeded xxhash64 draws (same structure, ~5× cheaper
+    * per shingle) at the cost of engine-portable verification. Min over the
+    * multiset of shingle rows == min over the set, so no distinct is
+    * needed before the aggregate.
     */
+  private[operators] def signatureColumns: Seq[org.apache.spark.sql.Column] =
+    (0 until 8).map(i => min(substring(md5(concat(lit(s"mh$i:"), col("sh"))), 1, 16)).as(s"s$i"))
+
   private[operators] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     Materialize.stage(spark, s"minhash_sigs_$sfDir", sfDir) {
-      shingleRows(Tables.documents(spark, sfDir))
-        .withColumn("m1", md5(col("sh")))
-        .groupBy(col("doc_id"))
-        .agg(
-          min(substring(col("m1"), 1, 8)).as("s0"), min(substring(col("m1"), 9, 8)).as("s1"),
-          min(substring(col("m1"), 17, 8)).as("s2"), min(substring(col("m1"), 25, 8)).as("s3"),
-          min(reverse(substring(col("m1"), 1, 8))).as("s4"), min(reverse(substring(col("m1"), 9, 8))).as("s5"),
-          min(reverse(substring(col("m1"), 17, 8))).as("s6"), min(reverse(substring(col("m1"), 25, 8))).as("s7"))
+      signatures(Tables.documents(spark, sfDir))
     }
+
+  /** The signature aggregation itself, separated from staging so specs can
+    * run it over in-memory fixtures.
+    */
+  private[operators] def signatures(docs: DataFrame): DataFrame =
+    shingleRows(docs).groupBy(col("doc_id")).agg(signatureColumns.head, signatureColumns.tail: _*)
 
   /** LSH candidate pairs (doc1 < doc2 sharing ≥1 band signature), also
     * materialized: three queries consume them, and the banded self-join

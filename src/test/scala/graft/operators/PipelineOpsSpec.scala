@@ -96,6 +96,44 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.toDouble / a.length > 0.35, s"k-means IVF recall ${hits.toDouble / a.length}")
   }
 
+  test("minhash: 8 independent seeded permutations catch a near-dup the old correlated windows missed") {
+    import spark.implicits._
+    // Pinned pair: 20-token doc vs the same doc with tokens 9 and 11
+    // replaced — exact 3-gram Jaccard 13/23 ≈ 0.565, a true near-dup.
+    val base = (0 until 20).map(i => f"tok$i%02d")
+    val varr = base.updated(9, "alt0029_9").updated(11, "alt0029_11")
+    val docs = Seq((1L, base.mkString(" ")), (2L, varr.mkString(" ")), (3L, base.mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val shingled = docs.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, size(split(text, ' ')) - 3),
+        |  i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1], ' ', split(text, ' ')[i+2]))"""
+        .stripMargin)).as("sh"))
+    def bandPairs(sigRows: Array[org.apache.spark.sql.Row]): Map[Long, Seq[String]] =
+      sigRows.map { r =>
+        r.getLong(0) -> (0 until 4).map(b => r.getString(1 + 2 * b) + r.getString(2 + 2 * b))
+      }.toMap
+
+    // NEW scheme (the shipped one): 8 salted-md5 permutations, b=4 × r=2.
+    val nu = bandPairs(TextOps.signatures(docs).collect())
+    assert((nu(1L) zip nu(2L)).exists { case (a, b) => a == b },
+      s"independent banding should catch the J=0.565 pair: ${nu(1L)} vs ${nu(2L)}")
+    assert(nu(1L) == nu(3L), "exact duplicates always collide on every band")
+
+    // OLD scheme (replicated inline): 4 windows of ONE md5 + their hex
+    // reversals — bands 2-3 collide iff bands 0-1 do, so only 2 effective
+    // bands. It misses this pair; the round-8 independent draws catch it.
+    val m1 = md5(col("sh"))
+    val old = bandPairs(shingled.groupBy(col("doc_id")).agg(
+      min(substring(m1, 1, 8)).as("s0"), min(substring(m1, 9, 8)).as("s1"),
+      min(substring(m1, 17, 8)).as("s2"), min(substring(m1, 25, 8)).as("s3"),
+      min(reverse(substring(m1, 1, 8))).as("s4"), min(reverse(substring(m1, 9, 8))).as("s5"),
+      min(reverse(substring(m1, 17, 8))).as("s6"), min(reverse(substring(m1, 25, 8))).as("s7"))
+      .collect())
+    assert(!(old(1L) zip old(2L)).exists { case (a, b) => a == b },
+      "the correlated-window scheme misses this near-dup (that is the recall gap being fixed)")
+  }
+
   test("dedup_clusters: components absorb every candidate pair; reps are minimal") {
     val pairs = TextOps.dedupDocsMinhash(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
