@@ -35,6 +35,8 @@ object SparkEntry {
     "outer_join_orders" -> Relational.outerJoinOrders _,
     "left_outer_customers" -> Relational.leftOuterCustomers _,
     "bucketed_join_orders" -> Relational.bucketedJoinOrders _,
+    "stats_broadcast_join" -> Relational.statsBroadcastJoin _,
+    "skew_join_zipf" -> EventOps.skewJoinZipf _,
     "range_join_promo" -> Relational.rangeJoinPromo _,
     "asof_join_events" -> EventOps.asofJoinEvents _,
     // D: aggregations
@@ -149,6 +151,8 @@ object SparkEntry {
     "coreset_exec_k64" -> DiversityOps.coresetExecK64 _,
     "diverse_docs_k16" -> DiversityOps.diverseDocsK16 _,
     "curate_corpus_k16" -> DiversityOps.curateCorpusK16 _,
+    "local_search_k32" -> DiversityOps.localSearchK32 _,
+    "matching_k32" -> DiversityOps.matchingK32 _,
     "remote_edge_div" -> DiversityOps.remoteEdgeDiv _,
     "remote_clique_div" -> DiversityOps.remoteCliqueDiv _,
     "coreset_stream" -> DiversityOps.coresetStream _
@@ -162,14 +166,18 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_charge,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_extendedprice), 6) AS avg_price,
         |  round(avg(l_discount), 6) AS avg_disc,
@@ -181,10 +189,14 @@ object SparkEntry {
 
     "sql_interface_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_charge,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_extendedprice), 6) AS avg_price,
         |  round(avg(l_discount), 6) AS avg_disc,
@@ -196,7 +208,8 @@ object SparkEntry {
 
     "join_nation_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -222,7 +235,8 @@ object SparkEntry {
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -382,15 +396,40 @@ object SparkEntry {
     "bucketed_join_orders" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    "stats_broadcast_join" ->
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_quantity), 6) AS sum_qty
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "skew_join_zipf" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 10 < 9 THEN 0 ELSE event_id % 997 END AS k
+        |  FROM events),
+        |o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 997)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e JOIN o USING (k)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "cube_orders" ->
       """WITH r AS (
-        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    CAST(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |      / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS total
         |  FROM orders
         |  GROUP BY CUBE (o_orderstatus, o_orderpriority))
         |SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -402,7 +441,8 @@ object SparkEntry {
     "range_join_promo" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate
@@ -440,7 +480,9 @@ object SparkEntry {
 
     "rollup_orders" ->
       """WITH r AS (
-        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    CAST(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |      / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS total
         |  FROM orders
         |  GROUP BY ROLLUP (o_orderstatus, o_orderpriority))
         |SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -608,8 +650,10 @@ object SparkEntry {
 
     "unpivot_stats" ->
       """WITH w AS (SELECT l_returnflag,
-        |    round(sum(l_quantity), 2) AS qty,
-        |    round(sum(l_extendedprice), 2) AS price,
+        |    CAST(CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |      / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+        |    CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |      / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |    CAST(count(*) AS DOUBLE) AS n
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, value FROM (

@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expression: membership probe of a 64-bit key against a
@@ -35,6 +36,26 @@ case class BloomMightContainLong(left: Expression, right: Expression)
   override def prettyName: String = "bloom_might_contain"
 
   override def nullable: Boolean = true
+
+  /** Enforce the documented contract at ANALYSIS time (mirroring Spark's
+    * internal `BloomFilterMightContain`): a non-foldable or mistyped
+    * filter argument would otherwise surface as a ClassCastException from
+    * `left.eval()` at execution time.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) if left.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, LongType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "bloom_might_contain: the filter argument must be a FOLDABLE binary " +
+            "(a literal or constant-foldable expression holding BloomFilter.writeTo bytes); " +
+            s"got the non-foldable ${left.sql}")
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          "bloom_might_contain requires (BINARY filter bytes, BIGINT key); " +
+            s"got (${l.simpleString(1)}, ${r.simpleString(1)})")
+    }
 
   @transient private lazy val bloom: BloomFilter = {
     val bytes = left.eval().asInstanceOf[Array[Byte]]

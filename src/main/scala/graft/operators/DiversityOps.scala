@@ -114,6 +114,33 @@ object DiversityOps {
       .toDF("rank", "vec_id")
   }
 
+  /** W: the R2 LOCAL-SEARCH heuristic declared directly (previously only
+    * reachable through [[remoteCliqueDiv]]'s objective comparison): same
+    * coreset path as [[gmmDiverseK32]], [[HeuristicBudget]]-bounded pool,
+    * swap-improvement selection of k=32. Rows-only (not SQL-expressible);
+    * determinism is spec-pinned.
+    */
+  def localSearchK32(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cs = coreset(spark, sfDir).map(w => Pt(w.id, w.vec))
+    val bounded = if (cs.size <= HeuristicBudget) cs else Gmm.select(cs, HeuristicBudget)
+    Heuristics.localSearch(bounded, 32).zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p.id) }
+      .toDF("rank", "vec_id")
+  }
+
+  /** W: the R3 MATCHING heuristic (greedy farthest pairs) declared
+    * directly — same pool as [[localSearchK32]].
+    */
+  def matchingK32(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cs = coreset(spark, sfDir).map(w => Pt(w.id, w.vec))
+    val bounded = if (cs.size <= HeuristicBudget) cs else Gmm.select(cs, HeuristicBudget)
+    Heuristics.matching(bounded, 32).zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p.id) }
+      .toDF("rank", "vec_id")
+  }
+
   /** W: remote-edge (plus star/tree) objective values of the chosen k=32. */
   def remoteEdgeDiv(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

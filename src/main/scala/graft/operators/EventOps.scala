@@ -375,6 +375,67 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  // ---- AQE skew handling ---------------------------------------------------
+
+  /** One skew-tuned sub-session per parent session: broadcast disabled (the
+    * demo needs a shuffled join) and the AQE skew-split thresholds scaled
+    * to fixture bytes — at production sizes the DEFAULTS (256 MB / 5×
+    * median) fire on the same shape, so only these two knobs are
+    * fixture-scaled, not the mechanism. A sub-session because they are
+    * planning knobs that must not leak into other declared queries.
+    */
+  private val skewSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def skewSession(spark: SparkSession): SparkSession =
+    skewSessions.computeIfAbsent(spark, s => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      // sized against COMPRESSED shuffle blocks (what MapStatus reports):
+      // the 90%-hot partition is a few KB compressed at sf0.001
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
+      s2
+    })
+
+  /** C+/AQE: a ZIPF-HOT shuffled join — 90% of events land on one join key,
+    * the classic power-law key a static hash partitioning cannot balance
+    * (one straggler task does 90% of the work while 31 idle). AQE's
+    * runtime re-plan splits the hot partition into advisory-sized chunks,
+    * replicating the matching right-side rows (OptimizeSkewedJoin —
+    * `skew=true` on the final SortMergeJoin, pinned by PlanAuditSpec after
+    * execution). The aggregate output is skew-independent, so the oracle
+    * checks values while the plan assertion checks the mechanism; integer
+    * outputs keep the compare exact.
+    */
+  def skewJoinZipf(spark0: SparkSession, sfDir: String): DataFrame = {
+    val spark = skewSession(spark0)
+    // repartition(8): AQE's skew split slices a reduce partition at MAPPER
+    // boundaries, and the single-file fixture scan gives the join's map
+    // stage exactly one task — a one-mapper hot partition is physically
+    // unsplittable no matter the thresholds. A production fact scan always
+    // has many input splits; this restores that shape at fixture scale.
+    val ev = Tables.events(spark, sfDir).repartition(8).select(
+      col("event_type"),
+      when(pmod(col("event_id"), lit(10)) < 9, 0L)
+        .otherwise(pmod(col("event_id"), lit(997))).as("k"))
+    // The right side must stay a PLAIN shuffled scan (filter + project, no
+    // aggregate): OptimizeSkewedJoin only rewrites an SMJ whose children
+    // are sort-over-shuffle stages, so an agg under the join would satisfy
+    // the join's distribution itself and opt the plan out of skew
+    // splitting. o_orderkey < 997 also makes k unique on this side — the
+    // join multiplies no rows, keeping output linear in |events| at any SF.
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 997)
+      .select(col("o_orderkey").as("k"))
+    ev.join(ord, Seq("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir)
       .select(

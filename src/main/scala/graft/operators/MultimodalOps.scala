@@ -362,36 +362,67 @@ object MultimodalOps {
   private val binDirMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Generator version of the staged PNG fixture files. The staged
+    * directory persists across JVMs keyed by name, so ANY change to
+    * [[encodePng]]/[[pngDims]]/[[pngRed]] (the closed forms the oracles
+    * check against) MUST bump this tag — otherwise a new session silently
+    * reuses stale bytes and the oracle mismatches for a reason unrelated
+    * to the code under test.
+    */
+  private val binGenVersion = "g1"
+
   /** Stage one REAL PNG file per image doc under target/graft-stage, once
-    * per fixture content. Files are written executor-side via
-    * foreachPartition — correct in local mode (shared FS); in production
-    * the media files already live in object storage and only the READ
-    * path below matters. A _SUCCESS marker makes re-staging idempotent
-    * across sessions.
+    * per (fixture content, generator version). Files are written
+    * executor-side via foreachPartition — correct in local mode (shared
+    * FS); in production the media files already live in object storage and
+    * only the READ path below matters.
+    *
+    * Write-then-publish: content lands in a session-private temp dir
+    * (marker included) and is RENAMED into the final path, so a concurrent
+    * session (Verify and Bench overlapping) can never observe a partially
+    * populated directory, and a crashed stage leaves only an unpublished
+    * temp dir (swept by the losing racer, never readable at the final
+    * path). A marker-less final dir can only be a pre-rename-era crash
+    * remnant: deleted before publishing.
     */
   private def stageBinaryFiles(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     binDirMemo.computeIfAbsent(
-      s"$sfDir@${graft.sources.Materialize.contentToken(sfDir)}", _ => {
+      s"$sfDir@$binGenVersion@${graft.sources.Materialize.contentToken(sfDir)}", _ => {
         val dir = new java.io.File("target/graft-stage",
-          s"binfiles_${graft.sources.Materialize.contentToken(sfDir)}_" +
+          s"binfiles_${binGenVersion}_${graft.sources.Materialize.contentToken(sfDir)}_" +
             sfDir.replaceAll("[^A-Za-z0-9]", "_"))
         val marker = new java.io.File(dir, "_SUCCESS")
         if (!marker.exists()) {
-          dir.mkdirs()
-          val dirPath = dir.getAbsolutePath
+          val tmp = new java.io.File(dir.getParentFile,
+            dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+          tmp.mkdirs()
+          val tmpPath = tmp.getAbsolutePath
           rawMedia(spark, sfDir)
             .filter(col("_2") === "image/png")
             .foreachPartition { it: Iterator[(Long, String, Array[Byte])] =>
               it.foreach { case (id, _, bytes) =>
                 java.nio.file.Files.write(
-                  java.nio.file.Paths.get(dirPath, s"$id.png"), bytes): Unit
+                  java.nio.file.Paths.get(tmpPath, s"$id.png"), bytes): Unit
               }
             }
-          marker.createNewFile(): Unit
+          new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
+          if (!marker.exists()) {
+            if (dir.exists()) deleteRecursively(dir) // marker-less crash remnant
+            tmp.renameTo(dir): Unit
+          }
+          // Rename failed or another session published first: if the final
+          // dir is now complete we lost a benign race; sweep our temp.
+          if (tmp.exists() && marker.exists()) deleteRecursively(tmp)
+          require(marker.exists(), s"binaryFile staging failed to publish $dir")
         }
         dir.getAbsolutePath
       })
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** V+: the binaryFile INGESTION path — `spark.read.format("binaryFile")`

@@ -27,6 +27,13 @@ object Relational {
 
   /** A: scan→filter→project. Pushdown-friendly: filter on l_discount /
     * l_quantity reaches the parquet scan; only 5 columns read.
+    *
+    * The presentation sort keys on ALL FOUR projected columns:
+    * (l_orderkey, l_linenumber) is NOT unique in the synthetic fixtures
+    * (118k duplicate groups at sf0.1), so the short key only yields a
+    * deterministic row stream while both engines happen to tie-break the
+    * same way — the sf1 scale-up (more files, different read order) broke
+    * that luck. A row-level output needs a TOTAL order over its projection.
     */
   def scanProjectFilter(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
@@ -36,19 +43,36 @@ object Relational {
         col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_quantity"),
         col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
   }
 
-  /** D: TPC-H Q1 pricing summary. Partial+final hash aggregation; 6 groups. */
+  /** Exact, order-independent money sum (the [[aggDecimalMoney]] idiom,
+    * promoted to every large money aggregate after the sf1 scale-up caught
+    * the double-sum class): the TERM is computed in double — bit-identical
+    * across engines, per-row — quantized to integer cents, summed as a
+    * LONG (associative, partition-order-independent at any scale), and
+    * surfaced as a 2-dp decimal. A plain `round(sum(double), 2)` instead
+    * drifts in its last digit once ~10⁶ terms accumulate, because Spark
+    * and DuckDB add in different orders (~1e-12 relative — enough to flip
+    * a 2-dp rounding of an ~1e11 total).
+    */
+  private[operators] def centsSum(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (sum(round(term * 100, 0).cast("long")).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      / lit(100).cast(org.apache.spark.sql.types.DecimalType(4, 0)))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+
+  /** D: TPC-H Q1 pricing summary. Partial+final hash aggregation; 6 groups.
+    * Money sums via [[centsSum]] — exact at any SF.
+    */
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= tsNtz("2000-12-01 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        centsSum(col("l_quantity")).as("sum_qty"),
+        centsSum(col("l_extendedprice")).as("sum_base_price"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -68,7 +92,7 @@ object Relational {
       .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
@@ -191,7 +215,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -205,10 +229,14 @@ object Relational {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem_sql")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
+        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_charge,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_extendedprice), 6) AS avg_price,
         |  round(avg(l_discount), 6) AS avg_disc,
@@ -244,7 +272,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -255,7 +283,7 @@ object Relational {
   def rollupOrders(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -271,7 +299,7 @@ object Relational {
   def cubeOrders(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -468,8 +496,10 @@ object Relational {
     val wide = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("qty"),
-        round(sum(col("l_extendedprice")), 2).as("price"),
+        // cast back to double: unpivot needs one common value type, and a
+        // 2-dp cents value is exact in a double until 2^53 cents (~$90T)
+        centsSum(col("l_quantity")).cast("double").as("qty"),
+        centsSum(col("l_extendedprice")).cast("double").as("price"),
         count(lit(1)).cast("double").as("n"))
     wide.unpivot(
         Array(col("l_returnflag")),
@@ -620,7 +650,7 @@ object Relational {
       .filter(col("r_name") === "ASIA")
     joined
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -673,5 +703,61 @@ object Relational {
         sum(when(col("has_r") === 1 && col("has_a") === 0, 1L).otherwise(0L)).as("n_except"),
         sum(when(col("has_r") === 1 && col("has_a") === 1, 1L).otherwise(0L)).as("n_intersect"),
         count(lit(1)).as("n_union"))
+  }
+
+  // ---- CBO statistics surface --------------------------------------------
+
+  /** One CBO-tuned sub-session per parent session: CBO on, AQE OFF (so the
+    * broadcast decision is attributable to catalog statistics alone, not a
+    * runtime re-plan), and a 4 KB broadcast threshold sitting BETWEEN the
+    * filtered dimension's stats-estimated size and its raw file size.
+    * A sub-session because these are planning-time knobs: setting them on
+    * the shared session would leak into every other declared query.
+    */
+  private val cboSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def cboSession(spark: SparkSession): SparkSession =
+    cboSessions.computeIfAbsent(spark, s => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      // Between the two estimates at spec scale (sf0.001): without column
+      // stats the size-only visitor scales the table's file bytes by the
+      // pruned-column width ratio (~3 KB); with stats the CBO filter
+      // estimate is rowCount/ndv(p_size) rows (~0.2 KB). Like the skew
+      // thresholds, the VALUE is fixture-scaled — at production sizes the
+      // default 10 MB threshold separates the same two estimates.
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1500")
+      s2
+    })
+
+  private val analyzedTables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** H/CBO: STATISTICS-DRIVEN broadcast — `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS` over a catalog copy of `part`, then
+    * `part WHERE p_size = 1 ⋈ lineitem` planned with CBO on and AQE off.
+    * File-size estimation alone cannot see past the filter (the table's
+    * parquet bytes exceed the threshold → sort-merge join); the
+    * rowCount × 1/ndv(p_size) column-stats estimate can (~2% of rows →
+    * broadcast). PlanAuditSpec pins BOTH directions via [[statsJoin]].
+    * This is the plan story file sizes get wrong at 100 TB: a filtered
+    * dimension that LOOKS big on disk but is small after predicates
+    * should ship to the fact table, not shuffle it. Stats never change
+    * results, so the oracle is plain SQL.
+    */
+  def statsBroadcastJoin(spark: SparkSession, sfDir: String): DataFrame =
+    statsJoin(spark, sfDir, analyzed = true)
+
+  private[graft] def statsJoin(spark: SparkSession, sfDir: String, analyzed: Boolean): DataFrame = {
+    val key = if (analyzed) s"part_stats_$sfDir" else s"part_nostats_$sfDir"
+    val name = Materialize.plainTable(spark, key, sfDir)(Tables.part(spark, sfDir))
+    if (analyzed && analyzedTables.add(name))
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS p_partkey, p_brand, p_size")
+    val s2 = cboSession(spark) // shares the catalog (and its stats) with `spark`
+    s2.table(name).filter(col("p_size") === 1)
+      .join(Tables.lineitem(s2, sfDir), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+      .orderBy(col("p_brand"))
   }
 }

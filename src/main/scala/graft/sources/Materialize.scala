@@ -162,6 +162,25 @@ object Materialize {
     }
   }
 
+  /** Write `df` as a plain (non-bucketed) parquet CATALOG table once per
+    * (session, key, content-of-inputDir) and return the table name. The
+    * catalog registration is the point: ANALYZE TABLE (the statistics
+    * surface CBO planning reads) only applies to catalog tables, not to
+    * path-based scans.
+    */
+  def plainTable(spark: SparkSession, key: String, inputDir: String)(df: => DataFrame): String = {
+    val tokenKey = s"ptbl:$key@${contentToken(inputDir)}"
+    memoized(tables, s"${sessionTag(spark)}:$tokenKey") {
+      val name = s"graft_${slug(key).replace('-', '_')}_${sessionTag(spark)}"
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", stageDir(spark, tokenKey))
+        .saveAsTable(name)
+      name
+    }
+  }
+
   /** Write `df` once per (session, key, content-of-inputDir) as parquet
     * partitioned by `partitionCol` (Hive directory layout:
     * `partitionCol=value/part-*.parquet`) and return the written path. A

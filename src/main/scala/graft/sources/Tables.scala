@@ -35,13 +35,21 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 
   /** events with `ts_us` (bigint, µs since epoch, = floor(ns/1000)) and
-    * `ts_utc` (timestamp, µs precision). Raw `ts` (ns long) is retained but
-    * queries must not compare or emit it — DuckDB only sees µs.
+    * `ts_utc` (timestamp, µs precision). Raw `ts` is retained but queries
+    * must not compare or emit it — DuckDB only sees µs.
+    *
+    * Two physical layouts exist: the driver fixtures carry `ts` as parquet
+    * timestamp[ns] (surfaced as a long of nanos via the legacy flag), while
+    * scaled fixtures written by [[graft.GenData]] carry a normal µs
+    * timestamp (Spark cannot write ns). Both normalize to the same `ts_us`.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+    val raw = read(spark, sfDir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _                                   => unix_micros(col("ts"))
+    }
+    raw.withColumn("ts_us", tsUs).withColumn("ts_utc", timestamp_micros(tsUs))
   }
 }

@@ -52,6 +52,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!subtree.contains("Exchange"), subtree)
   }
 
+  test("stats_broadcast_join: column stats flip the join to broadcast; without them it stays SMJ") {
+    // WITH ANALYZE'd column stats (CBO on, AQE off, 4 KB threshold): the
+    // p_size = 1 filter is estimated at ~rowCount/ndv rows -> broadcast.
+    val withStats = plan(Relational.statsJoin(spark, sf0001, analyzed = true))
+    assert(withStats.contains("BroadcastHashJoin"), withStats)
+    // WITHOUT stats the only estimate is the table's file bytes (> 4 KB on
+    // every fixture) -> the same query plans as a shuffled sort-merge join.
+    val noStats = plan(Relational.statsJoin(spark, sf0001, analyzed = false))
+    assert(noStats.contains("SortMergeJoin") && !noStats.contains("BroadcastHashJoin"), noStats)
+  }
+
+  test("skew_join_zipf: AQE splits the zipf-hot partition (skew=true in the executed join)") {
+    val df = EventOps.skewJoinZipf(spark, sf0001)
+    df.collect() // AQE decides at runtime; inspect the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), p)
+  }
+
   test("outer_join_orders: full-outer stays an equi join (no nested loop/cartesian)") {
     val p = plan(Relational.outerJoinOrders(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
