@@ -62,11 +62,35 @@ object DiversityOps {
   /** The distributed coreset: repartition(p) → per-partition GMM(k′) with
     * delegate weights → coreset-only collect, sorted by id.
     */
-  def coreset(spark: SparkSession, sfDir: String): IndexedSeq[WeightedPt] = {
-    import spark.implicits._
-    val p = coresetParallelism(spark)
+  def coreset(spark: SparkSession, sfDir: String): IndexedSeq[WeightedPt] =
+    coresetAt(spark, sfDir, coresetParallelism(spark))
+
+  /** Exact mod partitioner: partition index IS `id % p`. A DataFrame
+    * `repartition(p, pmod(id, p))` instead hashes the pmod value, so the p
+    * residue groups land on partitions like balls in bins — some partitions
+    * take 2-3 groups, others none. That lumping silently broke the
+    * documented "partition = vec_id % p" contract AND the covering
+    * condition the composable coreset's p-invariance rests on (a partition
+    * holding two groups exceeds k′ and gets summarized, while another sits
+    * empty). Caught by the round-8 p-invariance spec; the RDD partitioner
+    * is the honest implementation of R7's deterministic variant.
+    */
+  private class ModPartitioner(p: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = p
+    override def getPartition(key: Any): Int = (key.asInstanceOf[Long] % p).toInt
+  }
+
+  /** [[coreset]] at an explicit fan-out — the seam PipelineOpsSpec uses to
+    * pin p-invariance at fixture scale (p=1 vs p=32 yield the same k=32
+    * selection end-to-end, through the shuffle/collect serialization
+    * boundary, because local coresets COVER their ≤ n/p-sized partitions).
+    */
+  private[graft] def coresetAt(spark: SparkSession, sfDir: String, p: Int): IndexedSeq[WeightedPt] = {
     points(spark, sfDir)
-      .repartition(p, pmod(col("id"), lit(p)))
+      .rdd
+      .map(pt => (pt.id, pt))
+      .partitionBy(new ModPartitioner(p))
+      .values
       .mapPartitions(it => MapReduceCoreset.localCoreset(it, KPrime))
       .collect()
       .sortBy(_.id)
@@ -78,7 +102,11 @@ object DiversityOps {
     Gmm.select(coreset(spark, sfDir).map(w => Pt(w.id, w.vec)), k)
 
   /** W+: the coreset map stage as a FIRST-CLASS PLAN NODE — same kernel
-    * and same deterministic pmod partitioning as [[coreset]], but entering
+    * as [[coreset]], partitioned with the DataFrame-native
+    * `repartition(p, pmod(id, p))` (hashed residue groups — deterministic
+    * given p, but lumpier than the exact [[ModPartitioner]] the collect
+    * path uses; the plan-node form keeps the child a pure LogicalPlan), and
+    * entering
     * the query through [[graft.plans.CoresetPlan]] → `CoresetStrategy` →
     * `CoresetExec` (the custom LogicalPlan/Strategy/SparkPlan extension
     * path), so the operator is visible to EXPLAIN and the planner instead

@@ -731,8 +731,6 @@ object Relational {
       s2
     })
 
-  private val analyzedTables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** H/CBO: STATISTICS-DRIVEN broadcast — `ANALYZE TABLE ... COMPUTE
     * STATISTICS FOR COLUMNS` over a catalog copy of `part`, then
     * `part WHERE p_size = 1 ⋈ lineitem` planned with CBO on and AQE off.
@@ -750,9 +748,18 @@ object Relational {
 
   private[graft] def statsJoin(spark: SparkSession, sfDir: String, analyzed: Boolean): DataFrame = {
     val key = if (analyzed) s"part_stats_$sfDir" else s"part_nostats_$sfDir"
-    val name = Materialize.plainTable(spark, key, sfDir)(Tables.part(spark, sfDir))
-    if (analyzed && analyzedTables.add(name))
-      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS p_partkey, p_brand, p_size")
+    // ANALYZE rides the creation memo: a Materialize.reset() that drops and
+    // re-stages the table re-runs it, so the stats can never go stale
+    // relative to the files.
+    val name = Materialize.plainTable(spark, key, sfDir)(Tables.part(spark, sfDir)) { t =>
+      if (analyzed)
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS p_partkey, p_brand, p_size"): Unit
+      // The CBO sub-session caches resolved relations per-session: after a
+      // Materialize.reset re-creates this table (same name+path, new
+      // part-files — Bench does this between timing passes), s2 would
+      // otherwise serve its pass-1 file listing → FAILED_READ_FILE.
+      cboSession(spark).catalog.refreshTable(t)
+    }
     val s2 = cboSession(spark) // shares the catalog (and its stats) with `spark`
     s2.table(name).filter(col("p_size") === 1)
       .join(Tables.lineitem(s2, sfDir), col("p_partkey") === col("l_partkey"))

@@ -168,7 +168,8 @@ object Materialize {
     * surface CBO planning reads) only applies to catalog tables, not to
     * path-based scans.
     */
-  def plainTable(spark: SparkSession, key: String, inputDir: String)(df: => DataFrame): String = {
+  def plainTable(spark: SparkSession, key: String, inputDir: String)(df: => DataFrame)(
+      afterCreate: String => Unit = _ => ()): String = {
     val tokenKey = s"ptbl:$key@${contentToken(inputDir)}"
     memoized(tables, s"${sessionTag(spark)}:$tokenKey") {
       val name = s"graft_${slug(key).replace('-', '_')}_${sessionTag(spark)}"
@@ -177,6 +178,11 @@ object Materialize {
         .format("parquet")
         .option("path", stageDir(spark, tokenKey))
         .saveAsTable(name)
+      // Inside the memo block: post-create steps (ANALYZE, grants, ...)
+      // re-run exactly when the table is re-created — e.g. after a
+      // [[reset]], which would otherwise strand the new table without its
+      // statistics while a name-keyed caller memo still said "done".
+      afterCreate(name)
       name
     }
   }

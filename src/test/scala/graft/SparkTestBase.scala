@@ -16,6 +16,7 @@ trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
 
 object SparkTestBase {
   lazy val session: SparkSession = {
+    graft.ScratchDirs.preferTmpfs()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

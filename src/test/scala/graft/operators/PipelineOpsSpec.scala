@@ -162,6 +162,39 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(small.nonEmpty)
   }
 
+  test("componentLabels: >1M edges crosses the gate into distributed propagation (closed-form graph)") {
+    // 1000 star clusters of 1200 nodes: 1,199,000 edges — past the 1M
+    // driver-gate, so this runs the min-label-propagation branch AT its
+    // real threshold (not via a forced smallLimit). Star diameter 2 keeps
+    // iterations bounded; the expected labels have a closed form.
+    val size = 1200L
+    val clusters = 1000L
+    val edges = spark.range(clusters * size)
+      .filter(col("id") % size =!= 0)
+      .select((col("id") - (col("id") % size)).as("doc1"), col("id").as("doc2"))
+    val labels = TextOps.componentLabels(spark, edges)
+    assert(labels.count() == clusters * size)
+    assert(labels.filter(col("lbl") =!= col("id") - (col("id") % size)).count() == 0)
+    assert(labels.select(col("lbl")).distinct().count() == clusters)
+  }
+
+  test("coreset p-invariance at fixture scale: p=1 and p=32 select the same k=32 (sf0.1)") {
+    // sf0.1 has 2000 vectors: at p=32 every partition holds ~62 < k'=64
+    // points, so local coresets COVER their partitions and the composable
+    // coreset is exact; at p=1 the single local GMM(64) is a prefix of the
+    // same greedy order. Both must replay the identical k=32 selection —
+    // end-to-end through the shuffle/collect serialization boundary, so a
+    // kernel edit that breaks 12-dp rounding determinism fails here at
+    // fixture scale, not only on the small generator props.
+    import graft.diversity.{Gmm, Pt}
+    val sf01 = "/root/testdata/sf0.1"
+    val a = DiversityOps.coresetAt(spark, sf01, 1).map(w => Pt(w.id, w.vec))
+    val b = DiversityOps.coresetAt(spark, sf01, 32).map(w => Pt(w.id, w.vec))
+    val selA = Gmm.select(a, 32).map(_.id)
+    val selB = Gmm.select(b, 32).map(_.id)
+    assert(selA == selB, s"p=1 selected $selA, p=32 selected $selB")
+  }
+
   test("curate_corpus_k16: composed pipeline is deterministic and respects its own gates") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.DiversityOps.curateCorpusK16(spark, sf0001).collect()

@@ -15,9 +15,25 @@ class CoresetPlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("plan-node coreset ≡ mapPartitions coreset (same kernel, same partitioning)") {
+    import graft.diversity.{MapReduceCoreset, Pt}
     val viaPlan = DiversityOps.coresetExecK64(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
-    val viaMapPartitions = DiversityOps.coreset(spark, sf0001)
+    // Same hashed-pmod repartition the exec path's child uses (NOT the
+    // exact ModPartitioner of DiversityOps.coreset — partition contents
+    // differ, so kernels would too); the assertion is exec node ≡ the
+    // opaque-lambda fold over the identical partitioning.
+    val p = DiversityOps.coresetParallelism(spark)
+    val child = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding"))
+      .repartition(p, pmod(col("id"), lit(p)))
+    val viaMapPartitions = child
+      .select(col("id"), col("embedding"))
+      .rdd
+      .mapPartitions { rows =>
+        val pts = rows.map(r => Pt(r.getLong(0), r.getSeq[Float](1).toArray)).toVector
+        MapReduceCoreset.localCoreset(pts.iterator, 64)
+      }
+      .collect()
       .map { wp =>
         val norm = math.sqrt(wp.vec.map(x => x.toDouble * x.toDouble).sum)
         (wp.id, wp.weight, math.rint(norm * 1e6) / 1e6)
