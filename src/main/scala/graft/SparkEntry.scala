@@ -73,6 +73,8 @@ object SparkEntry {
     "map_roundtrip" -> ScalarOps.mapRoundtrip _,
     "try_funcs" -> ScalarOps.tryFuncs _,
     "win_ignore_nulls" -> EventOps.winIgnoreNulls _,
+    "scd2_users" -> EventOps.scd2Users _,
+    "agg_incremental_users" -> EventOps.aggIncrementalUsers _,
     "agg_conditional" -> Relational.aggConditional _,
     "lateral_brand_stats" -> Relational.lateralBrandStats _,
     "unpivot_stats" -> Relational.unpivotStats _,
@@ -108,6 +110,8 @@ object SparkEntry {
     "cos_topk_ivf" -> VectorOps.cosTopkIvf _,
     // rows-only: quantizer is learned (GMM over the coreset), not SQL-expressible
     "cos_topk_ivf_kmeans" -> VectorOps.cosTopkIvfKmeans _,
+    // rows-only: hyperplane draws are seeded-hash, not SQL-expressible
+    "cos_topk_rplsh" -> VectorOps.cosTopkRplsh _,
     "knn_label_vote" -> VectorOps.knnLabelVote _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,
@@ -119,6 +123,7 @@ object SparkEntry {
     "dedup_clusters" -> TextOps.dedupClusters _,
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
+    "bpe_pair_stats" -> TextOps.bpePairStats _,
     "heavy_hitters_tokens" -> TextOps.heavyHittersTokens _,
     "pack_token_bins" -> TextOps.packTokenBins _,
     "rarity_top_terms" -> TextAnalysisOps.rarityTopTerms _,
@@ -588,6 +593,34 @@ object SparkEntry {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_hour_cents
         |FROM e
         |ORDER BY event_id""".stripMargin,
+
+    // SCD2: change-detect → interval build → as-of snapshot. The snapshot
+    // instant is (min+max) DIV 2 of ts_us — exact BIGINT floor division on
+    // both engines, so the filter boundary can never drift.
+    "scd2_users" ->
+      """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),
+        |c AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, state, ts_us, event_id FROM c WHERE prev IS NULL OR prev <> state),
+        |iv AS (SELECT user_id, state,
+        |         ts_us AS valid_from_us,
+        |         COALESCE(lead(ts_us) OVER w, -1) AS valid_to_us,
+        |         CAST(row_number() OVER w AS BIGINT) AS version
+        |       FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t FROM events)
+        |SELECT user_id, state, version, valid_from_us
+        |FROM iv, b
+        |WHERE valid_from_us <= t AND (valid_to_us = -1 OR valid_to_us > t)
+        |ORDER BY user_id""".stripMargin,
+
+    // Incremental refresh: the engine merges materialized base partials
+    // with the delta slice; the oracle recomputes from scratch — merged
+    // state must be indistinguishable from a full rescan.
+    "agg_incremental_users" ->
+      """WITH e AS (SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg_cents
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "win_rank_kinds" ->
       """WITH r AS (
@@ -1186,6 +1219,19 @@ object SparkEntry {
         |GROUP BY tok
         |ORDER BY n DESC, tok
         |LIMIT 20""".stripMargin,
+
+    // Adjacent pairs over the SAME whitespace tokens as text_tokens: the
+    // engine builds pairs map-side with a positional transform; the oracle
+    // with lead() over unnest positions. Empty tokens are dropped BEFORE
+    // pairing on both sides, so adjacency means adjacent non-empty tokens.
+    "bpe_pair_stats" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents WHERE lang = 'en'),
+        |t AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM d),
+        |pr AS (SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS pair FROM t)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM pr WHERE pair IS NOT NULL
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
     // Sequence packing: all-integer contiguous fill per shard — the bin
     // manifest is a pure window computation on both engines.

@@ -28,7 +28,11 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Root cause too: analysis wrappers (EXPRESSION_DECODING_FAILED
+        // et al.) bury the actionable exception 1-2 causes down.
+        val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}").take(3).mkString(" <- ")
+        System.err.println(s"[verify] $name failed: $causes")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

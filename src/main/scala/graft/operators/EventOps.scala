@@ -448,4 +448,80 @@ object EventOps {
         sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
   }
+
+  /** Mid-fixture split instant, `(min+max) DIV 2` of `ts_us` as a 1-row
+    * frame — floor division keeps it an exact BIGINT on both engines
+    * (DuckDB `//`). Broadcast-crossJoined where a scalar is needed
+    * in-plan, like the z-order bounds.
+    */
+  private def midTs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("t"))
+
+  /** E+/warehouse: SCD TYPE-2 dimension build + AS-OF snapshot — the
+    * standard slowly-changing-dimension shape: treat each user's event
+    * stream as a change log of their `event_type` state, collapse runs of
+    * the unchanged value (change detection via `lag`), turn each change
+    * into a validity interval `[valid_from_us, valid_to_us)` via `lead`
+    * (`-1` = still current), then snapshot the dimension AS OF the
+    * mid-fixture instant: exactly the interval per user that covers it.
+    *
+    * Scale: both windows share one `(user_id)` hash partitioning — ONE
+    * shuffle of (user, state, ts, id) regardless of how many versions a
+    * user has; the snapshot filter is a scalar broadcast, no second pass.
+    * Determinism: window order is `(ts_us, event_id)` — event_id is
+    * globally unique, so ties at one instant order identically on both
+    * engines, and zero-length intervals (two changes at one ts) can never
+    * cover the snapshot instant on either engine.
+    */
+  def scd2Users(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val changes = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("state"), col("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+    val intervals = changes
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", coalesce(lead(col("ts_us"), 1).over(w), lit(-1L)))
+      .withColumn("version", row_number().over(w).cast("long"))
+    intervals.crossJoin(broadcast(midTs(spark, sfDir)))
+      .filter(col("valid_from_us") <= col("t") &&
+        (col("valid_to_us") === -1L || col("valid_to_us") > col("t")))
+      .select(col("user_id"), col("state"), col("version"), col("valid_from_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** D+/maintenance: INCREMENTAL aggregate refresh — the partial-state
+    * merge that keeps a 100 TB rollup current without rescanning history.
+    * The pre-split base partials `(user, count, sum)` are MATERIALIZED
+    * once ([[Materialize.stage]] — the prior refresh's output, a real
+    * parquet table); the refresh aggregates only the post-split delta and
+    * MERGES states (counts add, sums add, avg derived at the end — the
+    * decomposition that makes count/sum/avg/min/max maintainable;
+    * medians/distincts need sketches, see `value_quantiles_sketch` /
+    * `agg_distinct_users_approx`). The oracle recomputes from scratch:
+    * merged partials must be indistinguishable from a full rescan.
+    *
+    * Scale: the history scan is paid once per base refresh, not per
+    * query; each refresh shuffles partials (≤ |users| rows) + the delta
+    * slice only. Exact-integer cents keep the merge order-independent.
+    */
+  def aggIncrementalUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("user_id"), cents.as("cents"), col("ts_us"))
+    val t = broadcast(midTs(spark, sfDir))
+    val base = Materialize.stage(spark, s"aggbase_users_$sfDir", sfDir) {
+      e.crossJoin(t).filter(col("ts_us") < col("t"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    }
+    val delta = e.crossJoin(t).filter(col("ts_us") >= col("t"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    base.unionByName(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), sum(col("s")).as("sum_cents"))
+      .withColumn("avg_cents",
+        round(col("sum_cents").cast("double") / col("n_events"), 6))
+      .orderBy(col("user_id"))
+  }
 }

@@ -113,6 +113,29 @@ object TextOps {
       .limit(20)
   }
 
+  /** V+: ADJACENT-PAIR statistics — the counting step of byte-pair /
+    * merge-based tokenizer induction (each BPE iteration merges the
+    * currently most frequent adjacent pair; this is that frequency table,
+    * over the same whitespace tokens as [[textTokens]]). Pairs are built
+    * MAP-SIDE with a positional `transform` over each doc's token array —
+    * no per-doc window, no posexplode+self-join; the only shuffle is the
+    * pair count itself, which partial-aggregates before exchange. The
+    * oracle builds the same pairs with `lead` over token positions.
+    */
+  def bpePairStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(filter(tokens, t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, ' ', element_at(toks, i + 2)))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+  }
+
   /** Misra-Gries frequent-items sketch over one partition's tokens: at most
     * `k` counters; a miss on a full table decrements every counter and
     * drops zeros. Guarantee (the classic one): any item whose true count in

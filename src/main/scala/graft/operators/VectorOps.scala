@@ -146,6 +146,59 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** V+: RANDOM-HYPERPLANE (sign) LSH ANN — the DATA-INDEPENDENT
+    * complement of the IVF variants: L=8 hash tables of B=5 sign bits each
+    * (the SimHash family for cosine distance), hyperplane components drawn
+    * deterministically from a seeded integer hash of (table, bit, dim), so
+    * the index needs NO training pass over the corpus — the property that
+    * matters when the corpus drifts and re-clustering is expensive.
+    * Signatures are computed MAP-SIDE (L·B codegen dot products per row);
+    * the 50 queries' signatures are broadcast, so candidate generation is
+    * a broadcast hash join on (table, signature) — the target side never
+    * shuffles, and OR-ing the 8 tables trades precision for recall exactly
+    * like the MinHash b×r bands. (L, B) sizing is the collision calculus:
+    * a band collides with probability (1−θ/π)^B, so B sets per-table
+    * selectivity (candidates ≈ L·n/2^B — grow B with the corpus) and L
+    * buys recall ≈ 1−(1−p^B)^L; this fixture's true top-5 sit at cos
+    * ≈ 0.32 (p ≈ 0.6), giving ~0.45 expected recall here vs ~0.07 at the
+    * (4, 8) sizing a tighter corpus would want. Candidate pairs dedup (a
+    * pair can collide in several tables), then exact-rescore + rank: same
+    * output shape as [[cosTopk]]. Rows-only (the hyperplane draws are not
+    * SQL-expressible); recall vs the exact top-5 is pinned in
+    * PipelineOpsSpec.
+    */
+  def cosTopkRplsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val dims = emb.select(size(col("embedding")).as("d")).first().getInt(0)
+    val L = 8
+    val B = 5
+    // Hyperplane component in (-1, 1): fixed across sessions/partitions.
+    def comp(l: Int, j: Int, d: Int): Float = {
+      val h = scala.util.hashing.MurmurHash3.productHash(("rplsh", l, j, d))
+      (h.toDouble / Int.MaxValue).toFloat
+    }
+    def sig(l: Int) = (0 until B).map { j =>
+      val hp = typedLit((0 until dims).map(d => comp(l, j, d)))
+      when(call_function("dot_f32", col("embedding"), hp) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val sigs = array((0 until L).map(sig): _*)
+    def signed(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        posexplode(sigs).as(Seq("tbl", "sig")))
+    val t = signed(emb, "t_id", "t_emb")
+    val q = signed(emb.filter(col("vec_id") < 50), "q_id", "q_emb")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))
+    t.join(broadcast(q), Seq("tbl", "sig")).filter(col("t_id") =!= col("q_id"))
+      .select(col("q_id"), col("t_id"), col("q_emb"), col("t_emb"))
+      .dropDuplicates("q_id", "t_id")
+      .withColumn("sim", round(expr("dot_f32(q_emb, t_emb)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("t_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** V/R8: the DECLARED read through the `graft-vectors` DataSource V2
     * table ([[graft.sources.VectorSource]]) — a 10-million-row synthetic
     * vector table scanned with a vec_id range predicate and an id/label

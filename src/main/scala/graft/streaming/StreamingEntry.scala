@@ -552,20 +552,24 @@ object StreamingEntry {
   }
 
   /** DECLARED stream-stream LEFT OUTER interval join entry: the append-mode
-    * emission semantics for outer joins — matched pairs emit on arrival
-    * (batch 2), and each unmatched purchase emits its sentinel row exactly
-    * once, only after the watermark proves no qualifying signup can still
-    * arrive. The harness forces that proof deterministically in three
-    * micro-batches: batch 2 carries the purchases PLUS a far-future flush
-    * event on BOTH streams (the global watermark is the min across
-    * inputs, and it only advances when the batch COMMITS — so the
-    * purchases in the same batch still process under batch 1's low
-    * watermark, while the commit lifts the watermark past every real
-    * purchase's eviction bound); batch 3 replays one flush event, running
-    * under that watermark and forcing the state-eviction pass that emits
-    * the outer rows (same explicit-replay device as
-    * [[streamAppendFinalized]] — eviction in batch N uses the watermark
-    * committed after batch N−1). The flush events use negative user ids,
+    * emission semantics for outer joins — matched pairs emit on arrival,
+    * and each unmatched purchase emits its sentinel row exactly once, only
+    * after the watermark proves no qualifying signup can still arrive. The
+    * harness forces that proof deterministically in TWO micro-batches:
+    * batch 1 carries both sides' real events PLUS a far-future flush event
+    * on BOTH streams (rows process under the initial zero watermark — the
+    * symmetric hash join matches same-batch arrivals through the state
+    * store, each side probing the other's — while the COMMIT lifts the
+    * global min-watermark past every real purchase's eviction bound);
+    * batch 2 replays one flush event, running under that committed
+    * watermark and forcing the state-eviction pass that emits the outer
+    * rows (same explicit-replay device as [[streamAppendFinalized]] —
+    * eviction in batch N uses the watermark committed after batch N−1).
+    * Two rounds instead of the r7 three: the signups-before-purchases
+    * staging the INNER entry keeps (to pin cross-batch state probes) adds
+    * nothing here — the outer path's distinct semantics are the eviction
+    * emission, and a commit round is the dominant harness cost
+    * (EXPERIMENTS.md round 7). The flush events use negative user ids,
     * never join (purchase flushes user −1, signup flushes user −2), sit
     * above the final watermark so they can never emit as unmatched, and
     * are filtered out of the result by `user_id >= 0`. The oracle is the
@@ -584,11 +588,10 @@ object StreamingEntry {
         .writeStream.format("memory").queryName("graft_stream_ssj_outer")
         .outputMode("append").start()
       try {
-        sStream.addData(slice.filter(_.event_type == "signup"))
-        q.processAllAvailable()
+        sStream.addData(slice.filter(_.event_type == "signup") :+
+          StreamEvent(-2L, flushTs, -2L, "signup", 0.0))
         pStream.addData(slice.filter(_.event_type == "purchase") :+
           StreamEvent(-1L, flushTs, -1L, "purchase", 0.0))
-        sStream.addData(Seq(StreamEvent(-2L, flushTs, -2L, "signup", 0.0)))
         q.processAllAvailable()
         pStream.addData(Seq(StreamEvent(-3L, flushTs, -1L, "purchase", 0.0)))
         q.processAllAvailable()

@@ -96,6 +96,65 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.toDouble / a.length > 0.35, s"k-means IVF recall ${hits.toDouble / a.length}")
   }
 
+  test("cos_topk_rplsh: data-independent LSH beats chance recall, deterministic") {
+    val exact = VectorOps.cosTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val a = VectorOps.cosTopkRplsh(spark, sf0001).collect()
+    val b = VectorOps.cosTopkRplsh(spark, sf0001).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // 4 tables × 8 sign bits; chance would be ~5/500. No training pass —
+    // recall rides only on the hyperplane draws, so it sits below the
+    // learned-quantizer IVF but must stay far above chance.
+    val hits = a.count(r => exact.contains((r.getLong(0), r.getLong(2))))
+    assert(hits.toDouble / a.length > 0.25, s"RP-LSH recall ${hits.toDouble / a.length}")
+  }
+
+  test("bpe_pair_stats: pairs match a lead()-window recount; counts bounded by token count") {
+    import org.apache.spark.sql.expressions.Window
+    // Independent recount on the engine side with the oracle's OWN plan
+    // shape (posexplode + lead window) — catches an off-by-one in the
+    // positional transform that DuckDB agreement alone would share if the
+    // SQL had the same bug.
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val viaWindow = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("pair", concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w)))
+      .filter(col("pair").contains(" "))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(30)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaTransform = TextOps.bpePairStats(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaTransform == viaWindow)
+  }
+
+  test("scd2_users: snapshot has one row per covered user; intervals are change points") {
+    val snap = EventOps.scd2Users(spark, sf0001).collect()
+    assert(snap.nonEmpty)
+    val users = snap.map(_.getLong(0))
+    assert(users.distinct.length == users.length, "duplicate user in as-of snapshot")
+    // every snapshot state is a real event_type value and versions are ≥ 1
+    val types = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
+    assert(snap.forall(r => types(r.getString(1)) && r.getLong(2) >= 1L))
+  }
+
+  test("agg_incremental_users: merged partials == full recompute") {
+    val merged = EventOps.aggIncrementalUsers(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val full = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_cents"))
+      .withColumn("avg_cents", round(col("sum_cents").cast("double") / col("n_events"), 6))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(merged == full)
+  }
+
   test("minhash: 8 independent seeded permutations catch a near-dup the old correlated windows missed") {
     import spark.implicits._
     // Pinned pair: 20-token doc vs the same doc with tokens 9 and 11
