@@ -106,15 +106,26 @@ object GenData {
         off("doc_id", nDoc), col("text2").as("text"), col("lang"), col("source"),
         length(col("text2")).cast("long").as("n_chars")), copies)
 
+    // Copies MUST honor the fixture's unit-norm contract: the driver's
+    // vectors are L2-normalized, and the vector operators' raw-dot
+    // thresholds (embedding_near_dup's sim ≥ 0.3) assume it. Un-normalized
+    // uniform draws (norm ≈ √(d/3) ≈ 4.6 at d=64) make ~45% of random
+    // pairs pass that threshold — the round-8 sf1 bench measured the
+    // resulting output explosion as a phantom 60× super-linearity before
+    // this normalization pinned the distribution.
     val dim = src("embeddings").select(size(col("embedding"))).head.getInt(0)
     write("embeddings", replicate(src("embeddings"))
       .withColumn("vid", col("vec_id") + col("cpy") * lit(nVec))
+      .withColumn("raw",
+        expr(s"""transform(sequence(0, ${dim - 1}),
+                |  j -> cast(xxhash64(concat(cast(vid AS string), ':', cast(j AS string))) % 1000000
+                |            AS double) / 1000000.0)""".stripMargin))
       .select(
         col("vid").as("vec_id"),
         when(col("cpy") === 0, col("embedding")).otherwise(
-          expr(s"""transform(sequence(0, ${dim - 1}),
-                  |  j -> cast(cast(xxhash64(concat(cast(vid AS string), ':', cast(j AS string))) % 1000000
-                  |            AS double) / 1000000.0 AS float))""".stripMargin)).as("embedding"),
+          expr("""transform(raw,
+                 |  x -> cast(x / sqrt(aggregate(raw, 0D, (s, y) -> s + y * y)) AS float))""".stripMargin))
+          .as("embedding"),
         col("label")), copies / 2 + 1)
 
     println(s"[gendata] wrote ${copies}x $srcDir -> $outDir")

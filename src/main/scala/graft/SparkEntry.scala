@@ -139,6 +139,8 @@ object SparkEntry {
     "doc_commonness" -> TextOps.docCommonness _,
     "text_stats_lang" -> TextOps.textStatsLang _,
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
+    "fuzzy_name_match" -> TextAnalysisOps.fuzzyNameMatch _,
+    "pagerank_docs" -> GraphOps.pagerankDocs _,
     "regex_clean_stats" -> TextAnalysisOps.regexCleanStats _,
     "hash_sample_stratified" -> TextAnalysisOps.hashSampleStratified _,
     "text_quality" -> TextAnalysisOps.textQuality _,
@@ -1232,6 +1234,46 @@ object SparkEntry {
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM pr WHERE pair IS NOT NULL
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    // Integer fixed-point PageRank: every step exact BIGINT arithmetic so
+    // aggregation order can't move a single bit — the recursion replays
+    // identically as a recursive CTE. Nodes without in-edges are kept via
+    // the left join (their iter tag is window-filled from the global max).
+    "pagerank_docs" ->
+      """WITH RECURSIVE
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |nodes AS (SELECT doc_id AS node FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, n_chars % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (n_chars * 31 + doc_id) % (SELECT n FROM nn) FROM documents),
+        |pr AS (
+        |  SELECT 0 AS iter, node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+        |  UNION ALL
+        |  SELECT c.iter + 1, c.node, CAST(150000 + 85 * c.s // 100 AS BIGINT) AS rank
+        |  FROM (SELECT node, s, max(it) OVER () AS iter
+        |        FROM (SELECT nd.node AS node, COALESCE(sum(p.rank // 2), 0) AS s, max(p.iter) AS it
+        |              FROM nodes nd
+        |              LEFT JOIN (SELECT e.dst, pp.rank, pp.iter FROM pr pp JOIN edges e ON pp.node = e.src) p
+        |                ON p.dst = nd.node
+        |              GROUP BY nd.node)) c
+        |  WHERE c.iter < 10
+        |)
+        |SELECT node, rank FROM pr WHERE iter = 10 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    // Blocked fuzzy match over the DISTINCT name domain: candidates share
+    // a token, survivors within Levenshtein <= 3 (exact DP metric, same on
+    // both engines), row counts joined back for the fact-level linkage.
+    "fuzzy_name_match" ->
+      """WITH names AS (SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS n_rows FROM part GROUP BY p_name),
+        |tok AS (SELECT nm, unnest(string_split(nm, ' ')) AS tk FROM names),
+        |cand AS (SELECT DISTINCT a.nm AS nm1, b.nm AS nm2
+        |         FROM tok a JOIN tok b ON a.tk = b.tk AND a.nm < b.nm),
+        |m AS (SELECT nm1, nm2, CAST(levenshtein(nm1, nm2) AS BIGINT) AS dist
+        |      FROM cand WHERE levenshtein(nm1, nm2) <= 3)
+        |SELECT m.nm1, m.nm2, m.dist, x.n_rows AS n1, y.n_rows AS n2
+        |FROM m JOIN names x ON m.nm1 = x.nm JOIN names y ON m.nm2 = y.nm
+        |ORDER BY m.dist, m.nm1, m.nm2""".stripMargin,
 
     // Sequence packing: all-integer contiguous fill per shard — the bin
     // manifest is a pure window computation on both engines.

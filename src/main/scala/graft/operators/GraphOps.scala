@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph operators over the document corpus (SURVEY.md §2.2 group V
+  * extensions). The corpus has no native link column, so the link graph is
+  * CLOSED-FORM from document properties (each doc emits two out-links
+  * derived from `n_chars` — deterministic, irregular in-degree, identical
+  * on any engine), which is what lets an iterative graph algorithm be
+  * DuckDB-oracled end-to-end.
+  */
+object GraphOps {
+
+  /** V+/graph: PAGERANK in exact fixed-point integer arithmetic — 10
+    * power iterations of `rank' = 0.15 + 0.85 · Σ rank/outdeg` with ranks
+    * in BIGINT micro-units and every step integer (`DIV`), so partial-sum
+    * ORDER cannot perturb the result: float PageRank differs in the last
+    * ulp across aggregation orders (and engines), integer PageRank is
+    * bit-stable — the `integer cents` protocol applied to graph analytics
+    * (the floor-division mass loss is absorbed by the damping term, like
+    * every production fixed-point ranker).
+    *
+    * Plan shape per iteration: edges ⋈ ranks on src (one hash exchange),
+    * partial-agg'd contribution sum on dst, left join back to the node set
+    * (no-in-edge nodes keep the damping floor and KEEP CONTRIBUTING — the
+    * round-8 oracle prototype showed dropping them silently corrupts
+    * ranks). At 100 TB: pre-partition edges and ranks on the same key so
+    * the per-iteration join co-locates; iteration count is fixed, so total
+    * cost is 10 bounded shuffles of (node, rank) pairs — never the corpus.
+    * The oracle replays the identical recursion as a DuckDB RECURSIVE CTE.
+    */
+  def pagerankDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    // 1-row scalar (node count) — the same driver-side bound pattern as
+    // the z-order box; needed as a literal in the closed-form edge map.
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id").as("node"))
+    val edges = docs.select(col("doc_id").as("src"), (col("n_chars") % n).as("dst"))
+      .unionByName(docs.select(
+        col("doc_id").as("src"), ((col("n_chars") * 31 + col("doc_id")) % n).as("dst")))
+    var pr = nodes.withColumn("rank", lit(1000000L))
+    for (i <- 1 to 10) {
+      val contrib = pr.join(edges, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank DIV 2")).as("s"))
+      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr("CAST(150000 + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
+            .as("rank"))
+      // Iterative lineage is a planner cost, not just an execution one:
+      // analysis/optimization of a depth-10 join+agg tree dominates this
+      // query's wall time. Truncate every 5 rounds — the rank table is
+      // O(nodes) pairs, so the checkpoint is tiny; production reliable-
+      // checkpoints the same table for fault tolerance anyway.
+      if (i % 5 == 0) pr = pr.localCheckpoint(true)
+    }
+    pr.orderBy(col("rank").desc, col("node")).limit(20)
+  }
+}

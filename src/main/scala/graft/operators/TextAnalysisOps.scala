@@ -291,4 +291,35 @@ object TextAnalysisOps {
          |ORDER BY simhash""".stripMargin
     }
   }
+
+  /** V+/entity-resolution: FUZZY STRING-MATCH join over the part-name
+    * domain — the standard blocked edit-distance matcher (candidates share
+    * a token; survivors are within Levenshtein ≤ 3), with the one plan
+    * decision that makes it scale: match the DISTINCT VALUE DOMAIN, never
+    * the fact rows. The name domain is vocabulary-sized (64 names at every
+    * SF here) and carries each name's row count, so the quadratic term is
+    * O(block²) over the domain — constant in fact-table volume — and the
+    * row-level linkage is the final count join-back. At 100 TB the same
+    * shape holds: distinct-aggregate first (partial agg collapses the fact
+    * scan), block on rare tokens, verify with the exact metric, broadcast
+    * the (tiny) match table back onto facts when materializing links.
+    * Levenshtein is exact and engine-portable (same DP recurrence in Spark
+    * and DuckDB) — no similarity-score floats in the hash compare.
+    */
+  def fuzzyNameMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .select(col("p_name").as("nm"))
+      .groupBy(col("nm")).agg(count(lit(1)).as("n_rows"))
+    val tok = names.select(col("nm"), explode(split(col("nm"), " ")).as("tk"))
+    val cand = tok.as("a").join(tok.as("b"),
+        col("a.tk") === col("b.tk") && col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("nm1"), col("b.nm").as("nm2"))
+      .distinct()
+    cand.withColumn("dist", levenshtein(col("nm1"), col("nm2")).cast("long"))
+      .filter(col("dist") <= 3)
+      .join(names.select(col("nm").as("nm1"), col("n_rows").as("n1")), "nm1")
+      .join(names.select(col("nm").as("nm2"), col("n_rows").as("n2")), "nm2")
+      .select(col("nm1"), col("nm2"), col("dist"), col("n1"), col("n2"))
+      .orderBy(col("dist"), col("nm1"), col("nm2"))
+  }
 }

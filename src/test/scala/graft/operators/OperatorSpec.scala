@@ -232,4 +232,36 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
       .select(md5(col("text"))).collect().map(_.getString(0))
     assert(survivorTexts.forall(!catalogTexts.contains(_)))
   }
+
+  test("pagerank_docs: exact integer ranks — deterministic, damping floor, mass bounds") {
+    val a = GraphOps.pagerankDocs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = GraphOps.pagerankDocs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "integer PageRank must be bit-stable across runs")
+    assert(a.length == 20)
+    // every rank ≥ the damping floor; top ranks strictly above it (the
+    // graph is irregular, so somebody accumulates in-links)
+    assert(a.forall(_._2 >= 150000L))
+    assert(a.head._2 > 1000000L, s"top rank ${a.head._2} should exceed the uniform start")
+    // sorted by (rank desc, node)
+    assert(a == a.sortBy(t => (-t._2, t._1)))
+  }
+
+  test("fuzzy_name_match: pairs are ordered, within distance, and blocking finds shared-token pairs") {
+    val rows = TextAnalysisOps.fuzzyNameMatch(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // canonical orientation (nm1 < nm2) — no symmetric duplicates
+    assert(rows.forall(r => r.getString(0) < r.getString(1)))
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3))
+    // a known near-pair differing by one leading char shares its noun
+    // token, so blocking must surface it
+    assert(rows.exists(r => r.getString(0) == "cold bolt" && r.getString(1) == "old bolt"))
+    // row counts are the true per-name fact counts
+    val names = graft.sources.Tables.part(spark, sf0001)
+      .groupBy(col("p_name")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => names(r.getString(0)) == r.getLong(3) &&
+      names(r.getString(1)) == r.getLong(4)))
+  }
 }
