@@ -32,6 +32,7 @@ object SparkEntry {
     "q3_top_orders" -> Relational.q3TopOrders _,
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
     "semi_anti_customers" -> Relational.semiAntiCustomers _,
+    "merge_upsert_parts" -> Relational.mergeUpsertParts _,
     "outer_join_orders" -> Relational.outerJoinOrders _,
     "left_outer_customers" -> Relational.leftOuterCustomers _,
     "bucketed_join_orders" -> Relational.bucketedJoinOrders _,
@@ -159,6 +160,8 @@ object SparkEntry {
     "diverse_docs_k16" -> DiversityOps.diverseDocsK16 _,
     "curate_corpus_k16" -> DiversityOps.curateCorpusK16 _,
     "local_search_k32" -> DiversityOps.localSearchK32 _,
+    // rows-only: per-label streaming-coreset kernels (not SQL-expressible)
+    "diverse_by_label" -> DiversityOps.diverseByLabel _,
     "matching_k32" -> DiversityOps.matchingK32 _,
     "remote_edge_div" -> DiversityOps.remoteEdgeDiv _,
     "remote_clique_div" -> DiversityOps.remoteCliqueDiv _,
@@ -1234,6 +1237,24 @@ object SparkEntry {
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM pr WHERE pair IS NOT NULL
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    // MERGE/upsert as full-outer join + CASE (how table formats execute
+    // MERGE INTO); per-action audit of the merged table, integer cents.
+    "merge_upsert_parts" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM part),
+        |tgt AS (SELECT p_partkey AS k, CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents FROM part),
+        |upd AS (SELECT k, cents + 500 AS cents FROM tgt WHERE k % 7 = 0),
+        |ins AS (SELECT k + (SELECT cnt FROM n) AS k, 1000 + ((k + (SELECT cnt FROM n)) % 997) AS cents
+        |        FROM tgt WHERE k < 100),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |m AS (SELECT COALESCE(t.k, s.k) AS k,
+        |             CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN 'update'
+        |                  WHEN t.k IS NULL THEN 'insert' ELSE 'keep' END AS action,
+        |             CAST(COALESCE(s.cents, t.cents) AS BIGINT) AS cents
+        |      FROM tgt t FULL JOIN src s ON t.k = s.k)
+        |SELECT action, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+        |FROM m GROUP BY action ORDER BY action""".stripMargin,
 
     // Integer fixed-point PageRank: every step exact BIGINT arithmetic so
     // aggregation order can't move a single bit — the recursion replays

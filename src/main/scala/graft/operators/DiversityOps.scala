@@ -342,4 +342,46 @@ object DiversityOps {
       .select(col("id").as("vec_id"), col("weight"))
       .orderBy(col("vec_id"))
   }
+
+  /** W+: GROUPED diversity — one bounded streaming coreset PER LABEL: the
+    * class-balanced diverse-sampling op (pick ≤ m spread-out
+    * representatives from every class, with delegate weights), i.e. the
+    * R6 doubling coreset applied per group instead of per partition.
+    *
+    * Determinism without a driver loop: `repartition(label)` puts each
+    * label wholly in one partition (hash routing — deterministic for a
+    * label regardless of partition count), `sortWithinPartitions(label,
+    * vec_id)` is the spill-safe secondary sort that feeds each label's run
+    * contiguously in ascending id order, and the fold emits on label
+    * change — so each label's kernel set depends only on its own sorted
+    * points, not on p or scheduling. At 100 TB: one shuffle of (label, id,
+    * vec), per-task state is ONE live coreset (O(m)), and skewed classes
+    * cost scan time, not memory. Rows-only (kernel selection is not
+    * SQL-expressible); determinism/mass/budget are spec-pinned.
+    */
+  def diverseByLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = 16
+    Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"), col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .repartition(col("label"))
+      .sortWithinPartitions(col("label"), col("vec_id"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val res = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        var cur = 0L
+        var cs: StreamingCoreset = null
+        def flush(): Unit =
+          if (cs != null) cs.result().foreach(w => res += ((cur, w.id, w.weight)))
+        it.foreach { case (l, id, emb) =>
+          if (cs == null || l != cur) { flush(); cur = l; cs = new StreamingCoreset(m) }
+          cs.update(Pt(id, emb))
+        }
+        flush()
+        res.iterator
+      }
+      .toDF("label", "vec_id", "weight")
+      .orderBy(col("label"), col("vec_id"))
+  }
 }

@@ -767,4 +767,43 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 6).as("sum_qty"))
       .orderBy(col("p_brand"))
   }
+
+  /** C+/warehouse: MERGE (upsert) semantics as a composable batch plan —
+    * Spark has no MERGE INTO statement outside table-format extensions, and
+    * this full-outer join + CASE IS how those formats execute it: matched
+    * keys take the source value (update), source-only keys insert,
+    * target-only keys carry through. The synthetic change set is
+    * deterministic (every 7th key gets a +$5 price update; 100 new keys
+    * beyond the contiguous id domain insert), and the output is the merged
+    * table's per-action audit — the row-count/mass reconciliation a
+    * production MERGE job logs.
+    *
+    * Scale: a MERGE is a key-shuffled full-outer join when the change set
+    * is large, a broadcast one when it is batch-sized (the usual CDC case —
+    * Catalyst picks it from size estimates here); the lake-format
+    * refinement is partition pruning the TARGET to touched partitions
+    * (copy-on-write) or row-group-level merges (merge-on-read), both of
+    * which keep this exact join as their core. Integer cents keep the audit
+    * sums exact on both engines.
+    */
+  def mergeUpsertParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
+    val tgt = Tables.part(spark, sfDir).select(col("p_partkey").as("k"), cents.as("cents"))
+    // 1-row scalar (contiguous id-domain size) for the insert-key offset
+    val n = tgt.count()
+    val upd = tgt.filter(col("k") % 7 === 0).select(col("k"), (col("cents") + 500).as("cents"))
+    val ins = tgt.filter(col("k") < 100)
+      .select((col("k") + n).as("k"), (lit(1000L) + (col("k") + n) % 997).as("cents"))
+    val src = upd.unionByName(ins)
+    tgt.as("t").join(src.as("s"), col("t.k") === col("s.k"), "full_outer")
+      .select(
+        coalesce(col("t.k"), col("s.k")).as("k"),
+        when(col("t.k").isNotNull && col("s.k").isNotNull, "update")
+          .when(col("t.k").isNull, "insert").otherwise("keep").as("action"),
+        coalesce(col("s.cents"), col("t.cents")).as("cents"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy(col("action"))
+  }
 }

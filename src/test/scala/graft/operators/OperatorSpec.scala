@@ -233,6 +233,19 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(survivorTexts.forall(!catalogTexts.contains(_)))
   }
 
+  test("merge_upsert_parts: actions partition the merged key space; counts reconcile") {
+    val rows = Relational.mergeUpsertParts(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val nParts = graft.sources.Tables.part(spark, sf0001).count()
+    assert(rows.keySet == Set("insert", "keep", "update"))
+    assert(rows("insert")._1 == 100L)
+    // update count = keys divisible by 7 in the contiguous [0, n) domain
+    assert(rows("update")._1 == (nParts + 6) / 7)
+    assert(rows("keep")._1 == nParts - rows("update")._1)
+    // inserts occupy exactly the appended key range
+    assert(rows("insert")._3 == nParts && rows("insert")._4 == nParts + 99)
+  }
+
   test("pagerank_docs: exact integer ranks — deterministic, damping floor, mass bounds") {
     val a = GraphOps.pagerankDocs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -254,6 +254,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(selA == selB, s"p=1 selected $selA, p=32 selected $selB")
   }
 
+  test("diverse_by_label: deterministic, per-label budget and mass, kernels from own class") {
+    val a = DiversityOps.diverseByLabel(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = DiversityOps.diverseByLabel(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b, "per-label coreset must not depend on scheduling")
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("label").cast("long"), col("vec_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byLabel = emb.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val groups = a.groupBy(_._1)
+    assert(groups.keySet == byLabel.keySet, "every label gets a coreset")
+    groups.foreach { case (l, ks) =>
+      assert(ks.length <= 16, s"label $l kernel budget exceeded: ${ks.length}")
+      assert(ks.map(_._3).sum == byLabel(l).size, s"label $l weight mass mismatch")
+      assert(ks.forall(k => byLabel(l)(k._2)), s"label $l kernel from another class")
+    }
+  }
+
   test("curate_corpus_k16: composed pipeline is deterministic and respects its own gates") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.DiversityOps.curateCorpusK16(spark, sf0001).collect()

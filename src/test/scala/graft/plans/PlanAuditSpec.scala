@@ -229,4 +229,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
     assert(p.contains("Window"), p)
   }
+
+  test("scd2_users: change-detect and interval windows share ONE (user_id) exchange") {
+    val p = plan(graft.operators.EventOps.scd2Users(spark, sf0001))
+    // the lag window and the lead/row_number window both partition by
+    // user_id — Catalyst must plan them over a single hash exchange; a
+    // second one would mean the change-filter broke partitioning reuse
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    // snapshot bound arrives as a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("bpe_pair_stats: pairs are built map-side — no window, count agg is the only hash exchange") {
+    val p = plan(graft.operators.TextOps.bpePairStats(spark, sf0001))
+    assert(!p.contains("Window"), s"positional transform must not plan a window:\n$p")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected only the pair-count exchange, plan:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("agg_incremental_users: base and delta partial-aggregate before any exchange") {
+    val p = plan(graft.operators.EventOps.aggIncrementalUsers(spark, sf0001))
+    // two partial_ aggregates (base side staged + delta side) and the
+    // final merge — a plan that shuffled raw events would miss partials
+    assert(p.linesIterator.count(l => l.contains("HashAggregate") &&
+      l.contains("partial_")) >= 2, s"expected partial aggregates, plan:\n$p")
+  }
 }
