@@ -24,7 +24,7 @@ object LayoutExperiment {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
     val raw = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts_us"), cents.as("cents"))
     val (umin, umax, tmin, tmax) =

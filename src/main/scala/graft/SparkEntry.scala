@@ -180,17 +180,13 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_disc_price,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price_cents,
+        |  CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc_cents,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -199,17 +195,13 @@ object SparkEntry {
 
     "sql_interface_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_disc_price,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price_cents,
+        |  CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc_cents,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -218,8 +210,7 @@ object SparkEntry {
 
     "join_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -230,7 +221,7 @@ object SparkEntry {
     "q3_top_orders" ->
       """WITH g AS (
         |  SELECT l_orderkey, o_orderdate AS od, o_orderpriority,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |  FROM customer
         |  JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -238,15 +229,14 @@ object SparkEntry {
         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |  GROUP BY l_orderkey, od, o_orderpriority)
-        |SELECT l_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate, o_orderpriority, revenue
+        |SELECT l_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate, o_orderpriority, revenue_cents
         |FROM g
-        |ORDER BY revenue DESC, l_orderkey
+        |ORDER BY revenue_cents DESC, l_orderkey
         |LIMIT 10""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -258,7 +248,7 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
 
     "semi_anti_customers" ->
       """SELECT
@@ -270,7 +260,7 @@ object SparkEntry {
     "partitioned_events_purchases" ->
       """SELECT user_id,
         |  CAST(count(*) AS BIGINT) AS n_purchases,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
         |FROM events
         |WHERE event_type = 'purchase'
         |GROUP BY user_id
@@ -281,7 +271,7 @@ object SparkEntry {
     // the raw table, deriving the same integer bounds from min/max.
     "zorder_events_box" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
         |s AS (SELECT min(user_id) AS umin, max(user_id) - min(user_id) + 1 AS uspan,
         |    min(ts_us) AS tmn, max(ts_us) - min(ts_us) + 1 AS tspan FROM e)
         |SELECT CAST(count(*) AS BIGINT) AS n,
@@ -294,7 +284,7 @@ object SparkEntry {
 
     "jsonl_roundtrip_events" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
@@ -306,7 +296,7 @@ object SparkEntry {
 
     "xml_roundtrip_events" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
@@ -346,7 +336,7 @@ object SparkEntry {
 
     "csv_roundtrip_events" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
@@ -358,7 +348,7 @@ object SparkEntry {
 
     "orc_roundtrip_events" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
@@ -371,7 +361,7 @@ object SparkEntry {
     "outer_join_orders" ->
       """WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal >= 0),
         |o AS (SELECT o_custkey, count(*) AS n_orders,
-        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS spend_cents
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_cents
         |  FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1998-04-01 00:00:00'
         |  GROUP BY o_custkey),
@@ -397,7 +387,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
         |  CAST(sum(coalesce(o.n_orders, 0)) AS BIGINT) AS n_orders,
-        |  round(avg(CAST(coalesce(o.n_orders, 0) AS DOUBLE)), 6) AS avg_orders
+        |  CAST(sum(coalesce(o.n_orders, 0)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_orders
         |FROM customer c
         |LEFT OUTER JOIN o ON c.c_custkey = o.o_custkey
         |GROUP BY c_mktsegment
@@ -406,8 +396,7 @@ object SparkEntry {
     "bucketed_join_orders" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
@@ -438,21 +427,19 @@ object SparkEntry {
     "cube_orders" ->
       """WITH r AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |    CAST(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |      / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS total
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |  FROM orders
         |  GROUP BY CUBE (o_orderstatus, o_orderpriority))
         |SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  CAST(n AS BIGINT) AS n, total
+        |  CAST(n AS BIGINT) AS n, total_cents
         |FROM r
         |ORDER BY status, priority""".stripMargin,
 
     "range_join_promo" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate
@@ -491,13 +478,12 @@ object SparkEntry {
     "rollup_orders" ->
       """WITH r AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |    CAST(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |      / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS total
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |  FROM orders
         |  GROUP BY ROLLUP (o_orderstatus, o_orderpriority))
         |SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  CAST(n AS BIGINT) AS n, total
+        |  CAST(n AS BIGINT) AS n, total_cents
         |FROM r
         |ORDER BY status, priority""".stripMargin,
 
@@ -553,13 +539,13 @@ object SparkEntry {
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
 
-    // DECIMAL(18,2) money: exact integer cents summed, then decimal-by-
-    // decimal division — no double ever enters the decimal path, so the
-    // 2-dp value (and its parquet decimal scale) is engine-identical.
+    // DECIMAL(18,0) money: exact integer cents summed, then losslessly
+    // widened to decimal — no double and no decimal DIVISION ever enters
+    // the decimal path (division/rescale proved engine-version-sensitive
+    // in r8), so the value is engine-identical.
     "agg_decimal_money" ->
       """SELECT l_returnflag,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DECIMAL(18,0)) AS revenue_cents,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |GROUP BY l_returnflag
@@ -576,7 +562,7 @@ object SparkEntry {
 
     "win_running_user" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
         |SELECT user_id, event_id, ts_us,
         |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
@@ -592,7 +578,7 @@ object SparkEntry {
 
     "win_range_frame" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
         |SELECT event_id, user_id, ts_us,
         |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_hour_cents
@@ -621,10 +607,10 @@ object SparkEntry {
     // with the delta slice; the oracle recomputes from scratch — merged
     // state must be indistinguishable from a full rescan.
     "agg_incremental_users" ->
-      """WITH e AS (SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+      """WITH e AS (SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-        |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg_cents
+        |  CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "win_rank_kinds" ->
@@ -632,8 +618,8 @@ object SparkEntry {
         |  SELECT p_brand, p_partkey,
         |    row_number() OVER w AS rnk,
         |    dense_rank() OVER w AS drnk,
-        |    round(percent_rank() OVER w, 6) AS prnk,
-        |    round(cume_dist() OVER w, 6) AS cdist,
+        |    percent_rank() OVER w AS prnk,
+        |    cume_dist() OVER w AS cdist,
         |    ntile(4) OVER w AS quartile,
         |    first_value(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_part,
@@ -681,23 +667,21 @@ object SparkEntry {
     "salted_heavy_hitters" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
     "unpivot_stats" ->
       """WITH w AS (SELECT l_returnflag,
-        |    CAST(CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |      / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS DOUBLE) AS qty,
-        |    CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |      / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS qty_cents,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS price_cents,
         |    CAST(count(*) AS DOUBLE) AS n
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, value FROM (
         |  SELECT l_returnflag, 'n' AS metric, n AS value FROM w
-        |  UNION ALL SELECT l_returnflag, 'price', price FROM w
-        |  UNION ALL SELECT l_returnflag, 'qty', qty FROM w)
+        |  UNION ALL SELECT l_returnflag, 'price_cents', price_cents FROM w
+        |  UNION ALL SELECT l_returnflag, 'qty_cents', qty_cents FROM w)
         |ORDER BY l_returnflag, metric""".stripMargin,
 
     "calendar_months" ->
@@ -734,7 +718,7 @@ object SparkEntry {
     "win_ignore_nulls" ->
       """WITH e AS (SELECT event_id, user_id,
         |    epoch_us(ts) AS ts_us,
-        |    CASE WHEN value >= 400 THEN CAST(round(value * 100, 0) AS BIGINT) END AS big_cents
+        |    CASE WHEN value >= 400 THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS big_cents
         |  FROM events)
         |SELECT event_id, user_id, ts_us, big_cents,
         |  last_value(big_cents IGNORE NULLS) OVER (
@@ -820,7 +804,7 @@ object SparkEntry {
         |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type,
         |  CAST(count(k) AS BIGINT) AS n_k,
-        |  round(avg(k), 6) AS avg_k,
+        |  CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k
         |FROM t
         |GROUP BY event_type
@@ -839,14 +823,14 @@ object SparkEntry {
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
         |SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM e
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
 
     "stream_sliding_events" ->
       """WITH e AS (SELECT event_id, ts, event_type,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events ORDER BY event_id LIMIT 5000)
         |SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (k * 15) MINUTE) AS ws_us,
         |  event_type,
@@ -936,7 +920,7 @@ object SparkEntry {
         |m AS (SELECT max(ts) AS mx FROM e),
         |a AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wb, event_type,
         |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |  FROM e GROUP BY 1, 2)
         |SELECT epoch_us(wb) AS ws_us, event_type, n, sum_cents
         |FROM a, m
@@ -949,7 +933,7 @@ object SparkEntry {
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
         |SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM e
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
@@ -962,7 +946,7 @@ object SparkEntry {
         |m AS (SELECT max(ts) AS mx FROM e),
         |a AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wb, event_type,
         |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |  FROM e GROUP BY 1, 2)
         |SELECT epoch_us(wb) AS ws_us, event_type, n, sum_cents
         |FROM a, m
@@ -996,7 +980,7 @@ object SparkEntry {
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
         |SELECT c.c_nationkey AS nationkey,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1
         |ORDER BY nationkey""".stripMargin,
@@ -1016,13 +1000,13 @@ object SparkEntry {
     "tumbling_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
 
     "sliding_window" ->
-      """WITH e AS (SELECT ts, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+      """WITH e AS (SELECT ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
         |SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL (k * 15) MINUTE) AS ws_us,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
@@ -1043,7 +1027,7 @@ object SparkEntry {
         |    max(ts_us) - min(ts_us) AS span_us FROM z GROUP BY user_id, session_id)
         |SELECT user_id,
         |  CAST(max(session_id) AS BIGINT) AS n_sessions,
-        |  round(avg(n_events), 6) AS avg_events,
+        |  CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_events,
         |  CAST(max(span_us) AS BIGINT) AS max_span_us,
         |  CAST(sum(n_events) AS BIGINT) AS n_events_total
         |FROM sess
@@ -1201,7 +1185,7 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(len(shs) AS BIGINT) AS n_shingles,
         |  CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct,
-        |  round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / CAST(len(shs) AS DOUBLE), 6) AS dup_ratio
+        |  1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / CAST(len(shs) AS DOUBLE) AS dup_ratio
         |FROM sh
         |ORDER BY doc_id""".stripMargin,
 
@@ -1212,7 +1196,7 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(cnt) AS BIGINT) AS sum_freq,
-        |  round(avg(cnt), 6) AS mean_freq
+        |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
         |FROM t JOIN counts USING (tok)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
@@ -1242,7 +1226,7 @@ object SparkEntry {
     // MERGE INTO); per-action audit of the merged table, integer cents.
     "merge_upsert_parts" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM part),
-        |tgt AS (SELECT p_partkey AS k, CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents FROM part),
+        |tgt AS (SELECT p_partkey AS k, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents FROM part),
         |upd AS (SELECT k, cents + 500 AS cents FROM tgt WHERE k % 7 = 0),
         |ins AS (SELECT k + (SELECT cnt FROM n) AS k, 1000 + ((k + (SELECT cnt FROM n)) % 997) AS cents
         |        FROM tgt WHERE k < 100),
@@ -1318,7 +1302,7 @@ object SparkEntry {
         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |s AS (SELECT tf.doc_id, tf.tok, tf.tf,
-        |    round(tf.tf * CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df, 6) AS score
+        |    CAST(tf.tf AS DOUBLE) * CAST((SELECT n_docs FROM n) AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
         |  FROM tf JOIN df USING (tok)),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk FROM s)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, CAST(tf AS BIGINT) AS tf, score
@@ -1340,8 +1324,8 @@ object SparkEntry {
     "text_stats_lang" ->
       """SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  round(avg(n_chars), 6) AS avg_chars,
-        |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+        |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
@@ -1378,8 +1362,8 @@ object SparkEntry {
         |  GROUP BY c.doc1, c.doc2)
         |SELECT c.doc1, c.doc2,
         |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
-        |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-        |    / CAST(c1.n_sh + c2.n_sh - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / CAST(c1.n_sh + c2.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
         |FROM cand c
         |LEFT JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
         |JOIN cnt c1 ON c.doc1 = c1.doc_id
@@ -1447,7 +1431,7 @@ object SparkEntry {
         |SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-        |  round(avg(CASE WHEN v_tok IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+        |  CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
         |FROM j
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,

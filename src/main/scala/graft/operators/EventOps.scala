@@ -19,7 +19,7 @@ import graft.sources.{Materialize, Tables}
   */
 object EventOps {
 
-  private val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+  private val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
 
   /** A+: partitioned SINK + partition-pruned read — events written once as
     * parquet in Hive directory layout (`event_type=.../part-*.parquet` via
@@ -243,8 +243,8 @@ object EventOps {
     Tables.part(spark, sfDir)
       .withColumn("rnk", row_number().over(w))
       .withColumn("drnk", dense_rank().over(w))
-      .withColumn("prnk", round(percent_rank().over(w), 6))
-      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
       .withColumn("quartile", ntile(4).over(w))
       .withColumn("top_part", first(col("p_partkey")).over(wFull))
       .withColumn("bottom_part", last(col("p_partkey")).over(wFull))
@@ -327,7 +327,8 @@ object EventOps {
       .groupBy(col("user_id"))
       .agg(
         max(col("session_id")).as("n_sessions"),
-        round(avg(col("n_events")), 6).as("avg_events"),
+        (sum(col("n_events")).cast("double")
+          / count(lit(1)).cast("double")).as("avg_events"),
         max(col("span_us")).as("max_span_us"),
         sum(col("n_events")).as("n_events_total"))
       .orderBy(col("user_id"))
@@ -444,7 +445,7 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(
         count(col("k")).as("n_k"),
-        round(avg(col("k")), 6).as("avg_k"),
+        (sum(col("k")).cast("double") / count(col("k")).cast("double")).as("avg_k"),
         sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
   }
@@ -521,7 +522,7 @@ object EventOps {
       .groupBy(col("user_id"))
       .agg(sum(col("n")).as("n_events"), sum(col("s")).as("sum_cents"))
       .withColumn("avg_cents",
-        round(col("sum_cents").cast("double") / col("n_events"), 6))
+        col("sum_cents").cast("double") / col("n_events").cast("double"))
       .orderBy(col("user_id"))
   }
 }

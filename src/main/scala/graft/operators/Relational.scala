@@ -46,20 +46,35 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
   }
 
-  /** Exact, order-independent money sum (the [[aggDecimalMoney]] idiom,
-    * promoted to every large money aggregate after the sf1 scale-up caught
-    * the double-sum class): the TERM is computed in double — bit-identical
-    * across engines, per-row — quantized to integer cents, summed as a
-    * LONG (associative, partition-order-independent at any scale), and
-    * surfaced as a 2-dp decimal. A plain `round(sum(double), 2)` instead
-    * drifts in its last digit once ~10⁶ terms accumulate, because Spark
-    * and DuckDB add in different orders (~1e-12 relative — enough to flip
-    * a 2-dp rounding of an ~1e11 total).
+  /** Exact, order-independent money sum, surfaced as plain BIGINT cents.
+    * The TERM is computed in double — bit-identical across engines,
+    * per-row — quantized to integer cents with `floor(x*100 + 0.5)`,
+    * then summed as LONG (associative, partition-order-independent at any
+    * scale). Two deliberate non-choices, both learned from driver-side
+    * regressions:
+    *  - NOT `round(x*100, 0)`: `round()` tie behavior on an exact .5 is
+    *    an engine-version knob (half-up vs ties-to-even); the money terms
+    *    land on exact .5 cents by construction (2-dp inputs × 2-dp rates),
+    *    so a tie-mode mismatch flips cents. `floor(x + 0.5)` has no tie
+    *    mode: same IEEE input → same output on every engine.
+    *  - NOT a DECIMAL(18,2) division surface: DECIMAL division/rescale is
+    *    a second engine-version surface. BIGINT cents is the one money
+    *    representation every engine agrees on bit-for-bit.
+    * A plain `round(sum(double), 2)` would be worse still: the double sum
+    * drifts in its last digit once ~10⁶ terms accumulate because engines
+    * add in different orders.
     */
   private[operators] def centsSum(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (sum(round(term * 100, 0).cast("long")).cast(org.apache.spark.sql.types.DecimalType(18, 2))
-      / lit(100).cast(org.apache.spark.sql.types.DecimalType(4, 0)))
-      .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    sum(floor(term * 100 + lit(0.5)))
+
+  /** Deterministic mean over [[centsSum]]-quantized terms: exact integer
+    * numerator cast to double, divided by the group count — one IEEE
+    * division of two exactly-represented integers, so the double is
+    * bit-identical on every engine with NO rounding function anywhere
+    * (rounding is exactly the version-sensitive construct this avoids).
+    */
+  private[operators] def centsAvg(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    centsSum(term).cast("double") / count(lit(1)).cast("double")
 
   /** D: TPC-H Q1 pricing summary. Partial+final hash aggregation; 6 groups.
     * Money sums via [[centsSum]] — exact at any SF.
@@ -69,13 +84,13 @@ object Relational {
       .filter(col("l_shipdate") <= tsNtz("2000-12-01 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        centsSum(col("l_quantity")).as("sum_qty"),
-        centsSum(col("l_extendedprice")).as("sum_base_price"),
-        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        centsSum(col("l_quantity")).as("sum_qty_cents"),
+        centsSum(col("l_extendedprice")).as("sum_base_price_cents"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price_cents"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge_cents"),
+        centsAvg(col("l_quantity")).as("avg_qty_cents"),
+        centsAvg(col("l_extendedprice")).as("avg_price_cents"),
+        centsAvg(col("l_discount")).as("avg_disc_cents"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -92,7 +107,7 @@ object Relational {
       .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
@@ -110,13 +125,13 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
       .select(
         col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"),
-        col("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+        col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
       .limit(10)
   }
 
@@ -141,7 +156,7 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("spend_cents"))
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("spend_cents"))
     cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(
         when(col("c_custkey").isNull, "order_only")
@@ -177,7 +192,8 @@ object Relational {
         count(lit(1)).as("n_cust"),
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_inactive"),
         sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
-        round(avg(coalesce(col("n_orders"), lit(0L)).cast("double")), 6).as("avg_orders"))
+        (sum(coalesce(col("n_orders"), lit(0L))).cast("double")
+          / count(lit(1)).cast("double")).as("avg_orders"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -215,7 +231,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -229,17 +245,13 @@ object Relational {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem_sql")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_disc_price,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS DECIMAL(18,2))
-        |    / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2)) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_cents,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_price_cents,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS sum_charge_cents,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price_cents,
+        |  CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc_cents,
         |  count(*) AS count_order
         |FROM graft_lineitem_sql
         |WHERE l_shipdate <= CAST('2000-12-01 00:00:00' AS TIMESTAMP_NTZ)
@@ -272,7 +284,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -283,11 +295,11 @@ object Relational {
   def rollupOrders(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total_cents"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        col("n"), col("total"))
+        col("n"), col("total_cents"))
       .orderBy(col("status"), col("priority"))
   }
 
@@ -299,11 +311,11 @@ object Relational {
   def cubeOrders(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("total_cents"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        col("n"), col("total"))
+        col("n"), col("total_cents"))
       .orderBy(col("status"), col("priority"))
   }
 
@@ -479,11 +491,14 @@ object Relational {
     * exactly equal to the direct groupBy, which is what the oracle checks.
     */
   def saltedHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    // Quantize to cents BEFORE the two-phase sum: the salted partial order
+    // differs from the oracle's single-pass order, so only an integer sum
+    // is exactly order-independent (a double sum would drift at scale).
     Salting.saltedCountSum(
-        Tables.events(spark, sfDir).select(col("event_type"), col("value")),
-        "event_type", "value", buckets = 8)
-      .select(col("event_type"), col("n"),
-        expr("CAST(round(`sum` * 100, 0) AS BIGINT)").as("sum_cents"))
+        Tables.events(spark, sfDir).select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("value_cents")),
+        "event_type", "value_cents", buckets = 8)
+      .select(col("event_type"), col("n"), col("sum").as("sum_cents"))
       .orderBy(col("event_type"))
   }
 
@@ -496,14 +511,14 @@ object Relational {
     val wide = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        // cast back to double: unpivot needs one common value type, and a
-        // 2-dp cents value is exact in a double until 2^53 cents (~$90T)
-        centsSum(col("l_quantity")).cast("double").as("qty"),
-        centsSum(col("l_extendedprice")).cast("double").as("price"),
+        // cast back to double: unpivot needs one common value type, and an
+        // integer cents value is exact in a double until 2^53 cents (~$90T)
+        centsSum(col("l_quantity")).cast("double").as("qty_cents"),
+        centsSum(col("l_extendedprice")).cast("double").as("price_cents"),
         count(lit(1)).cast("double").as("n"))
     wide.unpivot(
         Array(col("l_returnflag")),
-        Array(col("qty"), col("price"), col("n")),
+        Array(col("qty_cents"), col("price_cents"), col("n")),
         "metric", "value")
       .orderBy(col("l_returnflag"), col("metric"))
   }
@@ -531,24 +546,25 @@ object Relational {
 
   /** D+: exact DECIMAL-typed money — the BI-facing output type, reached
     * WITHOUT double-rounding hazards: amounts go to integer cents first
-    * (the §7.4 exact protocol), are summed as BIGINT, and only then become
-    * `DECIMAL(18,2)` via decimal-by-decimal division (never a double in
-    * the decimal path, so both engines produce the identical 2-dp value —
-    * a double→decimal cast would instead round each engine's shortest
-    * representation). At 100 TB the plan is the plain partial+final
-    * integer aggregate; the decimal conversion touches G rows, not rows.
+    * (the §7.4 exact protocol, `floor(x*100+0.5)` — no `round()` tie
+    * mode), are summed as BIGINT, and surfaced as `DECIMAL(18,0)` cents.
+    * The r8 driver run proved DECIMAL division/rescale is itself an
+    * engine-version surface, so the decimal value here is the integer
+    * cents EXACTLY — a lossless widening cast both engines agree on —
+    * rather than a 2-dp quotient. At 100 TB the plan is the plain
+    * partial+final integer aggregate; the decimal conversion touches
+    * groups, not rows.
     */
   def aggDecimalMoney(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
       .select(
         col("l_returnflag"),
-        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
       .groupBy(col("l_returnflag"))
       .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n_items"))
       .select(
         col("l_returnflag"),
-        expr("CAST(CAST(sc AS DECIMAL(18,2)) / CAST(100 AS DECIMAL(4,0)) AS DECIMAL(18,2))")
-          .as("revenue"),
+        expr("CAST(sc AS DECIMAL(18,0))").as("revenue_cents"),
         col("n_items"))
       .orderBy(col("l_returnflag"))
   }
@@ -650,9 +666,9 @@ object Relational {
       .filter(col("r_name") === "ASIA")
     joined
       .groupBy(col("n_name"))
-      .agg(centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+      .agg(centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue_cents"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
   }
 
   /** D+: correlated scalar subquery — parts larger than their brand's
@@ -787,7 +803,7 @@ object Relational {
     * sums exact on both engines.
     */
   def mergeUpsertParts(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
+    val cents = expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
     val tgt = Tables.part(spark, sfDir).select(col("p_partkey").as("k"), cents.as("cents"))
     // 1-row scalar (contiguous id-domain size) for the insert-key offset
     val n = tgt.count()

@@ -50,7 +50,8 @@ object TextAnalysisOps {
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(when(col("v_tok").isNull, 1L).otherwise(0L)).as("n_oov"),
-        round(avg(when(col("v_tok").isNull, 1.0).otherwise(0.0)), 6).as("oov_rate"))
+        (sum(when(col("v_tok").isNull, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("oov_rate"))
       .orderBy(col("lang"))
   }
 
@@ -210,7 +211,7 @@ object TextAnalysisOps {
     tf.join(df, "tok")
       .crossJoin(n)
       .withColumn("score",
-        round(col("tf") * col("n_docs").cast("double") / col("df"), 6))
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("score"))

@@ -404,7 +404,7 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("sum_freq"),
-        round(avg(col("cnt")), 6).as("mean_freq"))
+        (sum(col("cnt")).cast("double") / count(lit(1)).cast("double")).as("mean_freq"))
       .orderBy(col("doc_id"))
   }
 
@@ -429,7 +429,7 @@ object TextOps {
         size(array_distinct(col("shs"))).cast("long").as("n_distinct"))
       .select(
         col("doc_id"), col("n_shingles"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"), 6)
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
           .as("dup_ratio"))
       .orderBy(col("doc_id"))
 
@@ -439,8 +439,8 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 6).as("avg_chars"),
-        round(avg(size(tokens).cast("double")), 6).as("avg_tokens"))
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"),
+        (sum(size(tokens).cast("long")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"))
       .orderBy(col("lang"))
   }
 
@@ -523,8 +523,8 @@ object TextOps {
       .select(
         col("doc1"), col("doc2"),
         coalesce(col("n_inter"), lit(0L)).as("n_inter"),
-        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
-          (col("n1") + col("n2") - coalesce(col("n_inter"), lit(0L))).cast("double"), 6).as("jaccard"))
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n1") + col("n2") - coalesce(col("n_inter"), lit(0L))).cast("double")).as("jaccard"))
       .orderBy(col("doc1"), col("doc2"))
   }
 

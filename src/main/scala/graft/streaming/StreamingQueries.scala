@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
-  private val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+  private val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
 
   /** Shared tumbling aggregation: input needs `ts_utc`, `event_type`,
     * `value`. Works on both batch and streaming DataFrames.

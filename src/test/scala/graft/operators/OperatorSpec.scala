@@ -15,9 +15,11 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length == 6)
     val af = rows.head
     assert(af.getString(0) == "A" && af.getString(1) == "F")
-    // money sums are DECIMAL(18,2) since the cents-sum change (exact at any SF)
-    assert(af.getDecimal(2).doubleValue == 21365.0)        // sum_qty
-    assert(af.getDecimal(3).doubleValue == 43683789.45)    // sum_base_price
+    // money sums are plain BIGINT cents since the r9 oracle-parity change:
+    // floor(x*100+0.5) quantization == DuckDB-1.0.0 half-up round for the
+    // positive terms, so the golden VALUES are the r8 decimals ×100
+    assert(af.getLong(2) == 2136500L)         // sum_qty_cents
+    assert(af.getLong(3) == 4368378945L)      // sum_base_price_cents
     assert(af.getLong(9) == 843L)             // count_order
   }
 
@@ -25,9 +27,10 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     val rows = Relational.joinNationRevenue(spark, sf0001).collect()
     assert(rows.length == 10)
     // per-term cents quantization shifts the old sum-then-round goldens by
-    // a few cents (.52 -> .58, .80 -> .82); values re-derived with DuckDB
-    assert(rows(0).getString(0) == "NATION_12" && rows(0).getDecimal(1).doubleValue == 29196370.58)
-    assert(rows(1).getString(0) == "NATION_13" && rows(1).getDecimal(1).doubleValue == 29349994.82)
+    // a few cents (.52 -> .58, .80 -> .82); values re-derived with DuckDB,
+    // surfaced as BIGINT cents since r9 (floor(x*100+0.5) == half-up here)
+    assert(rows(0).getString(0) == "NATION_12" && rows(0).getLong(1) == 2919637058L)
+    assert(rows(1).getString(0) == "NATION_13" && rows(1).getLong(1) == 2934999482L)
   }
 
   test("semi_anti_customers: every sf0.001 customer has orders") {

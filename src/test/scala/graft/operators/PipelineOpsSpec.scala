@@ -145,11 +145,11 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
   test("agg_incremental_users: merged partials == full recompute") {
     val merged = EventOps.aggIncrementalUsers(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
-    val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
     val full = graft.sources.Tables.events(spark, sf0001)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_cents"))
-      .withColumn("avg_cents", round(col("sum_cents").cast("double") / col("n_events"), 6))
+      .withColumn("avg_cents", col("sum_cents").cast("double") / col("n_events").cast("double"))
       .orderBy(col("user_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(merged == full)

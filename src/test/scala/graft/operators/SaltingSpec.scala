@@ -27,7 +27,7 @@ class SaltingSpec extends AnyFunSuite with SparkTestBase {
 
   test("saltedCountSum is exact for algebraic aggregates") {
     val e = Tables.events(spark, sf0001)
-      .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
     val plain = e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum"))
       .orderBy(col("event_type")).collect()
