@@ -31,7 +31,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    ScratchDirs.preferTmpfs() // before the session: tmpfs checkpoints/spill
+    ScratchDirs.preferTmpfs() // no-op unless GRAFT_SCRATCH=tmpfs (timed run)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -121,7 +121,8 @@ object Bench {
     // masquerade as a speedup (driver ADVICE r6).
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""incomplete":${failed.nonEmpty},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+        s""""incomplete":${failed.nonEmpty},"scratch":${jstr(ScratchDirs.scratchRoot)},""" +
+        s""""queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with a bounded tail that has truncated
     // ~17 per-query timings per round; the full line committed as a repo

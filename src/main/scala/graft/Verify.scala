@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    ScratchDirs.preferTmpfs() // before the session: tmpfs checkpoints/spill
+    ScratchDirs.preferTmpfs(force = true) // untimed: tmpfs checkpoints/spill
     // args: <sfDir> <outDir> [queryName ...] — names filter to a subset
     // for fast local iteration; the driver passes exactly two args.
     val (sfDir, outDir) = (args(0), args(1))

@@ -65,21 +65,6 @@ object DiversityOps {
   def coreset(spark: SparkSession, sfDir: String): IndexedSeq[WeightedPt] =
     coresetAt(spark, sfDir, coresetParallelism(spark))
 
-  /** Exact mod partitioner: partition index IS `id % p`. A DataFrame
-    * `repartition(p, pmod(id, p))` instead hashes the pmod value, so the p
-    * residue groups land on partitions like balls in bins — some partitions
-    * take 2-3 groups, others none. That lumping silently broke the
-    * documented "partition = vec_id % p" contract AND the covering
-    * condition the composable coreset's p-invariance rests on (a partition
-    * holding two groups exceeds k′ and gets summarized, while another sits
-    * empty). Caught by the round-8 p-invariance spec; the RDD partitioner
-    * is the honest implementation of R7's deterministic variant.
-    */
-  private class ModPartitioner(p: Int) extends org.apache.spark.Partitioner {
-    override def numPartitions: Int = p
-    override def getPartition(key: Any): Int = (key.asInstanceOf[Long] % p).toInt
-  }
-
   /** [[coreset]] at an explicit fan-out — the seam PipelineOpsSpec uses to
     * pin p-invariance at fixture scale (p=1 vs p=32 yield the same k=32
     * selection end-to-end, through the shuffle/collect serialization
@@ -89,7 +74,11 @@ object DiversityOps {
     points(spark, sfDir)
       .rdd
       .map(pt => (pt.id, pt))
-      .partitionBy(new ModPartitioner(p))
+      // Exact `id % p` partitioning (graft.plans.ModPartitioner): a
+      // DataFrame repartition(p, pmod(id, p)) HASHES the residue, lumping
+      // groups and breaking the covering condition p-invariance rests on
+      // (the r8 defect class, caught by the p-invariance spec).
+      .partitionBy(new graft.plans.ModPartitioner(p))
       .values
       .mapPartitions(it => MapReduceCoreset.localCoreset(it, KPrime))
       .collect()
@@ -102,17 +91,17 @@ object DiversityOps {
     Gmm.select(coreset(spark, sfDir).map(w => Pt(w.id, w.vec)), k)
 
   /** W+: the coreset map stage as a FIRST-CLASS PLAN NODE — same kernel
-    * as [[coreset]], partitioned with the DataFrame-native
-    * `repartition(p, pmod(id, p))` (hashed residue groups — deterministic
-    * given p, but lumpier than the exact [[ModPartitioner]] the collect
-    * path uses; the plan-node form keeps the child a pure LogicalPlan), and
-    * entering
+    * AND same exact `id % p` partitioning as [[coreset]] (the exec node
+    * owns the distribution via [[graft.plans.ModPartitioner]] — r9 fix;
+    * the previous child-side `repartition(p, pmod(id, p))` hashed the
+    * residue and lumped groups, so the two "same kernel" paths selected
+    * from different partition contents), entering
     * the query through [[graft.plans.CoresetPlan]] → `CoresetStrategy` →
     * `CoresetExec` (the custom LogicalPlan/Strategy/SparkPlan extension
     * path), so the operator is visible to EXPLAIN and the planner instead
     * of hiding in a mapPartitions closure. Declared rows-only (the kernel
-    * is not SQL-expressible); CoresetPlanSpec asserts exec ≡ mapPartitions
-    * output and weight-mass conservation. Output here summarizes each
+    * is not SQL-expressible); CoresetPlanSpec asserts exec ≡ the collect
+    * path's fold and weight-mass conservation. Output here summarizes each
     * kernel row reproducibly: (id, weight, 6-dp center norm).
     */
   def coresetExecK64(spark: SparkSession, sfDir: String): DataFrame = {
@@ -120,9 +109,8 @@ object DiversityOps {
     val p = coresetParallelism(spark)
     val child = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), col("embedding"))
-      .repartition(p, pmod(col("id"), lit(p)))
     val kernels = org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(
-      spark, graft.plans.CoresetPlan(child.queryExecution.analyzed, KPrime))
+      spark, graft.plans.CoresetPlan(child.queryExecution.analyzed, KPrime, p))
     kernels.select(
         col("id"), col("weight"),
         round(sqrt(expr(

@@ -407,12 +407,31 @@ object MultimodalOps {
               }
             }
           new java.io.File(tmp, "_SUCCESS").createNewFile(): Unit
-          if (!marker.exists()) {
-            if (dir.exists()) deleteRecursively(dir) // marker-less crash remnant
-            tmp.renameTo(dir): Unit
-          }
-          // Rename failed or another session published first: if the final
-          // dir is now complete we lost a benign race; sweep our temp.
+          // Publish under a cross-process FileLock so check-delete-move is
+          // one atomic step: without it a concurrent JVM can publish
+          // between our marker recheck and the delete/rename, and we would
+          // delete a COMPLETE directory a reader may already be scanning
+          // (driver ADVICE r8). Same-JVM same-key races are already
+          // serialized by computeIfAbsent; the lock extends that to
+          // Verify/Bench overlapping as separate processes.
+          val lockFile = new java.io.File(dir.getParentFile, dir.getName + ".lock")
+          val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val lock = ch.lock()
+            try {
+              if (!marker.exists()) {
+                // Marker-less final dir can only be a crash remnant from a
+                // publisher that died mid-way (published dirs ALWAYS carry
+                // the marker — it rides inside the atomic move).
+                if (dir.exists()) deleteRecursively(dir)
+                java.nio.file.Files.move(tmp.toPath, dir.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+              }
+            } finally lock.release()
+          } finally ch.close()
+          // Lost a benign race (winner published while we staged): sweep.
           if (tmp.exists() && marker.exists()) deleteRecursively(tmp)
           require(marker.exists(), s"binaryFile staging failed to publish $dir")
         }

@@ -23,12 +23,18 @@ import graft.diversity.{MapReduceCoreset, Pt}
   * audit it like any built-in operator.
   *
   * Child contract: exactly two columns, `(id bigint, embedding
-  * array<float>)`, already partitioned however the caller wants the
-  * per-partition coresets composed (the engine uses the deterministic
-  * `pmod(id, p)` shuffle). Output: `(id, center, weight)` — ≤ k′ kernel
-  * rows per input partition, each carrying its delegate count.
+  * array<float>)`, in any distribution: the exec node OWNS its
+  * partitioning. Catalyst's `Distribution` lattice cannot express "exact
+  * residue partition = id % p" (HashClusteredDistribution hashes the
+  * residue, lumping groups — the r8 defect), so the exec enforces R7's
+  * deterministic contract itself with an RDD-level [[ModPartitioner]],
+  * the SAME partitioner as the collect path — both paths now select
+  * kernels from identical partition contents, which is what the
+  * composable-coreset covering condition (and its p-invariance) rests
+  * on. Output: `(id, center, weight)` — ≤ k′ kernel rows per residue
+  * class, each carrying its delegate count.
   */
-case class CoresetPlan(child: LogicalPlan, kPrime: Int, output: Seq[Attribute])
+case class CoresetPlan(child: LogicalPlan, kPrime: Int, p: Int, output: Seq[Attribute])
     extends UnaryNode {
   // The kernel rows are NEW attributes, not passthroughs of the child's —
   // declaring them produced is what satisfies CheckAnalysis's
@@ -45,9 +51,25 @@ case class CoresetPlan(child: LogicalPlan, kPrime: Int, output: Seq[Attribute])
     copy(child = newChild)
 }
 
+/** Exact mod partitioner: partition index IS `id % p` (ids are non-
+  * negative by the source contract). A DataFrame `repartition(p,
+  * pmod(id, p))` instead HASHES the residue, so groups land like balls
+  * in bins; this is the honest implementation of R7's deterministic
+  * partitioning, shared by the exec node and the collect path.
+  */
+private[graft] class ModPartitioner(val p: Int) extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = p
+  override def getPartition(key: Any): Int = (key.asInstanceOf[Long] % p).toInt
+  override def equals(o: Any): Boolean = o match {
+    case m: ModPartitioner => m.p == p
+    case _ => false
+  }
+  override def hashCode: Int = p
+}
+
 object CoresetPlan {
-  def apply(child: LogicalPlan, kPrime: Int): CoresetPlan =
-    CoresetPlan(child, kPrime, Seq(
+  def apply(child: LogicalPlan, kPrime: Int, p: Int): CoresetPlan =
+    CoresetPlan(child, kPrime, p, Seq(
       AttributeReference("id", LongType, nullable = false)(),
       AttributeReference("center", ArrayType(FloatType, containsNull = false), nullable = false)(),
       AttributeReference("weight", LongType, nullable = false)()))
@@ -56,19 +78,20 @@ object CoresetPlan {
 /** Planner rule: one logical coreset node → one physical exec node. */
 object CoresetStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case CoresetPlan(child, kPrime, out) => CoresetExec(planLater(child), kPrime, out) :: Nil
+    case CoresetPlan(child, kPrime, p, out) => CoresetExec(planLater(child), kPrime, p, out) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical operator: per-partition GMM(k′) + delegate weighting over the
-  * child's rows. Partition-local by construction — no exchange, no driver
-  * involvement; the composable-coreset theorem is exactly the license to
-  * fold each partition independently. Memory per task is O(partition)
-  * input (the GMM kernel needs its partition resident, like any
-  * mapPartitions fold) + O(k′) output.
+/** Physical operator: ONE deterministic `id % p` exchange (the exec-owned
+  * distribution — see [[CoresetPlan]]) followed by per-residue-class
+  * GMM(k′) + delegate weighting. No driver involvement; the
+  * composable-coreset theorem is exactly the license to fold each
+  * residue class independently. Memory per task is O(partition) input
+  * (the GMM kernel needs its partition resident, like any mapPartitions
+  * fold) + O(k′) output.
   */
-case class CoresetExec(child: SparkPlan, kPrime: Int, output: Seq[Attribute])
+case class CoresetExec(child: SparkPlan, kPrime: Int, p: Int, output: Seq[Attribute])
     extends UnaryExecNode {
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -85,11 +108,16 @@ case class CoresetExec(child: SparkPlan, kPrime: Int, output: Seq[Attribute])
       s"CoresetExec child must deliver (id, embedding); got ${child.output}")
     val k = kPrime
     val schema = output
-    child.execute().mapPartitions { rows =>
-      // Materialize the partition as Pt copies (the input rows are reused
-      // buffers), fold with the shared kernel, then emit UNSAFE rows —
-      // the inter-operator row contract (exchanges and several consumers
-      // cast to UnsafeRow).
+    // Exec-owned distribution: key by id, exact-mod partition (rows are
+    // reused buffers — copy BEFORE they cross the shuffle serializer).
+    child.execute()
+      .mapPartitions(rows => rows.map(r => (r.getLong(0), r.copy())))
+      .partitionBy(new ModPartitioner(p))
+      .values
+      .mapPartitions { rows =>
+      // Materialize the residue class as Pts, fold with the shared
+      // kernel, then emit UNSAFE rows — the inter-operator row contract
+      // (exchanges and several consumers cast to UnsafeRow).
       val pts = Vector.newBuilder[Pt]
       while (rows.hasNext) {
         val r = rows.next()
@@ -104,7 +132,7 @@ case class CoresetExec(child: SparkPlan, kPrime: Int, output: Seq[Attribute])
     }
   }
 
-  override def simpleString(maxFields: Int): String = s"CoresetExec k'=$kPrime"
+  override def simpleString(maxFields: Int): String = s"CoresetExec k'=$kPrime p=$p"
 
   override protected def withNewChildInternal(newChild: SparkPlan): CoresetExec =
     copy(child = newChild)

@@ -16,7 +16,7 @@ trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
 
 object SparkTestBase {
   lazy val session: SparkSession = {
-    graft.ScratchDirs.preferTmpfs()
+    graft.ScratchDirs.preferTmpfs(force = true) // untimed: keep tests fast
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

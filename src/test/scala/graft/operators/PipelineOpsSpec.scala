@@ -103,7 +103,8 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     val b = VectorOps.cosTopkRplsh(spark, sf0001).collect()
     assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
-    // 4 tables × 8 sign bits; chance would be ~5/500. No training pass —
+    // L=8 tables × B=5 sign bits (VectorOps.cosTopkRplsh derives the 0.25
+    // floor from exactly these); chance would be ~5/500. No training pass —
     // recall rides only on the hyperplane draws, so it sits below the
     // learned-quantizer IVF but must stay far above chance.
     val hits = a.count(r => exact.contains((r.getLong(0), r.getLong(2))))

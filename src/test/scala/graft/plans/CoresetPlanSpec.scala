@@ -18,19 +18,19 @@ class CoresetPlanSpec extends AnyFunSuite with SparkTestBase {
     import graft.diversity.{MapReduceCoreset, Pt}
     val viaPlan = DiversityOps.coresetExecK64(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
-    // Same hashed-pmod repartition the exec path's child uses (NOT the
-    // exact ModPartitioner of DiversityOps.coreset — partition contents
-    // differ, so kernels would too); the assertion is exec node ≡ the
-    // opaque-lambda fold over the identical partitioning.
+    // The exec node OWNS the exact `id % p` distribution since r9 (it
+    // previously leaned on a child-side hashed pmod repartition that
+    // lumped residue groups) — so the replica uses the SAME ModPartitioner
+    // as DiversityOps.coreset's collect path: exec node ≡ opaque-lambda
+    // fold over identical partition contents.
     val p = DiversityOps.coresetParallelism(spark)
-    val child = graft.sources.Tables.embeddings(spark, sf0001)
+    val viaMapPartitions = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id").as("id"), col("embedding"))
-      .repartition(p, pmod(col("id"), lit(p)))
-    val viaMapPartitions = child
-      .select(col("id"), col("embedding"))
       .rdd
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .partitionBy(new graft.plans.ModPartitioner(p))
       .mapPartitions { rows =>
-        val pts = rows.map(r => Pt(r.getLong(0), r.getSeq[Float](1).toArray)).toVector
+        val pts = rows.map { case (id, vec) => Pt(id, vec) }.toVector
         MapReduceCoreset.localCoreset(pts.iterator, 64)
       }
       .collect()
