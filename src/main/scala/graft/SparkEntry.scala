@@ -171,6 +171,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** DuckDB-dialect 16-char sign signature of embedding dims
+    * [off+1, off+16] — the oracle twin of VectorOps.signSig.
+    */
+  private def duckSig(off: Int): String =
+    (1 to 16).map(j => s"(CASE WHEN embedding[${off + j}] > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
   def oracleSql: Map[String, String] = Map(
     "scan_project_filter" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
@@ -1461,15 +1468,27 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysisOps.Oracle.docFingerprint,
     "dedup_docs_simhash" -> TextAnalysisOps.Oracle.dedupDocsSimhash,
 
+    // Banded adaptive sign-LSH (see VectorOps.embeddingNearDup): B =
+    // clamp(floor(log2 n) - 6, 4, 14) computed integer-exactly as
+    // length(bin(n)) - 1 - 6; band keys are B-char prefixes of the 16-char
+    // per-slice sign strings built by duckSig.
     "embedding_near_dup" ->
-      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM embeddings),
-        |p AS (SELECT a.vec_id AS v1, b2.vec_id AS v2, round(list_dot_product(a.e, b2.e), 6) AS sim
-        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-        |SELECT v1, v2, sim FROM p WHERE sim >= 0.3
-        |ORDER BY v1, v2""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |n AS (SELECT GREATEST(4, LEAST(14, length(bin(count(*))) - 1 - 6)) AS b FROM e),
+         |s AS (SELECT vec_id, ${duckSig(0)} AS g0, ${duckSig(16)} AS g1,
+         |    ${duckSig(32)} AS g2, ${duckSig(48)} AS g3 FROM e),
+         |k AS (SELECT vec_id, band, substr(sig, 1, (SELECT b FROM n)) AS key FROM (
+         |    SELECT vec_id, 0 AS band, g0 AS sig FROM s
+         |    UNION ALL SELECT vec_id, 1, g1 FROM s
+         |    UNION ALL SELECT vec_id, 2, g2 FROM s
+         |    UNION ALL SELECT vec_id, 3, g3 FROM s)),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
+         |  FROM k a JOIN k b2 ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
+         |r AS (SELECT c.v1, c.v2,
+         |    round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM cand c JOIN e ea ON c.v1 = ea.vec_id JOIN e eb ON c.v2 = eb.vec_id)
+         |SELECT v1, v2, sim FROM r WHERE sim >= 0.3
+         |ORDER BY v1, v2""".stripMargin,
 
     "cos_topk_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -58,20 +58,63 @@ object VectorOps {
       "(CASE WHEN element_at(embedding, 3) > 0 THEN 4 ELSE 0 END) + " +
       "(CASE WHEN element_at(embedding, 4) > 0 THEN 8 ELSE 0 END)"
 
-  /** V+: embedding-cosine near-duplicate pairs via the LSH-bucketed path:
-    * candidates meet only inside a sign-LSH bucket (equi join — never a
-    * crossJoin), then exact-rescore and threshold. This is the 100 TB
-    * near-dup plan: bucket cardinality bounds the quadratic term.
+  /** Adaptive LSH width: B = clamp(⌊log₂ n⌋ − 6, 4, 14) sign bits, so the
+    * expected bucket occupancy n/2^B is pinned near 2^6 — candidate pairs
+    * per band ≈ n·2^5 grow LINEARLY with n, where the r8 fixed-4-bit cell
+    * grew n²/16 (measured super-linear at sf1, the one scale-killer in the
+    * suite). `63 − numberOfLeadingZeros` is exact ⌊log₂⌋; the oracle
+    * computes the identical value as `length(bin(n)) − 1` — integer-exact
+    * in both engines, no libm log.
+    */
+  private[operators] def nearDupBits(n: Long): Int =
+    math.max(4, math.min(14, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 6))
+
+  /** 16-char sign signature of dims [off+1, off+16] — the longest key any
+    * band can use; a band's join key is its PREFIX of B chars. Exact
+    * float-vs-zero comparisons are engine-portable (no arithmetic).
+    */
+  private def signSig(off: Int): org.apache.spark.sql.Column =
+    concat((1 to 16).map(j =>
+      when(expr(s"element_at(embedding, ${off + j}) > 0"), lit("1"))
+        .otherwise(lit("0"))): _*)
+
+  /** V+: embedding-cosine near-duplicate pairs via banded sign-LSH with a
+    * SIZE-ADAPTIVE key width (the r9 fix for the one measured super-linear
+    * operator): L=4 bands over disjoint 16-dim slices, each keyed on the
+    * first [[nearDupBits]] sign bits of its slice; candidates meet only on
+    * a (band, key) equi join — never a crossJoin — are deduped across
+    * bands, then exact-rescored and thresholded. Recall per the rplsh
+    * (L,B) calculus: a pair at angle θ agrees per bit w.p. 1 − θ/π, so
+    * union-over-4-bands recall at the fixture's B=4 is ≈ 1 − (1 − p⁴)⁴
+    * (spec-pinned floor 0.30 vs the brute-force oracle); B grows with n,
+    * concentrating the budget on the high-sim pairs a near-dup pass is
+    * for. Scale posture: the n count is a 1-row scalar that SIZES the
+    * plan (like AQE's stats probe); keys are ≤ 14-char strings, the
+    * rescore joins ship only candidate ids back to the 64-float vectors.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
-    val b = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), expr(bucketSql).as("bucket"))
-    b.as("a").join(b.as("b2"),
-        col("a.bucket") === col("b2.bucket") && col("a.vec_id") < col("b2.vec_id"))
-      .withColumn("sim", round(expr("dot_f32(a.embedding, b2.embedding)"), 6))
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val bBits = nearDupBits(emb.count())
+    val keys = emb
+      .select(col("vec_id"),
+        array((0 until 4).map(i =>
+          struct(lit(i).as("band"), substring(signSig(i * 16), 1, bBits).as("key"))): _*)
+          .as("bands"))
+      .select(col("vec_id"), explode(col("bands")).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = keys.as("a")
+      .join(keys.as("b2"),
+        col("a.band") === col("b2.band") && col("a.key") === col("b2.key") &&
+          col("a.vec_id") < col("b2.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b2.vec_id").as("v2"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
+      .withColumn("sim", round(expr("dot_f32(e1, e2)"), 6))
       .filter(col("sim") >= 0.3)
-      .select(col("a.vec_id").as("v1"), col("b2.vec_id").as("v2"), col("sim"))
+      .select(col("v1"), col("v2"), col("sim"))
       .orderBy(col("v1"), col("v2"))
   }
 

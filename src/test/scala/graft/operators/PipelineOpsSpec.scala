@@ -322,6 +322,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach(r => assert(r.getDouble(2) >= 0.3))
   }
 
+  test("embedding_near_dup: adaptive-B recall floor vs brute force; B pins occupancy") {
+    graft.GraftFunctions.register(spark)
+    val got = VectorOps.embeddingNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val brute = emb.as("a").join(emb.as("b2"), col("a.vec_id") < col("b2.vec_id"))
+      .withColumn("sim", round(expr("dot_f32(a.embedding, b2.embedding)"), 6))
+      .filter(col("sim") >= 0.3)
+      .select(col("a.vec_id"), col("b2.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact rescore ⇒ no false positives; (L=4, B=4) at fixture scale:
+    // the weakest admitted pair (sim .3) agrees per bit w.p.
+    // p = 1 − acos(.3)/π ≈ .60, so union recall ≈ 1 − (1 − p⁴)⁴ ≈ .42 —
+    // floor at .30.
+    assert(got.subsetOf(brute))
+    assert(brute.nonEmpty && got.size.toDouble / brute.size > 0.30,
+      s"recall ${got.size.toDouble / brute.size} over ${brute.size} true pairs")
+    // The width knob: ⌊log₂ n⌋ − 6 clamped to [4, 14] pins expected
+    // bucket occupancy near 2^6 across decades of n.
+    assert(VectorOps.nearDupBits(500L) == 4)
+    assert(VectorOps.nearDupBits(20000L) == 8)
+    assert(VectorOps.nearDupBits(100000000L) == 14)
+  }
+
   test("dedup_docs_simhash: identical texts share a simhash bucket") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
