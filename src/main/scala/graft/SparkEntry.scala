@@ -1276,11 +1276,16 @@ object SparkEntry {
     // Blocked fuzzy match over the DISTINCT name domain: candidates share
     // a token, survivors within Levenshtein <= 3 (exact DP metric, same on
     // both engines), row counts joined back for the fact-level linkage.
+    // Blocking tokens are frequency-capped at DF <= 256 on BOTH sides
+    // (TextAnalysisOps.FuzzyBlockCap): semantics are "a pair must share a
+    // RARE token", identical at every scale.
     "fuzzy_name_match" ->
       """WITH names AS (SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS n_rows FROM part GROUP BY p_name),
         |tok AS (SELECT nm, unnest(string_split(nm, ' ')) AS tk FROM names),
+        |blockable AS (SELECT tk FROM tok GROUP BY tk HAVING count(DISTINCT nm) <= 256),
+        |btok AS (SELECT nm, tk FROM tok JOIN blockable USING (tk)),
         |cand AS (SELECT DISTINCT a.nm AS nm1, b.nm AS nm2
-        |         FROM tok a JOIN tok b ON a.tk = b.tk AND a.nm < b.nm),
+        |         FROM btok a JOIN btok b ON a.tk = b.tk AND a.nm < b.nm),
         |m AS (SELECT nm1, nm2, CAST(levenshtein(nm1, nm2) AS BIGINT) AS dist
         |      FROM cand WHERE levenshtein(nm1, nm2) <= 3)
         |SELECT m.nm1, m.nm2, m.dist, x.n_rows AS n1, y.n_rows AS n2

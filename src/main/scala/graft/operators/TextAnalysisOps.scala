@@ -11,6 +11,11 @@ import graft.sources.Tables
   */
 object TextAnalysisOps {
 
+  /** Max document frequency (distinct names) a token may have and still
+    * BLOCK fuzzy-match candidates — see [[fuzzyNameMatch]].
+    */
+  val FuzzyBlockCap = 256L
+
   /** Fixed keyword lists for the unigram language-ID heuristic. On real
     * corpora these would be per-language stopword lists; the synthetic
     * fixture shares one vocabulary across langs, so accuracy is chance —
@@ -312,7 +317,23 @@ object TextAnalysisOps {
       .select(col("p_name").as("nm"))
       .groupBy(col("nm")).agg(count(lit(1)).as("n_rows"))
     val tok = names.select(col("nm"), explode(split(col("nm"), " ")).as("tk"))
-    val cand = tok.as("a").join(tok.as("b"),
+    // Frequency cap on BLOCKING tokens (r9, driver VERDICT #4): a token
+    // shared by DF distinct names contributes a DF²/2 candidate block, so
+    // one ubiquitous token ("premium", "ltd") re-inflates the quadratic
+    // term the domain-blocking confined. Tokens with DF > FuzzyBlockCap
+    // are dropped FROM BLOCKING ONLY (the verify join is unchanged):
+    // worst-case block is now ≤ FuzzyBlockCap²/2 ≈ 32k pairs per token,
+    // total candidates ≤ |token vocab| · cap²/2 — linear in vocabulary,
+    // constant in fact volume. Mirrored in the oracle SQL, so the
+    // semantics (a pair must share a RARE token to be matched) hold
+    // identically at every scale; at the 64-name fixture domain no token
+    // reaches the cap, so the declared output is unchanged.
+    val blockable = tok
+      .groupBy(col("tk")).agg(countDistinct(col("nm")).as("df"))
+      .filter(col("df") <= FuzzyBlockCap)
+      .select(col("tk"))
+    val btok = tok.join(broadcast(blockable), "tk")
+    val cand = btok.as("a").join(btok.as("b"),
         col("a.tk") === col("b.tk") && col("a.nm") < col("b.nm"))
       .select(col("a.nm").as("nm1"), col("b.nm").as("nm2"))
       .distinct()

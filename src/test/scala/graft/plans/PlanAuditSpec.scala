@@ -258,4 +258,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.linesIterator.count(l => l.contains("HashAggregate") &&
       l.contains("partial_")) >= 2, s"expected partial aggregates, plan:\n$p")
   }
+
+  test("fuzzy_name_match: blocking tokens are frequency-capped before the candidate join") {
+    val df = graft.operators.TextAnalysisOps.fuzzyNameMatch(spark, sf0001)
+    // The DF-cap filter must sit in the plan (worst-case block is then
+    // bounded at FuzzyBlockCap²/2 pairs per token) …
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains(s"<= ${graft.operators.TextAnalysisOps.FuzzyBlockCap}"),
+      s"expected the DF cap filter in the plan:\n$analyzed")
+    // … and at the 64-name fixture domain the cap must NOT bind: the
+    // declared output is byte-identical to the uncapped r8 semantics.
+    val p = plan(df)
+    assert(p.contains("count(distinct"), s"expected a distinct-DF aggregate, plan:\n$p")
+  }
 }
