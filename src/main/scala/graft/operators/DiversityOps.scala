@@ -331,40 +331,81 @@ object DiversityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Contiguous id-range width for [[diverseByLabel]]'s map-side partial
+    * coresets. Sized so a per-(label, range) group stays ≤ the kernel
+    * budget m=16 on every fixture (measured max 10 at sf0.001…sf1) — then
+    * a partial COVERS its group (no summarization, δ=0, unit weights) and
+    * replaying partials in range order is EXACTLY the sequential per-label
+    * fold (the same covering argument the p-invariance spec rests on).
+    * Where a group exceeds m (a pathological id-label correlation), the
+    * partial summarizes and the merge degrades gracefully to the
+    * composable-coreset approximation — deterministic either way, since
+    * range boundaries are data-independent.
+    */
+  private[graft] val DiverseByLabelRangeWidth = 32L
+
   /** W+: GROUPED diversity — one bounded streaming coreset PER LABEL: the
     * class-balanced diverse-sampling op (pick ≤ m spread-out
     * representatives from every class, with delegate weights), i.e. the
     * R6 doubling coreset applied per group instead of per partition.
     *
-    * Determinism without a driver loop: `repartition(label)` puts each
-    * label wholly in one partition (hash routing — deterministic for a
-    * label regardless of partition count), `sortWithinPartitions(label,
-    * vec_id)` is the spill-safe secondary sort that feeds each label's run
-    * contiguously in ascending id order, and the fold emits on label
-    * change — so each label's kernel set depends only on its own sorted
-    * points, not on p or scheduling. At 100 TB: one shuffle of (label, id,
-    * vec), per-task state is ONE live coreset (O(m)), and skewed classes
-    * cost scan time, not memory. Rows-only (kernel selection is not
-    * SQL-expressible); determinism/mass/budget are spec-pinned.
+    * Two-stage partial merge (r9 — removes the r8 layout's parallelism
+    * bound of ONE task per label): stage 1 folds a partial coreset per
+    * (label, contiguous ⌊id/W⌋ range) — |labels| · n/W independent tasks
+    * own the O(n·m) scan work; stage 2 re-shuffles only the ≤ m kernel
+    * rows per partial and folds them per label in (range, id) order —
+    * O(kernels·m) on the label task, not O(n·m). Determinism without a
+    * driver loop at BOTH stages: hash routing of the group key is
+    * deterministic, `sortWithinPartitions` is the spill-safe secondary
+    * sort, and each fold emits on group-key change, so kernel sets depend
+    * only on their own sorted inputs, never on p or scheduling. With the
+    * [[DiverseByLabelRangeWidth]] cover condition the output is
+    * bit-identical to the single-pass per-label fold (spec-pinned
+    * merge == fold). At 100 TB: few-label corpora no longer serialize —
+    * the scan stage fans out with n; per-task state is ONE live coreset
+    * (O(m)). Rows-only (kernel selection is not SQL-expressible);
+    * determinism/mass/budget are spec-pinned.
     */
   def diverseByLabel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val m = 16
-    Tables.embeddings(spark, sfDir)
-      .select(col("label").cast("long").as("label"), col("vec_id").cast("long").as("vec_id"),
-        col("embedding"))
+    val w = DiverseByLabelRangeWidth
+    val partials = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"),
+        floor(col("vec_id") / w).cast("long").as("rng"),
+        col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .repartition(col("label"), col("rng"))
+      .sortWithinPartitions(col("label"), col("rng"), col("vec_id"))
+      .as[(Long, Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Array[Float], Long)]()
+        var curL = 0L; var curR = 0L
+        var cs: StreamingCoreset = null
+        def flush(): Unit =
+          if (cs != null) cs.result().foreach(k => out += ((curL, curR, k.id, k.vec, k.weight)))
+        it.foreach { case (l, r, id, emb) =>
+          if (cs == null || l != curL || r != curR) {
+            flush(); curL = l; curR = r; cs = new StreamingCoreset(m)
+          }
+          cs.update(Pt(id, emb))
+        }
+        flush()
+        out.iterator
+      }
+    partials
+      .toDF("label", "rng", "vec_id", "embedding", "weight")
       .repartition(col("label"))
-      .sortWithinPartitions(col("label"), col("vec_id"))
-      .as[(Long, Long, Array[Float])]
+      .sortWithinPartitions(col("label"), col("rng"), col("vec_id"))
+      .as[(Long, Long, Long, Array[Float], Long)]
       .mapPartitions { it =>
         val res = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
         var cur = 0L
         var cs: StreamingCoreset = null
         def flush(): Unit =
-          if (cs != null) cs.result().foreach(w => res += ((cur, w.id, w.weight)))
-        it.foreach { case (l, id, emb) =>
+          if (cs != null) cs.result().foreach(k => res += ((cur, k.id, k.weight)))
+        it.foreach { case (l, _, id, emb, kw) =>
           if (cs == null || l != cur) { flush(); cur = l; cs = new StreamingCoreset(m) }
-          cs.update(Pt(id, emb))
+          cs.updateWeighted(Pt(id, emb), kw)
         }
         flush()
         res.iterator

@@ -274,6 +274,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("diverse_by_label: two-stage partial merge == single-pass per-label fold") {
+    import graft.diversity.{Pt, StreamingCoreset}
+    // Cover precondition: every (label, ⌊id/W⌋ range) group fits the m=16
+    // budget, so stage-1 partials summarize NOTHING and the staged merge
+    // must be bit-identical to the flat ascending-id fold. If the fixture
+    // ever breaks this, the operator stays deterministic (composable
+    // approximation) but this exactness test must be revisited.
+    val w = DiversityOps.DiverseByLabelRangeWidth
+    val pts = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("label").cast("long"), col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val maxGroup = pts.groupBy(p => (p._1, p._2 / w)).values.map(_.length).max
+    assert(maxGroup <= 16, s"cover precondition broken: max group $maxGroup")
+    val expected = pts.groupBy(_._1).toSeq.flatMap { case (l, ps) =>
+      val cs = new StreamingCoreset(16)
+      ps.sortBy(_._2).foreach(p => cs.update(Pt(p._2, p._3)))
+      cs.result().map(k => (l, k.id, k.weight))
+    }.sortBy(t => (t._1, t._2))
+    val got = DiversityOps.diverseByLabel(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "partial merge diverged from the sequential fold")
+  }
+
   test("curate_corpus_k16: composed pipeline is deterministic and respects its own gates") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.DiversityOps.curateCorpusK16(spark, sf0001).collect()
