@@ -264,6 +264,24 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(a == a.sortBy(t => (-t._2, t._1)))
   }
 
+  test("pagerank_docs: reliable-checkpoint variant produces identical ranks") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val local = GraphOps.pagerankDocs(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val reliable = GraphOps.pagerankDocsReliable(spark, sf0001, ckpt).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(reliable == local,
+        "checkpoint strategy must not perturb the integer ranks")
+      // the checkpoint actually went to the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "expected reliable checkpoint files on disk")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)): Unit
+    }
+  }
+
   test("fuzzy_name_match: pairs are ordered, within distance, and blocking finds shared-token pairs") {
     val rows = TextAnalysisOps.fuzzyNameMatch(spark, sf0001).collect()
     assert(rows.nonEmpty)
