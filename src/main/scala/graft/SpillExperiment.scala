@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Spill-forcing scale probe (driver VERDICT r8 #6): run the heaviest
+  * relational queries under a DELIBERATELY small executor budget and
+  * measure whether the engine's plans degrade gracefully to disk instead
+  * of dying — the property a 100 TB run actually depends on (every real
+  * shuffle sort exceeds memory somewhere; the question is spill, not
+  * crash).
+  *
+  * Knobs (env): `SPARK_GRAFT_SF_DIR` (fixture), `SPARK_DRIVER_MEM`
+  * (heap — the build's fork option; use e.g. 2g to force spills at
+  * sf10), `GRAFT_SPILL_PARTITIONS` (shuffle width, default 8 — small on
+  * purpose: fewer, larger sort runs per task).
+  *
+  * Output: one JSON line per query with wall seconds and the stage-metric
+  * spill totals (`memoryBytesSpilled` = bytes that left the in-memory
+  * sorter, `diskBytesSpilled` = bytes actually written), then a summary
+  * line. Spill metrics come from the TaskEnd listener — the same numbers
+  * the Spark UI shows.
+  */
+object SpillExperiment {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val parts = sys.env.getOrElse("GRAFT_SPILL_PARTITIONS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .getOrCreate()
+
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          memSpilled.addAndGet(m.memoryBytesSpilled): Unit
+          diskSpilled.addAndGet(m.diskBytesSpilled): Unit
+        }
+      }
+    })
+
+    val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "q1_pricing_summary" -> operators.Relational.q1PricingSummary _,
+      "join_nation_revenue" -> operators.Relational.joinNationRevenue _,
+      "q3_top_orders" -> operators.Relational.q3TopOrders _,
+      "q5_local_supplier" -> operators.Relational.q5LocalSupplier _,
+      "outer_join_orders" -> operators.Relational.outerJoinOrders _)
+
+    var totalSec = 0.0
+    val lines = queries.map { case (name, q) =>
+      memSpilled.set(0); diskSpilled.set(0)
+      val t0 = System.nanoTime()
+      val n = q(spark, sfDir).collect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are posted async; drain before reading counters
+      org.apache.spark.sql.graftbridge.GraftListenerBridge.drain(spark.sparkContext)
+      totalSec += sec
+      val line = f"""{"query":"$name","sec":$sec%.3f,"rows":$n,""" +
+        s""""mem_spilled":${memSpilled.get},"disk_spilled":${diskSpilled.get}}"""
+      println(line)
+      line
+    }
+    println(s"""{"metric":"spill_total","sec":$totalSec,"sf":"$sfDir",""" +
+      s""""heap":"${Runtime.getRuntime.maxMemory() / (1 << 20)}m","parts":$parts,""" +
+      s""""queries":${lines.size}}""")
+    spark.stop()
+  }
+}
