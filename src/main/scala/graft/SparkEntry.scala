@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_docs_simhash" -> TextAnalysisOps.dedupDocsSimhash _,
     "ngram_jaccard" -> TextOps.ngramJaccard _,
     "dedup_clusters" -> TextOps.dedupClusters _,
+    "split_no_leakage" -> TextOps.splitNoLeakage _,
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
     "bpe_pair_stats" -> TextOps.bpePairStats _,
@@ -1131,6 +1132,51 @@ object SparkEntry {
         |FROM (SELECT a, min(b) AS m FROM reach GROUP BY a)
         |GROUP BY m
         |ORDER BY cluster_rep""".stripMargin,
+
+    // Same component machinery as dedup_clusters, then split by
+    // md5(cluster rep): near-dups can never straddle train/test.
+    "split_no_leakage" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |g AS (SELECT doc_id,
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
+        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
+        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |  FROM sh GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc1, doc2 FROM cand UNION SELECT doc2, doc1 FROM cand),
+        |reach AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.doc2 AS b FROM reach r JOIN edges e ON r.b = e.doc1),
+        |lbl AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a),
+        |rep AS (SELECT d.doc_id, d.lang, coalesce(l.lbl, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+        |sp AS (SELECT lang, rep,
+        |    CASE WHEN md5(CAST(rep AS VARCHAR)) < 'cc' THEN 'train'
+        |         WHEN md5(CAST(rep AS VARCHAR)) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM rep)
+        |SELECT split, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+        |FROM sp
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
 
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -540,6 +540,36 @@ object TextOps {
       .orderBy(col("cluster_rep"))
   }
 
+  /** V+: LEAKAGE-FREE train/val/test split — the contamination control a
+    * training pipeline needs BEFORE sampling: a document inherits the
+    * split of its near-dup CLUSTER (MinHash components; singletons are
+    * their own cluster), and assignment hashes the cluster REPRESENTATIVE,
+    * so two near-duplicate documents can never straddle train and test —
+    * the leak a doc-level hash split silently allows (train-on-test via a
+    * paraphrase). Assignment is md5-ordered (rand-free, reproducible,
+    * engine-portable): hex < 'cc' → train (204/256 ≈ 80%), < 'e6' → val
+    * (26/256 ≈ 10%), else test. Output: per (split, lang) doc and cluster
+    * counts. Scale posture: the component labels are the bounded derived
+    * state of [[componentLabels]] (small/large hybrid); everything else is
+    * one broadcastable label join + a partial-agg'd count — the fact scan
+    * never shuffles.
+    */
+  def splitNoLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val pairs = minhashCandidates(spark, sfDir).select(col("doc1"), col("doc2"))
+    val labels = componentLabels(spark, pairs)
+    val rep = docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("lbl"), col("doc_id")).as("rep"))
+    val h = md5(col("rep").cast("string"))
+    rep
+      .withColumn("split",
+        when(h < lit("cc"), "train").when(h < lit("e6"), "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("rep")).as("n_clusters"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Connected-component labels (id → min id of its component) for an edge
     * list. Two paths, chosen by edge count — the same small/large split as
     * the coreset pattern:

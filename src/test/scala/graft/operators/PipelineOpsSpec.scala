@@ -370,6 +370,37 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(VectorOps.nearDupBits(100000000L) == 14)
   }
 
+  test("split_no_leakage: deterministic; near-dup clusters never straddle splits; masses sane") {
+    import graft.operators.TextOps
+    val a = TextOps.splitNoLeakage(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val b = TextOps.splitNoLeakage(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(a == b, "split assignment must be reproducible")
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(a.map(_._3).sum == total, "every document lands in exactly one split")
+    // the whole point: recompute per-doc (rep, split) and check that no
+    // CLUSTER maps to two splits — the doc-level-hash leak this op closes
+    val perDoc = {
+      val docs = graft.sources.Tables.documents(spark, sf0001).select(col("doc_id"))
+      val labels = TextOps.componentLabels(spark,
+        TextOps.minhashCandidates(spark, sf0001).select(col("doc1"), col("doc2")))
+      docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+        .withColumn("h", md5(col("rep").cast("string")))
+        .withColumn("split",
+          when(col("h") < lit("cc"), "train")
+            .when(col("h") < lit("e6"), "val").otherwise("test"))
+        .collect().map(r => (r.getLong(1), r.getString(3)))
+    }
+    perDoc.groupBy(_._1).foreach { case (rp, docs) =>
+      assert(docs.map(_._2).distinct.length == 1, s"cluster $rp straddles splits")
+    }
+    // md5 split masses: train ≈ 80% — loose bound, the fixture is small
+    val byCat = a.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byCat("train") > byCat.getOrElse("val", 0L) + byCat.getOrElse("test", 0L))
+  }
+
   test("dedup_docs_simhash: identical texts share a simhash bucket") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
