@@ -123,6 +123,8 @@ object SparkEntry {
     "ngram_jaccard" -> TextOps.ngramJaccard _,
     "dedup_clusters" -> TextOps.dedupClusters _,
     "split_no_leakage" -> TextOps.splitNoLeakage _,
+    "ngram_counts" -> TextOps.ngramCounts _,
+    "modality_coverage" -> VectorOps.modalityCoverage _,
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
     "bpe_pair_stats" -> TextOps.bpePairStats _,
@@ -1177,6 +1179,34 @@ object SparkEntry {
         |FROM sp
         |GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
+
+    "ngram_counts" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |g AS (
+        |  SELECT 1 AS n, unnest(toks) AS gram FROM t
+        |  UNION ALL
+        |  SELECT 2, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) FROM t WHERE len(toks) >= 2
+        |  UNION ALL
+        |  SELECT 3, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) FROM t WHERE len(toks) >= 3),
+        |c AS (SELECT n, gram, count(*) AS cnt FROM g GROUP BY n, gram),
+        |r AS (SELECT n, gram, cnt,
+        |    row_number() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rk FROM c)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk, gram, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rk <= 10
+        |ORDER BY n, rk""".stripMargin,
+
+    "modality_coverage" ->
+      """SELECT d.lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(e.vec_id) AS BIGINT) AS n_with_embedding,
+        |  CAST(count(e.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+        |FROM documents d
+        |LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin,
 
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -113,6 +113,40 @@ object TextOps {
       .limit(20)
   }
 
+  /** V+: the N-GRAM COUNT TABLE (orders 1–3) — the canonical language-
+    * model corpus statistic (KenLM-style count collection; order-1 is
+    * [[textTokens]]' table, order-2 [[bpePairStats]]' — this op is the
+    * unified exact table with the top-10 per order declared). All grams
+    * are built MAP-SIDE with one positional `transform` per order over
+    * each doc's token array (the [[docRepetition]] shingle idiom — no
+    * window, no self-join); the only shuffle is the count aggregation,
+    * partial-aggregated before exchange. At 100 TB this is the shape that
+    * matters: gram construction rides the scan, the exchange carries
+    * (gram, partial count) — and the declared top-k per order is a
+    * WindowGroupLimit over 3 groups, not a global sort of the gram
+    * vocabulary.
+    */
+  def ngramCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(filter(tokens, t => length(t) > 0).as("toks"))
+    val grams = (1 to 3).map { n =>
+      base.filter(size(col("toks")) >= n)
+        .select(lit(n.toLong).as("n"), explode(expr(
+          s"transform(slice(toks, 1, size(toks) - ${n - 1}), " +
+            s"(x, i) -> concat_ws(' ', slice(toks, i + 1, $n)))")).as("gram"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("n")).orderBy(col("cnt").desc, col("gram"))
+    grams
+      .groupBy(col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("n"), col("rk"), col("gram"), col("cnt"))
+      .orderBy(col("n"), col("rk"))
+  }
+
   /** V+: ADJACENT-PAIR statistics — the counting step of byte-pair /
     * merge-based tokenizer induction (each BPE iteration merges the
     * currently most frequent adjacent pair; this is that frequency table,

@@ -295,4 +295,27 @@ object VectorOps {
       .select(col("q_id"), col("t_label").cast("long").as("pred_label"), col("n_votes"))
       .orderBy(col("q_id"))
   }
+
+  /** V+: MODALITY COVERAGE audit — per language, how many documents carry
+    * a paired embedding row (doc_id = vec_id) and the coverage ratio: the
+    * data-quality gate a multimodal pipeline runs before training (a
+    * modality silently missing for one language skews the mixture). Plan
+    * shape for 100 TB: the embedding side is projected to its 8-byte id
+    * BEFORE the equi join (never the 64-float payload), the join output
+    * partial-aggregates to |langs| rows. Coverage is the raw IEEE
+    * quotient of exact counts (oracle-parity convention class 2 — no
+    * round()).
+    */
+  def modalityCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    docs.join(emb, docs("doc_id") === emb("vec_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("vec_id")).as("n_with_embedding"),
+        (count(col("vec_id")).cast("double") / count(lit(1)).cast("double"))
+          .as("coverage"))
+      .orderBy(col("lang"))
+  }
 }

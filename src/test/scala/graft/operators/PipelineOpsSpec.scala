@@ -401,6 +401,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(byCat("train") > byCat.getOrElse("val", 0L) + byCat.getOrElse("test", 0L))
   }
 
+  test("ngram_counts: order-1 equals textTokens' table; prefix counts dominate") {
+    import graft.operators.TextOps
+    val rows = TextOps.ngramCounts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows.length == 30 && rows.map(_._1).distinct.sorted == Seq(1L, 2L, 3L))
+    // the unified table's order-1 slice must be exactly the dedicated op
+    val uni = TextOps.textTokens(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).take(10).toSeq
+    assert(rows.filter(_._1 == 1L).sortBy(_._2).map(t => (t._3, t._4)) == uni)
+    // an n-gram can never outnumber its own (n-1)-gram prefix — count the
+    // prefix of each top trigram directly against the corpus
+    val bi = rows.filter(_._1 == 2L).map(t => t._3 -> t._4).toMap
+    rows.filter(_._1 == 3L).foreach { case (_, _, g, c) =>
+      val prefix = g.split(" ").take(2).mkString(" ")
+      bi.get(prefix).foreach(pc => assert(c <= pc, s"trigram '$g' ($c) > bigram '$prefix' ($pc)"))
+    }
+  }
+
+  test("modality_coverage: masses reconcile with the raw tables") {
+    import graft.operators.VectorOps
+    val rows = VectorOps.modalityCoverage(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val docs = graft.sources.Tables.documents(spark, sf0001).count()
+    val paired = graft.sources.Tables.documents(spark, sf0001).select(col("doc_id"))
+      .join(graft.sources.Tables.embeddings(spark, sf0001).select(col("vec_id")),
+        col("doc_id") === col("vec_id")).count()
+    assert(rows.map(_._2).sum == docs)
+    assert(rows.map(_._3).sum == paired)
+    rows.foreach { case (l, n, w, c) =>
+      assert(w <= n && c >= 0.0 && c <= 1.0, s"$l: $w/$n cov=$c")
+      assert(c == w.toDouble / n.toDouble, s"$l coverage must be the exact quotient")
+    }
+  }
+
   test("dedup_docs_simhash: identical texts share a simhash bucket") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
