@@ -121,24 +121,26 @@ object TextOps {
     * each doc's token array (the [[docRepetition]] shingle idiom — no
     * window, no self-join); the only shuffle is the count aggregation,
     * partial-aggregated before exchange. At 100 TB this is the shape that
-    * matters: gram construction rides the scan, the exchange carries
-    * (gram, partial count) — and the declared top-k per order is a
-    * WindowGroupLimit over 3 groups, not a global sort of the gram
-    * vocabulary.
+    * matters: ALL THREE orders ride ONE corpus scan (a nested transform
+    * emits (n, gram) structs, flattened into a single Generate — a
+    * per-order union would scan the corpus three times, plan-asserted
+    * single-scan instead), the exchange carries (gram, partial count),
+    * and the declared top-k per order is a map-side WindowGroupLimit
+    * over 3 groups, not a global sort of the gram vocabulary.
     */
   def ngramCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.documents(spark, sfDir)
+    val w = Window.partitionBy(col("n")).orderBy(col("cnt").desc, col("gram"))
+    Tables.documents(spark, sfDir)
       .filter(col("lang") === "en")
       .select(filter(tokens, t => length(t) > 0).as("toks"))
-    val grams = (1 to 3).map { n =>
-      base.filter(size(col("toks")) >= n)
-        .select(lit(n.toLong).as("n"), explode(expr(
-          s"transform(slice(toks, 1, size(toks) - ${n - 1}), " +
-            s"(x, i) -> concat_ws(' ', slice(toks, i + 1, $n)))")).as("gram"))
-    }.reduce(_ unionByName _)
-    val w = Window.partitionBy(col("n")).orderBy(col("cnt").desc, col("gram"))
-    grams
+      .select(explode(expr(
+        """flatten(transform(array(1, 2, 3), n ->
+          |  transform(slice(toks, 1, greatest(size(toks) - n + 1, 0)),
+          |    (x, i) -> struct(CAST(n AS BIGINT) AS n,
+          |                     concat_ws(' ', slice(toks, i + 1, n)) AS gram))))""".stripMargin))
+        .as("g"))
+      .select(col("g.n").as("n"), col("g.gram").as("gram"))
       .groupBy(col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w).cast("long"))

@@ -259,6 +259,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       l.contains("partial_")) >= 2, s"expected partial aggregates, plan:\n$p")
   }
 
+  test("ngram_counts: all three orders ride ONE corpus scan; top-k is a group limit") {
+    val p = plan(graft.operators.TextOps.ngramCounts(spark, sf0001))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, got $scans:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-order top-10 must push a group limit, not sort the vocabulary:\n$p")
+  }
+
   test("fuzzy_name_match: blocking tokens are frequency-capped before the candidate join") {
     val df = graft.operators.TextAnalysisOps.fuzzyNameMatch(spark, sf0001)
     // The DF-cap filter must sit in the plan (worst-case block is then
