@@ -564,6 +564,65 @@ object TextOps {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** V+: INCREMENTAL near-dup admission — [[dedupIncremental]]'s batch
+    * convention (new slice = doc_id % 5 = 4) applied to NEAR-duplicates:
+    * each batch document is admitted against the EXISTING corpus by a
+    * banded MinHash join of batch signatures against CATALOG signatures
+    * only (never catalog × catalog — the incremental property: per-batch
+    * cost scales with the batch and its collisions, not the corpus), then
+    * the exact 3-gram Jaccard verify ([[ngramJaccard]]'s kernel) at
+    * ≥ 0.5 decides dup/new; `best_match` is the smallest verified catalog
+    * id (deterministic without comparing float scores). At 100 TB the
+    * catalog signature table is the standing asset a streaming corpus
+    * maintains (exactly [[minhashSignatures]]' staged form) and each
+    * arriving batch runs THIS plan; only implicated docs re-shingle for
+    * the verify (semi-join pushdown, the [[ngramJaccard]] discipline).
+    */
+  def dedupIncrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = minhashSignatures(spark, sfDir).selectExpr(
+      "doc_id",
+      """stack(4,
+        |  0, concat(s0, s1),
+        |  1, concat(s2, s3),
+        |  2, concat(s4, s5),
+        |  3, concat(s6, s7)) AS (band, sig)""".stripMargin)
+    val cand = bands.filter(col("doc_id") % 5 === 4).as("a")
+      .join(bands.filter(col("doc_id") % 5 =!= 4).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("cat_id"))
+      .distinct()
+    val ids = cand.select(col("doc_id"))
+      .union(cand.select(col("cat_id").as("doc_id"))).distinct()
+    val sh = shingleRows(
+      Tables.documents(spark, sfDir).join(ids, Seq("doc_id"), "left_semi")).distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand.as("c")
+      .join(sh.as("sa"), col("c.doc_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("c.cat_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("c.doc_id").as("doc_id"), col("c.cat_id").as("cat_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val verified = cand
+      .join(inter, Seq("doc_id", "cat_id"), "left")
+      .join(counts.withColumnRenamed("n_sh", "n_b"), Seq("doc_id"))
+      .join(counts.withColumnRenamed("doc_id", "cat_id").withColumnRenamed("n_sh", "n_c"),
+        Seq("cat_id"))
+      .filter(
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_b") + col("n_c") - coalesce(col("n_inter"), lit(0L))).cast("double")) >= 0.5)
+    val perDoc = verified.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near_dups"), min(col("cat_id")).as("best_match"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("n_near_dups").isNotNull, "dup").otherwise("new").as("status"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"))
+      .orderBy(col("doc_id"))
+  }
+
   /** V+: dedup CLUSTERS — connected components over the MinHash candidate
     * pairs, the step that turns pairwise candidates into dedup groups.
     * Output: (cluster_rep = min doc_id, n_docs), clusters of size ≥ 2 only.

@@ -401,6 +401,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(byCat("train") > byCat.getOrElse("val", 0L) + byCat.getOrElse("test", 0L))
   }
 
+  test("dedup_incremental_minhash: planted dup admits as dup, unique as new; batch-only output") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq(
+      (1L, t, "en", "src0", t.length.toLong),                       // catalog copy
+      (4L, t, "en", "src1", t.length.toLong),                       // batch: exact dup of 1
+      (9L, "quark boson lepton hadron gluon photon meson baryon", "en", "src2", 48L), // batch: unique
+      (2L, "one two three four five six seven eight nine ten", "en", "src3", 49L)     // catalog noise
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs3/documents.parquet")
+    val rows = graft.operators.TextOps.dedupIncrementalMinhash(spark, "/tmp/graft_test_docs3")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // only batch docs (doc_id % 5 == 4) appear
+    assert(rows.map(_._1) == Seq(4L, 9L))
+    assert(rows(0) == ((4L, "dup", 1L, 1L)), s"exact dup must admit as dup: ${rows(0)}")
+    assert(rows(1) == ((9L, "new", 0L, -1L)), s"unique doc must admit as new: ${rows(1)}")
+  }
+
   test("ngram_counts: order-1 equals textTokens' table; prefix counts dominate") {
     import graft.operators.TextOps
     val rows = TextOps.ngramCounts(spark, sf0001).collect()
