@@ -26,6 +26,11 @@ object SpillExperiment {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val parts = sys.env.getOrElse("GRAFT_SPILL_PARTITIONS", "8")
+    // GRAFT_BROADCAST_THRESHOLD (bytes) sizes broadcast builds against the
+    // heap under test: the 2 g run proved sort spill degrades gracefully
+    // while an AQE broadcast build is a hard OOM — capping the threshold
+    // flips those joins to SMJ, which spills instead.
+    val bcast = sys.env.getOrElse("GRAFT_BROADCAST_THRESHOLD", "10485760")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
@@ -33,6 +38,8 @@ object SpillExperiment {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.minPartitionNum", "1")
+      .config("spark.sql.autoBroadcastJoinThreshold", bcast)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
       .getOrCreate()
 
     val memSpilled = new java.util.concurrent.atomic.AtomicLong
