@@ -259,6 +259,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       l.contains("partial_")) >= 2, s"expected partial aggregates, plan:\n$p")
   }
 
+  test("modality_coverage: embedding side joins as an 8-byte id — payload pruned") {
+    val p = plan(graft.operators.VectorOps.modalityCoverage(spark, sf0001))
+    // the embeddings scan must read vec_id ONLY (never the 64-float array)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"embedding payload must be pruned from the coverage join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("dedup_incremental_minhash: candidate join is equi on (band, sig); no catalog×catalog") {
+    val p = plan(graft.operators.TextOps.dedupIncrementalMinhash(spark, sf0001))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"banded candidates must come from equi joins only:\n$p")
+    // both sides of the band join filter on the batch/catalog predicate —
+    // the incremental property is visible as the %5 filters in the plan
+    assert(p.contains("% 5) = 4") && p.contains("% 5) = 4) = false") ||
+      (p.contains("% 5) = 4") && p.contains("NOT")),
+      s"expected batch (=4) and catalog (<>4) slice filters in the plan:\n$p")
+  }
+
   test("ngram_counts: all three orders ride ONE corpus scan; top-k is a group limit") {
     val p = plan(graft.operators.TextOps.ngramCounts(spark, sf0001))
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
