@@ -70,6 +70,7 @@ object SparkEntry {
     "from_json_props" -> EventOps.fromJsonProps _,
     "variant_props" -> EventOps.variantProps _,
     "vocab_coverage" -> TextAnalysisOps.vocabCoverage _,
+    "corpus_mix_weights" -> TextAnalysisOps.corpusMixWeights _,
     "array_map_funcs" -> ScalarOps.arrayMapFuncs _,
     "map_roundtrip" -> ScalarOps.mapRoundtrip _,
     "try_funcs" -> ScalarOps.tryFuncs _,
@@ -93,6 +94,7 @@ object SparkEntry {
     "stream_outer_join_events" -> graft.streaming.StreamingEntry.streamOuterJoinEvents _,
     "stream_static_enrich" -> graft.streaming.StreamingEntry.streamStaticEnrich _,
     "stream_semi_join_events" -> graft.streaming.StreamingEntry.streamSemiJoinEvents _,
+    "stream_full_outer_join_events" -> graft.streaming.StreamingEntry.streamFullOuterJoinEvents _,
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
     "stream_append_finalized" -> graft.streaming.StreamingEntry.streamAppendFinalized _,
     "stream_vector_source" -> graft.streaming.StreamingEntry.streamVectorSource _,
@@ -122,6 +124,7 @@ object SparkEntry {
     "dedup_docs_simhash" -> TextAnalysisOps.dedupDocsSimhash _,
     "ngram_jaccard" -> TextOps.ngramJaccard _,
     "dedup_clusters" -> TextOps.dedupClusters _,
+    "dedup_keep_best" -> TextOps.dedupKeepBest _,
     "split_no_leakage" -> TextOps.splitNoLeakage _,
     "ngram_counts" -> TextOps.ngramCounts _,
     "modality_coverage" -> VectorOps.modalityCoverage _,
@@ -1008,6 +1011,17 @@ object SparkEntry {
         |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 7 DAYS
         |ORDER BY p_id, s_id""".stripMargin,
 
+    "stream_full_outer_join_events" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id AS s_user, ts AS s_ts FROM e WHERE event_type = 'signup')
+        |SELECT CAST(COALESCE(p_id, -1) AS BIGINT) AS p_id,
+        |  CAST(COALESCE(s_id, -1) AS BIGINT) AS s_id,
+        |  COALESCE(p_user, s_user) AS user_id
+        |FROM p FULL JOIN s ON p_user = s_user
+        |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 7 DAYS
+        |ORDER BY p_id, s_id""".stripMargin,
+
     "tumbling_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -1134,6 +1148,49 @@ object SparkEntry {
         |SELECT m AS cluster_rep, CAST(count(*) AS BIGINT) AS n_docs
         |FROM (SELECT a, min(b) AS m FROM reach GROUP BY a)
         |GROUP BY m
+        |ORDER BY cluster_rep""".stripMargin,
+
+    // Same component machinery as dedup_clusters, then the keep-best
+    // arg-max (max tokens, min doc_id) instead of the min-id report.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |g AS (SELECT doc_id,
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
+        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
+        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |  FROM sh GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc1, doc2 FROM cand UNION SELECT doc2, doc1 FROM cand),
+        |reach AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.doc2 AS b FROM reach r JOIN edges e ON r.b = e.doc1),
+        |lbl AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a),
+        |mem AS (SELECT l.cluster_rep, l.doc_id,
+        |    CAST(len(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM lbl l JOIN documents d ON l.doc_id = d.doc_id),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY cluster_rep ORDER BY n_tokens DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY cluster_rep) AS n_docs
+        |  FROM mem)
+        |SELECT cluster_rep, CAST(n_docs AS BIGINT) AS n_docs,
+        |  doc_id AS keep_id, n_tokens AS keep_tokens
+        |FROM r WHERE rk = 1
         |ORDER BY cluster_rep""".stripMargin,
 
     // Same component machinery as dedup_clusters, then split by
@@ -1571,6 +1628,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
         |FROM j
         |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "corpus_mix_weights" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    max(n_tokens) AS max_tokens FROM g)
+        |SELECT lang, n_docs, g.n_tokens,
+        |  CAST(g.n_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE) AS share,
+        |  CAST(t.max_tokens AS DOUBLE) / CAST(g.n_tokens AS DOUBLE) AS repeat_factor
+        |FROM g, t
         |ORDER BY lang""".stripMargin,
 
     "hash_sample_stratified" ->

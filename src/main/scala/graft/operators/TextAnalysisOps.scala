@@ -344,4 +344,33 @@ object TextAnalysisOps {
       .select(col("nm1"), col("nm2"), col("dist"), col("n1"), col("n2"))
       .orderBy(col("dist"), col("nm1"), col("nm2"))
   }
+
+  /** V+: CORPUS MIXTURE TABLE — the per-domain sampling plan a training run
+    * consumes (the "epochs per domain" table of LLaMA-style data recipes):
+    * per language, document and token mass, the domain's share of the
+    * corpus, and the repeat factor that equalizes token mass against the
+    * largest domain. Counts are exact BIGINT sums of whitespace token
+    * counts (the [[TextOps]] tokenizer); `share` and `repeat_factor` are
+    * raw IEEE quotients of exact integers (oracle-parity class 2 in
+    * COVERAGE.md — no `round()`). Scale posture: ONE corpus scan feeds a
+    * partial-agg'd per-lang count (|langs| groups); the two corpus-wide
+    * scalars ride a broadcast cross join of a 1-row aggregate over that
+    * tiny table — the fact scan never repeats and never shuffles twice.
+    */
+  def corpusMixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val perLang = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        expr("CAST(size(filter(split(text, ' '), x -> length(x) > 0)) AS BIGINT)").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val totals = perLang.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      max(col("n_tokens")).as("max_tokens"))
+    perLang.crossJoin(broadcast(totals))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double")).as("share"),
+        (col("max_tokens").cast("double") / col("n_tokens").cast("double")).as("repeat_factor"))
+      .orderBy(col("lang"))
+  }
 }

@@ -635,6 +635,38 @@ object TextOps {
       .orderBy(col("cluster_rep"))
   }
 
+  /** V+: KEEP-BEST dedup — the representative-selection policy production
+    * dedup actually ships: within each near-dup cluster keep the
+    * HIGHEST-QUALITY member (here: max token count, min doc_id on ties —
+    * an exact-integer total order, so the choice is engine-portable),
+    * not the arbitrary min-id member [[dedupClusters]] reports. Output per
+    * cluster (size ≥ 2): representative label, member count, the kept doc
+    * and its token mass. Scale posture: the member table is |clustered
+    * docs| rows (bounded by the candidate-pair domain, not the corpus);
+    * the arg-max is ONE partial-agg'd `max(struct(n_tokens, −doc_id))` —
+    * no per-cluster window shuffle, and the fact scan contributes only
+    * the token counts of implicated docs (semi-join pushdown via the
+    * label join).
+    */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashCandidates(spark, sfDir).select(col("doc1"), col("doc2"))
+    val labels = componentLabels(spark, pairs)
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      expr("CAST(size(filter(split(text, ' '), x -> length(x) > 0)) AS BIGINT)").as("n_tokens"))
+    labels.join(docs, labels("id") === docs("doc_id"))
+      .select(col("lbl").as("cluster_rep"), col("doc_id"), col("n_tokens"))
+      .groupBy(col("cluster_rep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(
+        col("cluster_rep"), col("n_docs"),
+        (-col("best.neg_id")).as("keep_id"),
+        col("best.n_tokens").as("keep_tokens"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** V+: LEAKAGE-FREE train/val/test split — the contamination control a
     * training pipeline needs BEFORE sampling: a document inherits the
     * split of its near-dup CLUSTER (MinHash components; singletons are

@@ -604,6 +604,47 @@ object StreamingEntry {
       .orderBy(col("p_id"), col("s_id"))
   }
 
+  /** DECLARED stream-stream FULL OUTER interval join entry — the
+    * reconciliation form completing the stream-stream join family (inner,
+    * left outer, left semi): matches emit on arrival, unmatched PURCHASES
+    * emit (p_id, −1) and unmatched SIGNUPS emit (−1, s_id), each exactly
+    * once at state eviction. Same two-round harness as
+    * [[streamOuterJoinEvents]] (flush events on both streams lift the
+    * committed watermark; one replay batch runs the eviction pass under
+    * it) — the eviction pass walks BOTH state stores in that single
+    * batch, so both sides' deferred rows emit together. The flush events
+    * (negative user ids) sit above the final watermark, never emit, and
+    * are filtered by `user_id >= 0`. Oracle = the batch FULL JOIN over
+    * the slice with the same −1 sentinels.
+    */
+  def streamFullOuterJoinEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val flushTs = slice.map(_.ts_us).max + 30L * 24 * 3600 * 1000000L
+    val pStream = MemoryStream[StreamEvent](spark)
+    val sStream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.purchaseSignupFullStream(
+          withTs(pStream.toDF()), withTs(sStream.toDF()))
+        .writeStream.format("memory").queryName("graft_stream_ssj_full")
+        .outputMode("append").start()
+      try {
+        sStream.addData(slice.filter(_.event_type == "signup") :+
+          StreamEvent(-2L, flushTs, -2L, "signup", 0.0))
+        pStream.addData(slice.filter(_.event_type == "purchase") :+
+          StreamEvent(-1L, flushTs, -1L, "purchase", 0.0))
+        q.processAllAvailable()
+        pStream.addData(Seq(StreamEvent(-3L, flushTs, -1L, "purchase", 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    spark.table("graft_stream_ssj_full")
+      .filter(col("user_id") >= 0)
+      .select(col("p_id"), col("s_id"), col("user_id"))
+      .orderBy(col("p_id"), col("s_id"))
+  }
+
   /** DECLARED stream-stream LEFT SEMI join entry: signups in micro-batch
     * 1, purchases in micro-batch 2 (every existence proof crosses the
     * state store), each matched purchase emitted exactly once even where

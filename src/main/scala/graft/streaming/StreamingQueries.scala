@@ -117,6 +117,40 @@ object StreamingQueries {
       purchases.withWatermark("ts_utc", "1 hour"),
       signups.withWatermark("ts_utc", "1 hour"))
 
+  /** FULL OUTER variant of [[purchaseSignupJoin]]: every purchase AND every
+    * signup appears — matched rows carry both ids; the absent side of an
+    * unmatched row surfaces as −1 (not NULL, same sentinel discipline as
+    * the left variant: concrete values keep the presentation sort and the
+    * engine-vs-oracle compare free of null-ordering divergence). Batch- and
+    * stream-compatible.
+    */
+  def purchaseSignupFullJoin(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts_utc").as("p_ts"))
+      .join(
+        signups.select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts_utc").as("s_ts")),
+        expr("""p_user = s_user AND
+               |s_ts <= p_ts AND
+               |s_ts >= p_ts - INTERVAL 7 DAYS""".stripMargin),
+        "full_outer")
+      .select(
+        coalesce(col("p_id"), lit(-1L)).as("p_id"),
+        coalesce(col("s_id"), lit(-1L)).as("s_id"),
+        coalesce(col("p_user"), col("s_user")).as("user_id"))
+
+  /** Stream-stream FULL OUTER join — the reconciliation shape: matches emit
+    * on arrival, and EACH side's unmatched rows emit their sentinel-padded
+    * row exactly once, when the OTHER side's watermark proves no qualifying
+    * partner can still arrive. The interval condition bounds event time in
+    * both directions (s_ts ∈ [p_ts − 7d, p_ts] ⇔ p_ts ∈ [s_ts, s_ts + 7d]),
+    * which is what lets Spark evict both state stores — full-outer adds no
+    * state over the inner form, only the two deferred emission passes.
+    */
+  def purchaseSignupFullStream(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchaseSignupFullJoin(
+      purchases.withWatermark("ts_utc", "1 hour"),
+      signups.withWatermark("ts_utc", "1 hour"))
+
   /** LEFT SEMI variant of [[purchaseSignupJoin]] — the existence check:
     * each purchase appears EXACTLY ONCE if any qualifying signup exists,
     * no matter how many match (semi semantics deduplicate the fan-out a

@@ -109,6 +109,26 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
       "no unmatched purchase in the fixture — outer emission untested")
   }
 
+  test("stream-stream FULL OUTER join: entry == batch FULL JOIN, both sentinel sides fire") {
+    val entry = graft.streaming.StreamingEntry.streamFullOuterJoinEvents(spark, sf0001)
+      .collect().toSeq
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+    val batch = StreamingQueries.purchaseSignupFullJoin(
+        withTs(slice.filter(col("event_type") === "purchase")),
+        withTs(slice.filter(col("event_type") === "signup")))
+      .orderBy(col("p_id"), col("s_id")).collect().toSeq
+    assert(entry.nonEmpty && entry == batch)
+    // Both deferred paths must actually fire: an unmatched purchase
+    // (s_id = −1) and an unmatched signup (p_id = −1).
+    assert(entry.exists(_.getLong(1) == -1L),
+      "no unmatched purchase in the fixture — purchase-side eviction untested")
+    assert(entry.exists(_.getLong(0) == -1L),
+      "no unmatched signup in the fixture — signup-side eviction untested")
+  }
+
   test("stream-stream LEFT SEMI join: entry == batch EXISTS, one row per matched purchase") {
     import spark.implicits._
     val entry = graft.streaming.StreamingEntry.streamSemiJoinEvents(spark, sf0001)
