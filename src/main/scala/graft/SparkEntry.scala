@@ -128,6 +128,7 @@ object SparkEntry {
     "split_no_leakage" -> TextOps.splitNoLeakage _,
     "ngram_counts" -> TextOps.ngramCounts _,
     "modality_coverage" -> VectorOps.modalityCoverage _,
+    "label_centroids" -> VectorOps.labelCentroids _,
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
     "bpe_pair_stats" -> TextOps.bpePairStats _,
@@ -1313,6 +1314,20 @@ object SparkEntry {
         |LEFT JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY d.lang
         |ORDER BY d.lang""".stripMargin,
+
+    // The Aggregator's micro-unit quantizer floor(x*1e6 + 0.5) recomputed
+    // per element; centroid = class-2 raw quotient of exact integers.
+    "label_centroids" ->
+      """WITH x AS (SELECT label, i AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS u(i)),
+        |g AS (SELECT label, dim,
+        |    CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(q) AS BIGINT) AS sum_q
+        |  FROM x GROUP BY label, dim)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, n_rows, sum_q,
+        |  CAST(sum_q AS DOUBLE) / CAST(n_rows * 1000000 AS DOUBLE) AS centroid
+        |FROM g
+        |ORDER BY label, dim""".stripMargin,
 
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

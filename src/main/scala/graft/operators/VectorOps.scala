@@ -318,4 +318,39 @@ object VectorOps {
           .as("coverage"))
       .orderBy(col("lang"))
   }
+
+  /** V+: PER-LABEL CENTROIDS through the typed-`Aggregator` UDAF
+    * [[graft.functions.LabelCentroidAgg]] — the class-prototype table
+    * (per-class mean embedding) clustering, drift monitoring, and
+    * nearest-class-mean classification all start from. The aggregation is
+    * ONE pass with array-valued partial state: the exchange carries one
+    * (8·d + 8)-byte state per (label × partition) — NOT the d-fold
+    * exploded fact table the naive `posexplode → groupBy(label, dim)`
+    * plan shuffles (64× here, 768+× at production dims). The explode to
+    * (label, dim) rows happens after the merge, on |labels| rows.
+    * Dimension sums are exact BIGINT micro-units, so the result is
+    * bit-stable under any partitioning (spec-pinned) and the centroid is
+    * a class-2 raw quotient of exact integers — oracled against DuckDB's
+    * unnest recomputation.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val dims = emb.select(size(col("embedding")).as("d")).first().getInt(0)
+    val agg = new graft.functions.LabelCentroidAgg(dims)
+    emb.select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("state"))
+      .toDF("label", "state")
+      .select(col("label"), col("state.n").as("n_rows"),
+        posexplode(col("state.sums")).as(Seq("dim", "sum_q")))
+      .select(
+        col("label"), col("dim").cast("long").as("dim"),
+        col("n_rows"), col("sum_q"),
+        (col("sum_q").cast("double") /
+          (col("n_rows") * lit(1000000L)).cast("double")).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
 }

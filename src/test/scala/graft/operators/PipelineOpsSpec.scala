@@ -517,6 +517,38 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sel.last == 2L)
   }
 
+  test("label_centroids: Aggregator == explode plan, bit-stable under repartitioning") {
+    val viaAgg = VectorOps.labelCentroids(spark, sf0001).collect().toSeq
+    // The naive d-fold explode plan the Aggregator exists to avoid — same
+    // quantizer, same grouping; must agree exactly.
+    val naive = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")).as("sum_q"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("n_rows"), col("sum_q"),
+        (col("sum_q").cast("double") /
+          (col("n_rows") * lit(1000000L)).cast("double")).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+      .collect().toSeq
+    assert(viaAgg.nonEmpty && viaAgg == naive)
+    // Merge correctness: integer partial states make the result invariant
+    // to how rows are split across partitions (different merge trees).
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val dims = emb.select(size(col("embedding")).as("d")).first().getInt(0)
+    def run(parts: Int) = emb.repartition(parts)
+      .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.LabelCentroidAgg(dims).toColumn.name("state"))
+      .toDF("label", "state")
+      .select(col("label"), col("state.n"), col("state.sums"))
+      .orderBy(col("label"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("lang_id_confusion: every doc is classified exactly once") {
     val rows = TextAnalysisOps.langIdConfusion(spark, sf0001).collect()
     val total = rows.map(_.getLong(2)).sum
