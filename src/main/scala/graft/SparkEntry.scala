@@ -115,6 +115,9 @@ object SparkEntry {
     "cos_topk_ivf_kmeans" -> VectorOps.cosTopkIvfKmeans _,
     // rows-only: hyperplane draws are seeded-hash, not SQL-expressible
     "cos_topk_rplsh" -> VectorOps.cosTopkRplsh _,
+    // rows-only: PQ codebook training (farthest-first kernel) not
+    // SQL-expressible; recall vs exact pinned in PipelineOpsSpec
+    "cos_topk_pq" -> VectorOps.cosTopkPq _,
     "knn_label_vote" -> VectorOps.knnLabelVote _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.diversity.Gmm
 import graft.sources.Tables
 
 /** Similarity search over the embedding column (SURVEY.md §2.2 group V).
@@ -294,6 +295,115 @@ object VectorOps {
       .filter(col("vote_rank") === 1)
       .select(col("q_id"), col("t_label").cast("long").as("pred_label"), col("n_votes"))
       .orderBy(col("q_id"))
+  }
+
+  /** V+: PRODUCT-QUANTIZATION ANN (IVFADC family, asymmetric-distance
+    * variant) — the MEMORY-COMPRESSION member of the ANN suite: each
+    * target vector is encoded as m=8 one-byte codes (one 16-codeword
+    * codebook per 8-dim subspace), a 32× compression of the 64-float
+    * payload, and candidate scoring touches ONLY the codes. Per query the
+    * m×16 subspace dot products are precomputed into a flat LUT
+    * (broadcast with the query), so the approximate score is m array
+    * lookups per target — no floating-point vector math on the scan side.
+    * The top-32 by approximate score then exact-rescore via the codegen
+    * dot over the raw vectors (only 32 rows per query ever fetch the
+    * 256-byte payload — the asymmetric re-rank). Codebooks are trained
+    * with the deterministic farthest-first kernel ([[graft.diversity.Gmm]]
+    * — the diversity core again supplying the quantizer, as in
+    * [[cosTopkIvfKmeans]]) on a capped modulo-sample: PQ training is
+    * sample-based at ANY corpus size, so the collect is bounded derived
+    * state (≤ 4096 rows), never the corpus. Deterministic throughout
+    * (min-id seeds, low-index argmin ties, 6-dp re-rank) but the training
+    * kernel is not SQL-expressible — declared rows-only, recall-pinned vs
+    * [[cosTopk]] in PipelineOpsSpec.
+    */
+  def cosTopkPq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val dims = emb.select(size(col("embedding")).as("d")).first().getInt(0)
+    val m = 8
+    val sub = dims / m
+    val k = 16
+
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val train = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(4096)
+      .as[(Long, Array[Float])].collect()
+    // One codebook per subspace: farthest-first (k-center) over the
+    // sampled sub-vectors — deterministic per the Gmm protocol.
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      Gmm.selectBy(
+        train.toSeq.map { case (id, v) => (id, v.slice(j * sub, j * sub + sub)) }, k)(l2sq)
+        .map(_._2).toArray
+    }
+    val bBooks = spark.sparkContext.broadcast(books)
+
+    def encode(v: Array[Float]): Array[Int] = Array.tabulate(m) { j =>
+      val s = v.slice(j * sub, j * sub + sub)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val d = l2sq(s, bBooks.value(j)(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    def lut(q: Array[Float]): Array[Double] = {
+      val out = new Array[Double](m * k)
+      var j = 0
+      while (j < m) {
+        val s = q.slice(j * sub, j * sub + sub)
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var i = 0
+          while (i < sub) { dot += s(i).toDouble * bBooks.value(j)(c)(i).toDouble; i += 1 }
+          out(j * k + c) = dot
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+
+    val codes = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, encode(v)) }
+      .toDF("t_id", "codes")
+    val qLut = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, lut(v)) }
+      .toDF("q_id", "lut")
+
+    // ADC scan: approx = Σ_j lut[j·16 + codes[j]] — m array lookups per
+    // (target, query), on the 8-byte codes only. 12-dp rounding + id
+    // tie-break keep the candidate cut deterministic.
+    val wApprox = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("t_id"))
+    val cand = codes.join(broadcast(qLut), col("t_id") =!= col("q_id"))
+      .withColumn("approx",
+        round(expr(s"aggregate(sequence(0, ${m - 1}), 0D, (acc, j) -> acc + lut[j * $k + codes[j]])"), 12))
+      .withColumn("r", row_number().over(wApprox))
+      .filter(col("r") <= 32)
+      .select(col("q_id"), col("t_id"))
+
+    // Asymmetric re-rank: only the surviving candidates fetch raw vectors.
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))
+    cand
+      .join(emb.select(col("vec_id").as("t_id"), col("embedding").as("t_emb")), "t_id")
+      .join(broadcast(emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+      .withColumn("sim", round(expr("dot_f32(q_emb, t_emb)"), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("t_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** V+: MODALITY COVERAGE audit — per language, how many documents carry

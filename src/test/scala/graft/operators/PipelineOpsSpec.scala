@@ -111,6 +111,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.toDouble / a.length > 0.25, s"RP-LSH recall ${hits.toDouble / a.length}")
   }
 
+  test("cos_topk_pq: ADC re-rank recall beats the LSH floor, deterministic") {
+    val exact = VectorOps.cosTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val a = VectorOps.cosTopkPq(spark, sf0001).collect()
+    val b = VectorOps.cosTopkPq(spark, sf0001).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    assert(a.nonEmpty && a.length <= 250)
+    // 8 subspaces × 16 codewords reconstruct enough of the dot product
+    // that the exact re-rank of the ADC top-32 recovers well over the
+    // RP-LSH floor (codebooks are TRAINED, unlike the hyperplane draws);
+    // chance is ~5/500.
+    val hits = a.count(r => exact.contains((r.getLong(0), r.getLong(2))))
+    assert(hits.toDouble / a.length > 0.30, s"PQ recall ${hits.toDouble / a.length}")
+  }
+
   test("bpe_pair_stats: pairs match a lead()-window recount; counts bounded by token count") {
     import org.apache.spark.sql.expressions.Window
     // Independent recount on the engine side with the oracle's OWN plan
