@@ -22,6 +22,7 @@ object SparkEntry {
     // A/B: scans, projections, filters, sinks
     "scan_project_filter" -> Relational.scanProjectFilter _,
     "partitioned_events_purchases" -> EventOps.partitionedEventsPurchases _,
+    "compact_small_files" -> EventOps.compactSmallFiles _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
     "csv_roundtrip_events" -> EventOps.csvRoundtripEvents _,
@@ -283,6 +284,17 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // Compaction changes bytes-per-file, never answers: the oracle is the
+    // same exact-cents aggregate over the raw slice the fragments held.
+    "compact_small_files" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // Z-order layout: the staged clustering changes bytes READ, never the
     // answer — the oracle computes the identical middle-quarter box over

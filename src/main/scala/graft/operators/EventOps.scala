@@ -44,6 +44,55 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** A+/layout: SMALL-FILE COMPACTION — the maintenance operator every
+    * streaming sink and fine-partitioned lake table needs: a fragmented
+    * layout (here: the 5000-event slice deliberately staged as 64 tiny
+    * files — a realistic micro-batch sink residue) is rewritten into
+    * size-targeted files. The rewrite is a `coalesce` (NOT `repartition`):
+    * file merging must not pay a shuffle — each output task concatenates
+    * whole input files, so at 100 TB compaction is an embarrassingly
+    * parallel per-directory pass whose cost is one read+write of the
+    * fragment set, never an exchange (PlanAuditSpec pins the no-Exchange
+    * plan and the ≥8× file-count reduction). The output file count is
+    * sized from the MEASURED input bytes over a target file size (the
+    * production knob is 128 MiB–1 GiB; fixture-scaled here). Compaction
+    * changes bytes-per-file, never answers: the declared surface is an
+    * exact-cents aggregate over the COMPACTED files, oracled against the
+    * raw table.
+    */
+  def compactSmallFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = Materialize.stage(spark, s"compact_frag_$sfDir", sfDir) {
+      Tables.events(spark, sfDir)
+        .orderBy(col("event_id")).limit(5000)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+        .repartition(64)
+    }
+    val fragBytes = frag.inputFiles
+      .map(p => new java.io.File(new java.net.URI(p)).length()).sum
+    val targetBytes = 1L << 20 // fixture-scaled stand-in for the 128 MiB+ production target
+    val nOut = math.max(1, math.ceil(fragBytes.toDouble / targetBytes).toInt)
+    val compacted = Materialize.stage(spark, s"compact_out_$sfDir", sfDir) {
+      frag.coalesce(nOut)
+    }
+    compacted.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The staged fragment/compacted scans, re-derived for spec assertions
+    * (memoized — no recompute after [[compactSmallFiles]] has run).
+    */
+  private[graft] def compactionStages(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    compactSmallFiles(spark, sfDir)
+    (Materialize.stage(spark, s"compact_frag_$sfDir", sfDir)(sys.error("staged")),
+      Materialize.stage(spark, s"compact_out_$sfDir", sfDir)(sys.error("staged")))
+  }
+
   /** Morton/Z-order interleave of two 8-bit bucket columns into a 16-bit
     * code — built from shiftright/bitwiseAND/shiftleft so the whole
     * expression stays inside codegen. Bit i of x lands at position 2i,

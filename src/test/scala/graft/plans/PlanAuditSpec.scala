@@ -286,6 +286,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"per-order top-10 must push a group limit, not sort the vocabulary:\n$p")
   }
 
+  test("compact_small_files: >=8x file reduction via a shuffle-free rewrite") {
+    val (frag, compacted) = graft.operators.EventOps.compactionStages(spark, sf0001)
+    val before = frag.inputFiles.length
+    val after = compacted.inputFiles.length
+    assert(before >= 32, s"fragmented stage should be many small files, got $before")
+    assert(after * 8 <= before, s"compaction must merge >=8x: $before -> $after")
+    // identity: compaction changes layout only
+    assert(frag.count() == compacted.count())
+    // the rewrite plan must be Coalesce-only — a shuffle would make
+    // compaction a data-movement job instead of a file-merge pass
+    val rewrite = frag.coalesce(after).queryExecution.executedPlan.toString
+    assert(!rewrite.contains("Exchange"), s"compaction must not shuffle:\n$rewrite")
+  }
+
   test("fuzzy_name_match: blocking tokens are frequency-capped before the candidate join") {
     val df = graft.operators.TextAnalysisOps.fuzzyNameMatch(spark, sf0001)
     // The DF-cap filter must sit in the plan (worst-case block is then
