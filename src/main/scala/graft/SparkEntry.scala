@@ -23,6 +23,9 @@ object SparkEntry {
     "scan_project_filter" -> Relational.scanProjectFilter _,
     "partitioned_events_purchases" -> EventOps.partitionedEventsPurchases _,
     "compact_small_files" -> EventOps.compactSmallFiles _,
+    "dpp_events_join" -> EventOps.dppEventsJoin _,
+    "funnel_conversion" -> EventOps.funnelConversion _,
+    "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
     "csv_roundtrip_events" -> EventOps.csvRoundtripEvents _,
@@ -283,6 +286,40 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'purchase'
         |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // DPP changes partitions OPENED, never answers: the oracle inlines the
+    // dim's category rule over the raw table.
+    "dpp_events_join" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE event_type IN ('signup', 'purchase')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s AS (SELECT user_id, min(ts_us) AS s_ts FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (SELECT e.user_id, min(e.ts_us) AS v_ts FROM e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'view' AND e.ts_us > s.s_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS p_ts FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > v.v_ts GROUP BY e.user_id)
+        |SELECT '1_signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s
+        |UNION ALL SELECT '2_view_after_signup', CAST(count(*) AS BIGINT) FROM v
+        |UNION ALL SELECT '3_purchase_after_view', CAST(count(*) AS BIGINT) FROM p
+        |ORDER BY step""".stripMargin,
+
+    "stream_upsert_foreachbatch" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM e),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n FROM x)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events, ts_us AS last_ts_us,
+        |  event_id AS last_event_id, cents AS last_value_cents
+        |FROM r WHERE rk = 1
         |ORDER BY user_id""".stripMargin,
 
     // Compaction changes bytes-per-file, never answers: the oracle is the

@@ -354,6 +354,74 @@ object EventOps {
       .orderBy(col("ws_us"))
   }
 
+  /** A+: DYNAMIC PARTITION PRUNING — the runtime star-join optimization
+    * static pruning can't do: the fact side (events in the
+    * [[partitionedEventsPurchases]] Hive layout, partitioned by
+    * event_type) is joined to a FILE-BACKED dimension (event_type →
+    * category, staged to parquet precisely so the category filter is NOT
+    * constant-foldable), and the planner inserts a dynamic-pruning
+    * subquery: the dim filter's surviving keys are computed FIRST and the
+    * fact scan then opens only those partition directories —
+    * `dynamicpruningexpression` in the scan's PartitionFilters,
+    * PlanAuditSpec-pinned. At 100 TB this is the difference between
+    * scanning 2/5 of a date/type-partitioned fact table and all of it,
+    * decided at RUNTIME from dim data a static optimizer never sees. The
+    * answer is layout-independent (oracle inlines the category rule over
+    * the raw table).
+    */
+  def dppEventsJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val factPath = Materialize.partitionedPath(
+      spark, s"events_by_type_$sfDir", "event_type", sfDir) {
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    }
+    val dim = Materialize.stage(spark, s"event_type_dim_$sfDir", sfDir) {
+      Tables.events(spark, sfDir).select(col("event_type")).distinct()
+        .withColumn("category",
+          when(col("event_type").isin("signup", "purchase"), "conversion")
+            .otherwise("engagement"))
+    }
+    spark.read.parquet(factPath)
+      .join(dim.filter(col("category") === "conversion"), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** E+: ORDERED FUNNEL — the product-analytics sequence query: how many
+    * users complete signup → view → purchase IN ORDER, where each step's
+    * anchor is the FIRST qualifying event strictly after the previous
+    * step's anchor (first signup, first view after that signup, first
+    * purchase after that view). All anchors are exact integer µs minima,
+    * so the funnel is engine-portable with no rounding surface. Plan
+    * shape: one conditional aggregate per step, each keyed on user_id —
+    * the three step tables are per-user scalars (|users| rows), so the
+    * two step joins are broadcast-or-bucketed small joins and the events
+    * scan runs once per step WITH its event_type filter pushed to
+    * parquet. At 100 TB the same funnel runs on a type-partitioned layout
+    * ([[partitionedEventsPurchases]]) and each step scan touches only its
+    * partition.
+    */
+  def funnelConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_ts"))
+    val v = e.filter(col("event_type") === "view").as("e")
+      .join(s.as("s"), "user_id")
+      .filter(col("e.ts_us") > col("s.s_ts"))
+      .groupBy(col("user_id")).agg(min(col("e.ts_us")).as("v_ts"))
+    val p = e.filter(col("event_type") === "purchase").as("e")
+      .join(v.as("v"), "user_id")
+      .filter(col("e.ts_us") > col("v.v_ts"))
+      .groupBy(col("user_id")).agg(min(col("e.ts_us")).as("p_ts"))
+    val counts = Seq(
+      ("1_signup", s), ("2_view_after_signup", v), ("3_purchase_after_view", p))
+    counts.map { case (step, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(step).as("step"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy(col("step"))
+  }
+
   /** S: 30-minute-gap sessionization (batch form: lag → new-session flag →
     * running count = session id). Streaming form uses `session_window` —
     * see [[graft.streaming.StreamingQueries]]; state is O(open sessions).

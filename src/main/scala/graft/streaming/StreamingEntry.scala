@@ -378,6 +378,67 @@ object StreamingEntry {
       .orderBy(col("ws_us"), col("event_type"))
   }
 
+  /** DECLARED foreachBatch UPSERT sink — the production custom-sink API
+    * the format sinks can't express: each micro-batch MERGEs its per-user
+    * delta (event count + latest event by the exact (ts_us, event_id)
+    * struct order) into a standing keyed table. The merge is the
+    * [[graft.operators.Relational.mergeUpsertParts]] plan — full-outer on
+    * the key, state ADDITION for counts, struct-`greatest` for
+    * last-event — executed against the previous table VERSION and written
+    * as `v<batchId>` (copy-on-write, exactly the shape table-format MERGE
+    * executes): a retried batch rewrites ITS OWN version from the same
+    * unchanged predecessor, which is the batchId-idempotence contract
+    * that makes foreachBatch exactly-once. Scale posture: per batch the
+    * standing side is keyed on user_id and the delta is |batch keys|
+    * rows — bucketed co-location removes the standing side's exchange;
+    * the full rewrite is the format-less trade documented on
+    * `merge_upsert_parts`. The declared output is the FINAL table,
+    * oracled against a per-user window over the whole slice.
+    */
+  def streamUpsertForeachBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File("target/graft-stream-upsert").getAbsoluteFile
+    wipeDir(base)
+    base.mkdirs()
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    @volatile var current: Option[String] = None
+    withStatePartitions(spark, 4) {
+      val q = stream.toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val delta = batch
+            .select(col("user_id"),
+              struct(col("ts_us"), col("event_id"),
+                expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents")).as("ev"))
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"), max(col("ev")).as("last"))
+          val merged = current match {
+            case None => delta
+            case Some(prev) =>
+              batch.sparkSession.read.parquet(prev).as("c")
+                .join(delta.as("d"), Seq("user_id"), "full_outer")
+                .select(
+                  col("user_id"),
+                  (coalesce(col("c.n_events"), lit(0L)) +
+                    coalesce(col("d.n_events"), lit(0L))).as("n_events"),
+                  greatest(col("c.last"), col("d.last")).as("last"))
+          }
+          val out = new java.io.File(base, s"v$batchId").getPath
+          merged.write.mode("overwrite").parquet(out)
+          current = Some(out)
+        }
+        .start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+    spark.read.parquet(current.get)
+      .select(col("user_id"), col("n_events"),
+        col("last.ts_us").as("last_ts_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.cents").as("last_value_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** DECLARED stateful-coreset entry (reference operator R6 as a LIVE
     * streaming query): per-key doubling coresets maintained in
     * `flatMapGroupsWithState` state across three micro-batches of the

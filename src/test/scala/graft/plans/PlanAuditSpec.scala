@@ -286,6 +286,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"per-order top-10 must push a group limit, not sort the vocabulary:\n$p")
   }
 
+  test("dpp_events_join: fact scan carries a dynamic-pruning partition filter") {
+    val df = graft.operators.EventOps.dppEventsJoin(spark, sf0001)
+    df.collect() // DPP subquery is finalized at execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
+  }
+
   test("compact_small_files: >=8x file reduction via a shuffle-free rewrite") {
     val (frag, compacted) = graft.operators.EventOps.compactionStages(spark, sf0001)
     val before = frag.inputFiles.length
