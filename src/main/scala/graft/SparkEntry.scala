@@ -99,6 +99,7 @@ object SparkEntry {
     "stream_static_enrich" -> graft.streaming.StreamingEntry.streamStaticEnrich _,
     "stream_semi_join_events" -> graft.streaming.StreamingEntry.streamSemiJoinEvents _,
     "stream_full_outer_join_events" -> graft.streaming.StreamingEntry.streamFullOuterJoinEvents _,
+    "stream_update_counts" -> graft.streaming.StreamingEntry.streamUpdateCounts _,
     "stream_dedup_events" -> graft.streaming.StreamingEntry.streamDedupEvents _,
     "stream_append_finalized" -> graft.streaming.StreamingEntry.streamAppendFinalized _,
     "stream_vector_source" -> graft.streaming.StreamingEntry.streamVectorSource _,
@@ -1080,6 +1081,17 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY ws_us, event_type""".stripMargin,
+
+    // Update-mode emissions accumulate in the sink; max(n) per key == the
+    // final count because counts only grow — the oracle is the plain
+    // batch tumbling count over the slice.
+    "stream_update_counts" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
 

@@ -127,6 +127,41 @@ object StreamingEntry {
       .orderBy(col("ws_us"), col("event_type"))
   }
 
+  /** DECLARED UPDATE-mode entry — the third output mode, completing the
+    * triad ([[streamTumblingEvents]] runs COMPLETE,
+    * [[streamAppendFinalized]] APPEND): update mode re-emits ONLY the
+    * groups a micro-batch changed, so sink I/O per trigger is
+    * O(windows touched), not O(all state) (complete) and not delayed to
+    * watermark passage (append) — the mode for live dashboards over
+    * keyed sinks that can upsert. The memory sink accumulates every
+    * emission, so a window updated by 2 of the 3 batches appears 2×
+    * (asserted by the spec below count) — the declared surface takes the
+    * per-key MAX count, which equals the final accumulation because
+    * counts only grow; the oracle is the batch tumbling count over the
+    * slice. The update-vs-upsert contract at scale: the SINK must key on
+    * the group (Cassandra/JDBC upsert, [[streamUpsertForeachBatch]]'s
+    * versioned merge) — an append-only sink under update mode
+    * double-counts, which is exactly what the max-vs-sum distinction
+    * here makes visible.
+    */
+  def streamUpdateCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.tumblingStream(withTs(stream.toDF()))
+        .select(col("ws_us"), col("event_type"), col("n"))
+        .writeStream.format("memory").queryName("graft_stream_update")
+        .outputMode("update").start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+
+    spark.table("graft_stream_update")
+      .groupBy(col("ws_us"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("ws_us"), col("event_type"))
+  }
+
   /** DECLARED sliding-window entry: same three-micro-batch harness as
     * [[streamTumblingEvents]], but each event lands in 4 overlapping
     * 1-hour/15-minute windows — the state store carries ~4× the open

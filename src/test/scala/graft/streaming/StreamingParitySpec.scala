@@ -129,6 +129,24 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
       "no unmatched signup in the fixture — signup-side eviction untested")
   }
 
+  test("update mode: final per-key max == batch counts, and re-emissions actually happened") {
+    val entry = graft.streaming.StreamingEntry.streamUpdateCounts(spark, sf0001)
+      .collect().toSeq
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val batch = StreamingQueries.tumblingAgg(slice)
+      .select(col("ws_us"), col("event_type"), col("n"))
+      .orderBy(col("ws_us"), col("event_type")).collect().toSeq
+    assert(entry.nonEmpty && entry == batch)
+    // Update semantics must be visible: the raw sink holds MORE rows than
+    // keys (some window was updated by a later batch and re-emitted) —
+    // this is exactly why an append-only sink under update mode
+    // double-counts.
+    val raw = spark.table("graft_stream_update").count()
+    assert(raw > entry.size, s"expected re-emissions: sink=$raw keys=${entry.size}")
+  }
+
   test("stream-stream LEFT SEMI join: entry == batch EXISTS, one row per matched purchase") {
     import spark.implicits._
     val entry = graft.streaming.StreamingEntry.streamSemiJoinEvents(spark, sf0001)
