@@ -25,6 +25,9 @@ object SparkEntry {
     "compact_small_files" -> EventOps.compactSmallFiles _,
     "dpp_events_join" -> EventOps.dppEventsJoin _,
     "funnel_conversion" -> EventOps.funnelConversion _,
+    "fact_scd2_join" -> EventOps.factScd2Join _,
+    "dup_span_fraction" -> TextOps.dupSpanFraction _,
+    "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
@@ -310,6 +313,59 @@ object SparkEntry {
         |UNION ALL SELECT '2_view_after_signup', CAST(count(*) AS BIGINT) FROM v
         |UNION ALL SELECT '3_purchase_after_view', CAST(count(*) AS BIGINT) FROM p
         |ORDER BY step""".stripMargin,
+
+    "fact_scd2_join" ->
+      """WITH x AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),
+        |c AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM x),
+        |iv AS (SELECT user_id AS i_user, state, ts_us AS valid_from_us,
+        |    COALESCE(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), -1) AS valid_to_us
+        |  FROM c WHERE prev IS NULL OR prev <> state)
+        |SELECT iv.state, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT x.user_id) AS BIGINT) AS n_users
+        |FROM x JOIN iv ON x.user_id = iv.i_user
+        |  AND x.ts_us >= iv.valid_from_us
+        |  AND (iv.valid_to_us = -1 OR x.ts_us < iv.valid_to_us)
+        |GROUP BY iv.state
+        |ORDER BY iv.state""".stripMargin,
+
+    // Gram HASH on the engine side vs gram TEXT here: same counts modulo
+    // 64-bit collisions (the contamination_check convention).
+    "dup_span_fraction" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+        |    i -> array_to_string(t[i : i + 7], ' '))) AS gram FROM tok),
+        |dup AS (SELECT gram FROM (
+        |  SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_fraction
+        |FROM g LEFT JOIN dup d ON g.gram = d.gram
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Planted PII mirrored exactly; DuckDB regexp_replace needs 'g' to
+    // match Spark's replace-all default.
+    "pii_scrub_stats" ->
+      """WITH d AS (SELECT lang, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS aug
+        |  FROM documents),
+        |s AS (SELECT lang, aug,
+        |    len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS n_phones,
+        |    regexp_replace(regexp_replace(aug,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+        |  CAST(sum(len(aug) - len(clean)) AS BIGINT) AS chars_redacted
+        |FROM s
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "stream_upsert_foreachbatch" ->
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),

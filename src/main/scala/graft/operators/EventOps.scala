@@ -609,6 +609,41 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** D+: FACT-TO-SCD2 TEMPORAL JOIN — the warehouse query the
+    * [[scd2Users]] dimension exists for: each fact row joins the version
+    * of its key that was VALID AT the fact's event time
+    * (valid_from ≤ ts < valid_to, open interval = −1 sentinel). The join
+    * follows the engine's range-join discipline (`range_join_promo`): the
+    * EQUI key (user_id) carries the join — never a theta-only join — and
+    * the interval predicate is a residual filter on matched pairs;
+    * fan-out is bounded by versions-per-user (each fact matches exactly
+    * ONE version, asserted by the count reconciliation in the output).
+    * Scale posture: the interval table is |state changes| rows (≪ facts,
+    * broadcastable for most dimensions); co-partitioning facts and
+    * intervals on the key removes the exchange entirely. Output: per
+    * assigned state, fact count and matched-user count — integers only.
+    */
+  def factScd2Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val intervals = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("state"), col("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", coalesce(lead(col("ts_us"), 1).over(w), lit(-1L)))
+      .select(col("user_id").as("i_user"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"))
+      .join(intervals,
+        col("user_id") === col("i_user") &&
+          col("ts_us") >= col("valid_from_us") &&
+          (col("valid_to_us") === -1L || col("ts_us") < col("valid_to_us")))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("state"))
+  }
+
   /** D+/maintenance: INCREMENTAL aggregate refresh — the partial-state
     * merge that keeps a 100 TB rollup current without rescanning history.
     * The pre-split base partials `(user, count, sum)` are MATERIALIZED

@@ -345,6 +345,48 @@ object TextAnalysisOps {
       .orderBy(col("dist"), col("nm1"), col("nm2"))
   }
 
+  /** V+: PII SCRUB — the redaction pass a corpus runs before training:
+    * email and phone patterns replaced with typed placeholders, counted
+    * per language. The fixture text carries no PII, so the operator
+    * PLANTS it deterministically (an email on doc_id % 3 = 0, a phone on
+    * % 2 = 0 — mirrored in the oracle), making the redaction counts
+    * non-trivial and the scrubbed-length accounting exact. Patterns stay
+    * in the Java∩RE2 common dialect (no backreferences, no lookaround)
+    * so Spark and the oracle engine match identically; DuckDB needs the
+    * 'g' flag to match Spark's replace-all default. Scale posture: pure
+    * map-side codegen regexes over the scan — zero shuffle before the
+    * |langs|-row aggregate; the scrubbed text would stream straight to
+    * the sink in production (the declared surface is the audit table).
+    */
+  def piiScrubStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val aug = Tables.documents(spark, sfDir)
+      .withColumn("aug", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    aug
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum((length(col("aug")) - length(col("clean"))).cast("long")).as("chars_redacted"))
+      .orderBy(col("lang"))
+  }
+
   /** V+: CORPUS MIXTURE TABLE — the per-domain sampling plan a training run
     * consumes (the "epochs per domain" table of LLaMA-style data recipes):
     * per language, document and token mass, the domain's share of the

@@ -318,6 +318,40 @@ object TextOps {
       .orderBy(col("eval_doc"))
   }
 
+  /** V+: DUPLICATED-SPAN FRACTION — the within-corpus duplicated-text
+    * measurement (the Lee-et-al./Gopher "what fraction of this document is
+    * verbatim duplicated elsewhere" signal, which substring-dedup policies
+    * threshold on): a doc position is duplicated when its 8-gram also
+    * occurs in ANOTHER document. Distinct from [[contaminationCheck]]
+    * (train↔eval overlap) — this is corpus↔corpus, per position. Plan
+    * shape: one (doc, pos, 8-byte gram hash) table; the gram
+    * document-frequency aggregate partial-aggregates to |distinct grams|
+    * rows; positions left-join the df≥2 grams and count matches per doc.
+    * Every exchange carries 8-byte hashes, never gram text (the
+    * [[contaminationCheck]] discipline); the fraction is a class-2 raw
+    * quotient of exact counts.
+    */
+  def dupSpanFraction(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8), i -> array_join(slice(t, i + 1, 8), ' '))")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("g"), lit(1).as("hit"))
+    grams.join(dup, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double")).as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
   /** V+: INCREMENTAL exact dedup — the nightly-ingest pattern: a 20% slice
     * of docs (doc_id % 5 = 4) arrives as the "incoming" batch and is
     * deduplicated against the fingerprint CATALOG of the other 80%
