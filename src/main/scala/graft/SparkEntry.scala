@@ -26,6 +26,8 @@ object SparkEntry {
     "dpp_events_join" -> EventOps.dppEventsJoin _,
     "funnel_conversion" -> EventOps.funnelConversion _,
     "fact_scd2_join" -> EventOps.factScd2Join _,
+    "null_skew_join" -> EventOps.nullSkewJoin _,
+    "stable_row_ids" -> Relational.stableRowIds _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
@@ -313,6 +315,25 @@ object SparkEntry {
         |UNION ALL SELECT '2_view_after_signup', CAST(count(*) AS BIGINT) FROM v
         |UNION ALL SELECT '3_purchase_after_view', CAST(count(*) AS BIGINT) FROM p
         |ORDER BY step""".stripMargin,
+
+    // The split plan is definitionally equal to the plain left join —
+    // the oracle IS the plain left join.
+    "null_skew_join" ->
+      """WITH e AS (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS k,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events)
+        |SELECT COALESCE(c_nationkey, -1) AS nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM e LEFT JOIN customer ON e.k = customer.c_custkey
+        |GROUP BY 1
+        |ORDER BY nationkey""".stripMargin,
+
+    "stable_row_ids" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "fact_scd2_join" ->
       """WITH x AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),

@@ -388,6 +388,39 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** C+: NULL-SKEW-SAFE outer join — the enrichment-join hotspot fix: in
+    * a plain left join, every NULL-keyed fact row hashes to ONE partition
+    * (null is a single key value), so a fact table where 20% of rows have
+    * an unattributable key ships 20% of 100 TB to one reducer — the
+    * classic straggler no AQE skew split fixes well (it is one VALUE, not
+    * a heavy tail). Nulls can never match an equi join anyway, so the
+    * scale-safe plan SPLITS before joining: the null slice skips the join
+    * entirely (map-side, null-padded) and unions back with the joined
+    * non-null slice. Here the nullable key is realistic — error events
+    * carry no attributable user (`event_type = 'error' → NULL`). The
+    * result is definitionally identical to the plain left join, which is
+    * what the oracle checks; the split plan's join input simply never
+    * contains a null key.
+    */
+  def nullSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(
+        when(col("event_type") === "error", lit(null)).otherwise(col("user_id"))
+          .as("k"),
+        cents.as("c"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val joined = e.filter(col("k").isNotNull)
+      .join(dim, col("k") === col("c_custkey"), "left_outer")
+      .select(col("c_nationkey"), col("c"))
+    val nullSlice = e.filter(col("k").isNull)
+      .select(lit(null).cast("int").as("c_nationkey"), col("c"))
+    joined.unionAll(nullSlice)
+      .groupBy(coalesce(col("c_nationkey"), lit(-1)).as("nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"))
+      .orderBy(col("nationkey"))
+  }
+
   /** E+: ORDERED FUNNEL — the product-analytics sequence query: how many
     * users complete signup → view → purchase IN ORDER, where each step's
     * anchor is the FIRST qualifying event strictly after the previous

@@ -197,6 +197,32 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** A+: STABLE ROW IDS without the single-partition bottleneck — the
+    * distributed answer to `row_number() OVER (ORDER BY key)`: a global
+    * window has no PARTITION BY, so Spark plans ONE partition and a 100 TB
+    * numbering job serializes through a single task. The scale-safe plan
+    * is offset arithmetic: range-repartition + sort within partitions
+    * (partitions now hold contiguous, ordered key ranges), count each
+    * partition, cumulative-sum the counts into per-partition offsets (a
+    * p-row driver fold — bounded derived state), and add the offset to
+    * each row's within-partition index (`RDD.zipWithIndex`, which is
+    * exactly this count-then-offset pattern; the one genuinely
+    * imperative per-partition step, used as SURVEY §4.3 allows). The ids
+    * are identical to the window's — which is what the oracle checks —
+    * at O(p) driver cost instead of a one-task sort of everything.
+    */
+  def stableRowIds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .rdd.map(_.getLong(0))
+      .zipWithIndex()
+      .map { case (id, idx) => (id, idx + 1L) }
+    ids.toDF("doc_id", "row_id").orderBy(col("doc_id"))
+  }
+
   /** Force the co-bucketed table writes behind [[bucketedJoinOrders]]
     * (memoized per session + fixture content). Bench times this as its own
     * `stage_bucketed` line — the one-time layout job a production table

@@ -286,6 +286,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"per-order top-10 must push a group limit, not sort the vocabulary:\n$p")
   }
 
+  test("null_skew_join: null keys bypass the join; no Window in stable_row_ids") {
+    val p = plan(graft.operators.EventOps.nullSkewJoin(spark, sf0001))
+    // the join subtree must see only non-null keys (the explicit split),
+    // and the null slice must come back via a Union, not the join
+    assert(p.contains("Union"), s"expected the null-slice union:\n$p")
+    // Catalyst pushes the isNotNull(k) split filter through the CASE
+    // projection down to the scan, so the join's fact side reads
+    // `... ELSE isnotnull(user_id) END` and the null slice the isnull dual.
+    assert(p.toLowerCase.contains("else isnotnull(user_id"),
+      s"expected the pushed-down non-null split filter under the join:\n$p")
+    assert(p.toLowerCase.contains("isnull(user_id"),
+      s"expected the null-slice scan filter:\n$p")
+    // stable_row_ids must NOT plan a global (single-partition) window
+    val p2 = plan(graft.operators.Relational.stableRowIds(spark, sf0001))
+    assert(!p2.contains("Window"),
+      s"global row numbering must avoid the one-partition window:\n$p2")
+  }
+
   test("dpp_events_join: fact scan carries a dynamic-pruning partition filter") {
     val df = graft.operators.EventOps.dppEventsJoin(spark, sf0001)
     df.collect() // DPP subquery is finalized at execution
