@@ -26,6 +26,9 @@ object SparkEntry {
     "dpp_events_join" -> EventOps.dppEventsJoin _,
     "funnel_conversion" -> EventOps.funnelConversion _,
     "fact_scd2_join" -> EventOps.factScd2Join _,
+    "group_topk_agg" -> EventOps.groupTopkAgg _,
+    "snapshot_diff" -> EventOps.snapshotDiff _,
+    "interval_coverage" -> EventOps.intervalCoverage _,
     "null_skew_join" -> EventOps.nullSkewJoin _,
     "stable_row_ids" -> Relational.stableRowIds _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
@@ -387,6 +390,53 @@ object SparkEntry {
         |FROM s
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // Oracle = the rank-limit window form; the engine runs the mergeable
+    // TopKAgg and must produce identical rows.
+    "group_topk_agg" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rnk, event_id, value_cents
+        |FROM r WHERE rn <= 5
+        |ORDER BY event_type, rnk""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS old_n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS old_cents
+        |  FROM events, mx
+        |  WHERE epoch_us(ts) >= m - 14 * 86400000000 AND epoch_us(ts) < m - 7 * 86400000000
+        |  GROUP BY 1),
+        |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS new_n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS new_cents
+        |  FROM events, mx
+        |  WHERE epoch_us(ts) >= m - 7 * 86400000000 AND epoch_us(ts) <= m
+        |  GROUP BY 1)
+        |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |  CASE WHEN a.user_id IS NULL THEN 'insert'
+        |       WHEN b.user_id IS NULL THEN 'delete'
+        |       WHEN a.old_n = b.new_n AND a.old_cents = b.new_cents THEN 'unchanged'
+        |       ELSE 'update' END AS action,
+        |  old_n, old_cents, new_n, new_cents
+        |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "interval_coverage" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS f, event_id FROM events),
+        |w AS (SELECT *, max(f) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM e),
+        |fl AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS isnew FROM w),
+        |isl AS (SELECT *, sum(isnew) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM fl),
+        |g AS (SELECT user_id, island, min(s) AS st, max(f) AS fin FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(fin - st) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1
+        |ORDER BY user_id""".stripMargin,
 
     "stream_upsert_foreachbatch" ->
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),

@@ -710,4 +710,100 @@ object EventOps {
         col("sum_cents").cast("double") / col("n_events").cast("double"))
       .orderBy(col("user_id"))
   }
+
+  /** D+: MERGEABLE TOP-K — per-type top-5 events by (cents desc, id asc)
+    * through [[graft.functions.TopKAgg]], the bounded-state alternative to
+    * the rank-limit window. Spark's WindowGroupLimit already prunes the
+    * WINDOW form map-side (see `win_topk_parts`), so the Aggregator's real
+    * edge is that its partial state is a mergeable VALUE: selection top-k
+    * under a static total order satisfies top-k(X∪Y) = top-k(top-k(X) ∪
+    * top-k(Y)), so per-day states stored as columns re-merge into weekly /
+    * monthly rankings without re-reading rows — `agg_incremental_users`
+    * for rankings. Exchange carries ≤ k (8+8)-byte pairs per (type ×
+    * partition) at any fact volume. Oracle = the window form.
+    */
+  def groupTopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAgg(5)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), cents.as("c"), col("event_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("state"))
+      .toDF("event_type", "state")
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("state.cs"), col("state.ids"))))
+      .select(
+        col("event_type"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.ids").as("event_id"),
+        col("col.cs").as("value_cents"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  /** W+: SNAPSHOT DIFF — the changeset derivation that feeds CDC/MERGE:
+    * given two per-user state snapshots (activity windows [T−14d, T−7d)
+    * and [T−7d, T]), classify every user as insert / delete / update /
+    * unchanged via ONE full-outer join on the key. This is the inverse of
+    * `merge_upsert_parts` (which APPLIES a changeset): production
+    * incremental pipelines diff yesterday's materialization against
+    * today's source exactly like this. Scale: both snapshots partial-
+    * aggregate map-side to |users| rows before the join — the fact table
+    * is scanned, never shuffled; the join key is the user id, and T is a
+    * 1-row scalar bound (bounded derived state, the GraphOps convention).
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("user_id"), col("ts_us"), cents.as("c"))
+    val tmax = e.agg(max(col("ts_us"))).first().getLong(0)
+    val day = 86400000000L
+    def snap(lo: Long, hi: Long, n: String, s: String) =
+      e.filter(col("ts_us") >= lit(lo) && col("ts_us") < lit(hi))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as(n), sum(col("c")).as(s))
+    val a = snap(tmax - 14 * day, tmax - 7 * day, "old_n", "old_cents")
+    val b = snap(tmax - 7 * day, tmax + 1L, "new_n", "new_cents")
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        when(col("old_n").isNull, lit("insert"))
+          .when(col("new_n").isNull, lit("delete"))
+          .when(col("old_n") === col("new_n") && col("old_cents") === col("new_cents"),
+            lit("unchanged"))
+          .otherwise(lit("update")).as("action"),
+        col("old_n"), col("old_cents"), col("new_n"), col("new_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** E+: INTERVAL UNION — total covered time per user when every event
+    * opens a 30-minute activity window: the classic merge-overlapping-
+    * intervals problem, solved WITHOUT a self-join. Per user (the
+    * parallelism axis): sort by start, running max of prior ends, a new
+    * "island" starts where start > that max, prefix-sum the flags into
+    * island ids, then one aggregate per island and one per user. All four
+    * windows + both aggregates share the user_id partitioning, so the
+    * whole query is ONE exchange; arithmetic is integer µs throughout —
+    * exact on both engines. The self-join formulation this replaces is
+    * O(events-per-user²) and unshippable at 100 TB.
+    */
+  def intervalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val win = 1800000000L // 30 min in µs
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us").as("s"),
+        (col("ts_us") + lit(win)).as("f"), col("event_id"))
+      .withColumn("pmax",
+        max(col("f")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isnew",
+        when(col("pmax").isNull || col("s") > col("pmax"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("island",
+        sum(col("isnew")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("st"), max(col("f")).as("fin"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("fin") - col("st")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
 }
