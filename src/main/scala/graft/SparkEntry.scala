@@ -31,6 +31,8 @@ object SparkEntry {
     "interval_coverage" -> EventOps.intervalCoverage _,
     "null_skew_join" -> EventOps.nullSkewJoin _,
     "stable_row_ids" -> Relational.stableRowIds _,
+    "equi_depth_buckets" -> Relational.equiDepthBuckets _,
+    "token_cooccurrence" -> TextOps.tokenCooccurrence _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
@@ -337,6 +339,34 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_id
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Ties at a bucket boundary carry equal l_quantity, so the per-bucket
+    // aggregate is invariant to which side the engines put them on.
+    "equi_depth_buckets" ->
+      """WITH r AS (SELECT l_quantity,
+        |    ntile(4) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS b
+        |  FROM lineitem)
+        |SELECT CAST(b AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM r GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // Same whitespace tokenization as text_tokens; DF band [2, 80% of
+    // docs] on both sides; pairs are ordered (t1 < t2) over per-doc
+    // DISTINCT tokens.
+    "token_cooccurrence" ->
+      """WITH tk0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, tok FROM tk0 WHERE length(tok) > 0),
+        |df AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+        |kept AS (SELECT t.doc_id, t.tok FROM tk t JOIN df USING (tok)
+        |  WHERE df.df >= 2
+        |    AND df.df <= floor(0.8 * (SELECT count(*) FROM documents))),
+        |p AS (SELECT a.tok AS t1, b.tok AS t2
+        |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok)
+        |SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, t1, t2
+        |LIMIT 100""".stripMargin,
 
     "fact_scd2_join" ->
       """WITH x AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),

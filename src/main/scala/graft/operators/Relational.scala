@@ -223,6 +223,44 @@ object Relational {
     ids.toDF("doc_id", "row_id").orderBy(col("doc_id"))
   }
 
+  /** A+: EQUI-DEPTH BUCKETS — distributed `ntile(4)`: the global quantile
+    * binning a histogram/binning job needs, without the one-partition
+    * window `ntile` plans. Same machinery as [[stableRowIds]] (range
+    * repartition → in-partition sort → `zipWithIndex`), then each row's
+    * bucket comes from SQL ntile's exact arithmetic: with n rows and B
+    * buckets, the first n mod B buckets take ⌈n/B⌉ rows. The per-bucket
+    * aggregate (count, min, max) is the equi-depth histogram: bucket
+    * boundaries are exact order statistics at any scale, not sketch
+    * estimates (contrast `value_quantiles_sketch`, the approximate
+    * single-pass form). Tied sort keys may land either side of a bucket
+    * boundary in either engine, but ties have EQUAL l_quantity by
+    * construction, so the per-bucket min/max/count are invariant.
+    */
+  def equiDepthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = 4
+    // n up front from the parquet footers (metadata-only count) — cheaper
+    // than counting after the shuffle, and the ntile arithmetic needs it
+    // before assignment anyway.
+    val n = Tables.lineitem(spark, sfDir).count()
+    val q = n / b; val r = n % b
+    val sorted = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .repartitionByRange(8, col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .rdd.map(_.getDouble(0))
+      .zipWithIndex()
+    sorted
+      .map { case (qty, rid) =>
+        val bucket = if (rid < (q + 1) * r) rid / (q + 1) else (rid - r) / q
+        (bucket + 1L, qty)
+      }
+      .toDF("bucket", "qty")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"))
+      .orderBy(col("bucket"))
+  }
+
   /** Force the co-bucketed table writes behind [[bucketedJoinOrders]]
     * (memoized per session + fixture content). Bench times this as its own
     * `stage_bucketed` line — the one-time layout job a production table

@@ -817,4 +817,51 @@ object TextOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"))
   }
+
+  /** V+: TOKEN CO-OCCURRENCE — the sparse AᵀA counting job behind PMI
+    * tables, word-vector corpora and topic features: for every token pair
+    * sharing a document, in how many documents do they co-occur. Why this
+    * is NOT an n²-in-vocabulary job: pairs are generated PER DOCUMENT, so
+    * the emitted volume is Σ(distinct tokens per doc)² — linear in corpus
+    * size for bounded doc length, at any vocabulary. The levers that keep
+    * the rest bounded:
+    *  - **DF banding before pairing**: tokens in ≥2 docs (singletons can
+    *    never reach the co-occurrence floor) and ≤80% of docs (the
+    *    stopword cut — ubiquitous tokens pair with everything in every
+    *    doc, multiplying emitted pairs and the pair table by |vocab| for
+    *    zero signal). The bounds are DF-relative, so the same query is
+    *    meaningful at every corpus size.
+    *  - **Map-side pair generation**: per-doc kept tokens collapse to ONE
+    *    sorted array (a single (doc,tok) exchange), then ordered pairs
+    *    are emitted by a positional transform over that array — no
+    *    self-join of the token table, and partial aggregation collapses
+    *    pair counts before the final exchange. The pair-table cardinality
+    *    (the real memory axis) is pruned by the count floor; a web-scale
+    *    pair vocabulary would add the `heavy_hitters_tokens` Misra-Gries
+    *    pass in front.
+    * Output: pairs co-occurring in ≥2 docs, top-100 under a total order.
+    */
+  def tokenCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    val nDocs = Tables.documents(spark, sfDir).count() // metadata-only
+    val tk = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val df = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= floor(lit(0.8) * lit(nDocs)).cast("long"))
+    val kept = tk.join(df, "tok")
+    val docToks = kept.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+    docToks
+      .select(explode(expr(
+        "flatten(transform(ts, (x, i) -> " +
+          "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS t1, y AS t2))))"))
+        .as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("t1"), col("t2"))
+      .limit(100)
+  }
 }

@@ -304,6 +304,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"global row numbering must avoid the one-partition window:\n$p2")
   }
 
+  test("token_cooccurrence: pairs generated map-side, not via a doc_id self-join") {
+    val p = plan(graft.operators.TextOps.tokenCooccurrence(spark, sf0001))
+    // exactly one join (the tok-keyed DF band); a doc_id self-join of the
+    // token table would add a second
+    val joins = "(?i)(broadcasthashjoin|sortmergejoin|shuffledhashjoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"expected ONE join (the DF band), got $joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // pair emission is an explode (Generate) over the per-doc array
+    assert(p.contains("Generate"), s"expected map-side pair explode:\n$p")
+  }
+
+  test("equi_depth_buckets: no global-window ntile; one range exchange") {
+    val p = plan(graft.operators.Relational.equiDepthBuckets(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"distributed ntile must avoid the one-partition window:\n$p")
+  }
+
   test("dpp_events_join: fact scan carries a dynamic-pruning partition filter") {
     val df = graft.operators.EventOps.dppEventsJoin(spark, sf0001)
     df.collect() // DPP subquery is finalized at execution
