@@ -33,6 +33,7 @@ object SparkEntry {
     "stable_row_ids" -> Relational.stableRowIds _,
     "equi_depth_buckets" -> Relational.equiDepthBuckets _,
     "token_cooccurrence" -> TextOps.tokenCooccurrence _,
+    "weighted_sample_strata" -> TextOps.weightedSampleStrata _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
@@ -398,6 +399,20 @@ object SparkEntry {
         |FROM g LEFT JOIN dup d ON g.gram = d.gram
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Deterministic πps sample: u is pure integer arithmetic, the
+    // priority one exact-integer IEEE division — no rand(), no libm.
+    "weighted_sample_strata" ->
+      """WITH w AS (SELECT lang, doc_id, n_chars,
+        |    CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
+        |      / CAST(n_chars AS DOUBLE) AS priority
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rk
+        |  FROM w)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+        |FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
 
     // Planted PII mirrored exactly; DuckDB regexp_replace needs 'g' to
     // match Spark's replace-all default.

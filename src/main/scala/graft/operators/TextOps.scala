@@ -864,4 +864,32 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("t1"), col("t2"))
       .limit(100)
   }
+
+  /** V+: WEIGHTED STRATIFIED SAMPLE — per-language bottom-20 by priority
+    * u/w: Ohlsson's sequential Poisson (πps) sampling, the standard
+    * "sample documents proportional to length" corpus subsampler, done
+    * with NO random() and NO libm. u is a deterministic integer PRN
+    * (Knuth multiplicative hash mod a prime — pure 64-bit arithmetic,
+    * bit-identical on every engine; `rand()` would be engine-seeded and
+    * un-oracleable), w is the doc length; the priority is one IEEE
+    * division of two exact integers (COVERAGE.md class 2 — `pow(u, 1/w)`
+    * and `-ln(u)/w`, the textbook keys, are banned libm surfaces).
+    * Bottom-k per stratum is a rank-limit window: WindowGroupLimit prunes
+    * it map-side, so each partition ships ≤ k rows per stratum — the
+    * deterministic, re-runnable sample a training pipeline can cite by
+    * seed. Inclusion probability ≈ k·w/Σw within each stratum.
+    */
+  def weightedSampleStrata(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = (col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1L)
+    val pr = u.cast("double") / col("n_chars").cast("double")
+    val byPriority = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("priority"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars"), pr.as("priority"))
+      .withColumn("rk", row_number().over(byPriority))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
 }
