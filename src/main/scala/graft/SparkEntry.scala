@@ -37,6 +37,7 @@ object SparkEntry {
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
+    "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
     "csv_roundtrip_events" -> EventOps.csvRoundtripEvents _,
@@ -399,6 +400,18 @@ object SparkEntry {
         |FROM g LEFT JOIN dup d ON g.gram = d.gram
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Continuous top-k == the batch rank-limit window over the slice.
+    "stream_topk_tws" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |r AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC, event_id) AS rn
+        |  FROM e)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rnk, event_id, value_cents
+        |FROM r WHERE rn <= 5
+        |ORDER BY event_type, rnk""".stripMargin,
 
     // Deterministic πps sample: u is pure integer arithmetic, the
     // priority one exact-integer IEEE division — no rand(), no libm.

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, ValueState}
 import graft.sources.Tables
 
 /** Row shape fed through the driver-visible streaming entry. */
@@ -797,5 +797,78 @@ object StreamingEntry {
     spark.table("graft_stream_enrich")
       .select(col("nationkey"), col("n"), col("sum_cents"))
       .orderBy(col("nationkey"))
+  }
+
+  /** Continuous top-k output row. */
+  case class TopOut(
+      event_type: String, rnk: Long, event_id: Long, value_cents: Long, consumed: Long)
+
+  /** `transformWithState` processor carrying [[graft.functions.TopKState]]
+    * as its per-key state: the batch Aggregator's reduce IS the streaming
+    * update — one state representation serving both engines, which is the
+    * point of making top-k state mergeable (COVERAGE.md +116). State is
+    * O(k) per key forever; each batch re-emits the current ranking with a
+    * consumed counter so the final answer is selectable (update mode).
+    */
+  class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, TopOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var top: ValueState[graft.functions.TopKState] = _
+    @transient private var seen: ValueState[Long] = _
+    private val agg = new graft.functions.TopKAgg(k)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getValueState[graft.functions.TopKState](
+        "topk", E.product[graft.functions.TopKState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TopOut] = {
+      var st = if (top.exists()) top.get() else agg.zero
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { e =>
+        st = agg.reduce(st, (math.floor(e.value * 100 + 0.5).toLong, e.event_id))
+        n += 1
+      }
+      top.update(st); seen.update(n)
+      st.cs.indices.iterator.map(i =>
+        TopOut(key, i + 1L, st.ids(i), st.cs(i), n))
+    }
+  }
+
+  /** DECLARED continuous top-k entry: per-type top-5 by (cents desc, id
+    * asc) maintained across micro-batches on `transformWithState` — the
+    * streaming carrier of the SAME mergeable state `group_topk_agg`
+    * aggregates in batch (TopKAggSpec pins reduce/merge equivalence, so
+    * batch and stream provably converge on identical rankings). Oracle =
+    * the batch rank-limit window over the slice.
+    */
+  def streamTopkTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = stream.toDS()
+          .groupByKey(_.event_type)
+          .transformWithState(new TopKProcessor(5), TimeMode.None(), OutputMode.Update())
+          .writeStream.format("memory").queryName("graft_stream_topk")
+          .outputMode("update").start()
+        try feedChunks(stream, q, slice) finally q.stop()
+      }
+    }
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    spark.table("graft_stream_topk")
+      .withColumn("max_c", max(col("consumed")).over(w))
+      .filter(col("consumed") === col("max_c"))
+      .select(col("event_type"), col("rnk"), col("event_id"), col("value_cents"))
+      .orderBy(col("event_type"), col("rnk"))
   }
 }
