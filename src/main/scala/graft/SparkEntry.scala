@@ -32,6 +32,7 @@ object SparkEntry {
     "null_skew_join" -> EventOps.nullSkewJoin _,
     "stable_row_ids" -> Relational.stableRowIds _,
     "equi_depth_buckets" -> Relational.equiDepthBuckets _,
+    "dq_constraint_report" -> Relational.dqConstraintReport _,
     "token_cooccurrence" -> TextOps.tokenCooccurrence _,
     "weighted_sample_strata" -> TextOps.weightedSampleStrata _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
@@ -400,6 +401,28 @@ object SparkEntry {
         |FROM g LEFT JOIN dup d ON g.gram = d.gram
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "dq_constraint_report" ->
+      """SELECT 'discount_policy_le_007' AS check_name,
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked,
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_discount > 0.07) AS BIGINT) AS n_violations
+        |UNION ALL SELECT 'events_user_fk_customer',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) FROM events e WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |UNION ALL SELECT 'lineitem_fk_orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL SELECT 'orders_has_lineitems',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |UNION ALL SELECT 'ship_on_or_after_order',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate < o.o_orderdate)
+        |ORDER BY check_name""".stripMargin,
 
     // Continuous top-k == the batch rank-limit window over the slice.
     "stream_topk_tws" ->

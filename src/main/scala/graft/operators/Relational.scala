@@ -886,4 +886,49 @@ object Relational {
         min(col("k")).as("min_key"), max(col("k")).as("max_key"))
       .orderBy(col("action"))
   }
+
+  /** W+: DATA-QUALITY CONSTRAINT REPORT — the validation pass every
+    * ingestion pipeline runs before publishing a table: declarative
+    * checks, each reduced to (n_checked, n_violations). Three check
+    * families, each with its scale shape:
+    *  - **row predicates** (discount policy) — pure scan-aggregates, the
+    *    predicate evaluates map-side, the exchange carries one row;
+    *  - **referential integrity** (two FK checks + a childless-parent
+    *    check) — LEFT ANTI joins on the key: at 100 TB this is the
+    *    standard "orphan scan", shuffling only keys, broadcast when the
+    *    parent side is a dimension;
+    *  - **cross-table invariants** (ship date ≥ order date) — rides the
+    *    FK equi join; the violation predicate is residual.
+    * Passing checks report 0 — a DQ report asserts presence of checks,
+    * not presence of violations; the three non-zero rows here prove the
+    * counting path against the oracle.
+    */
+  def dqConstraintReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+
+    def report(name: String, checked: DataFrame, violations: DataFrame): DataFrame =
+      checked.agg(count(lit(1)).as("n_checked")).crossJoin(
+        violations.agg(count(lit(1)).as("n_violations")))
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+
+    val discount = report("discount_policy_le_007",
+      li, li.filter(col("l_discount") > 0.07))
+    val evFk = report("events_user_fk_customer",
+      ev, ev.join(cust, col("user_id") === col("c_custkey"), "left_anti"))
+    val liFk = report("lineitem_fk_orders",
+      li, li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+    val childless = report("orders_has_lineitems",
+      ord, ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti"))
+    val shipAfter = report("ship_on_or_after_order",
+      li,
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate")))
+
+    discount.unionByName(evFk).unionByName(liFk)
+      .unionByName(childless).unionByName(shipAfter)
+      .orderBy(col("check_name"))
+  }
 }
