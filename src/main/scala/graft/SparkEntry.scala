@@ -33,6 +33,7 @@ object SparkEntry {
     "stable_row_ids" -> Relational.stableRowIds _,
     "equi_depth_buckets" -> Relational.equiDepthBuckets _,
     "dq_constraint_report" -> Relational.dqConstraintReport _,
+    "atomic_sink_roundtrip" -> EventOps.atomicSinkRoundtrip _,
     "token_cooccurrence" -> TextOps.tokenCooccurrence _,
     "weighted_sample_strata" -> TextOps.weightedSampleStrata _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
@@ -423,6 +424,14 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem l JOIN orders o
         |    ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate < o.o_orderdate)
         |ORDER BY check_name""".stripMargin,
+
+    // Round-trip through the DSv2 atomic sink must deliver exactly the
+    // source rows — the oracle reads the SOURCE, the engine the sink.
+    "atomic_sink_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events""".stripMargin,
 
     // Continuous top-k == the batch rank-limit window over the slice.
     "stream_topk_tws" ->

@@ -775,6 +775,33 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** H+: ATOMIC SINK ROUND-TRIP — events written through the
+    * [[graft.sources.AtomicDirSink]] DSv2 batch sink (task-private
+    * staging, driver-side publish, manifest-last atomic commit), then
+    * read back via the MANIFEST ONLY and aggregated. The oracle compares
+    * against the source table directly, so a protocol bug anywhere —
+    * a lost commit message, a double-published retry, a torn manifest —
+    * shows up as a row/sum mismatch. repartition(4) pins the writer
+    * fan-out so the exercise covers multi-task commit.
+    */
+  def atomicSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_sink").toString
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), cents.as("c"))
+      .repartition(4)
+      .write.format("graft-atomic-dir").option("path", dir)
+      .mode("append").save()
+    val files = graft.sources.AtomicDirSink.manifest(dir).map { case (n, _) => s"$dir/$n" }
+    spark.read
+      .schema("event_id LONG, c LONG")
+      .csv(files: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
   /** E+: INTERVAL UNION — total covered time per user when every event
     * opens a 30-minute activity window: the classic merge-overlapping-
     * intervals problem, solved WITHOUT a self-join. Per user (the

@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 BATCH SINK with a real two-phase commit — the write-side
+  * counterpart of [[VectorSource]], completing the connector surface
+  * (read, micro-batch read, and now transactional write). The protocol is
+  * the part production sinks get wrong, so it is the part this models
+  * precisely:
+  *  - every task writes to a PRIVATE staging file named by (partition,
+  *    task attempt) — concurrent attempts of the same partition never
+  *    collide;
+  *  - `DataWriter.commit` hands the driver a [[StagedFile]] message; only
+  *    the driver's `BatchWrite.commit` PUBLISHES, moving each staged file
+  *    to its partition-named final file (`ATOMIC_MOVE`) — a retried task's
+  *    loser attempt is never visible because only the winning attempt's
+  *    message reaches commit;
+  *  - readers trust ONLY the `_MANIFEST` (itself staged + atomically
+  *    moved, written LAST): a crash between file moves and manifest
+  *    publish leaves a readable-by-nobody directory, never a torn table;
+  *  - `abort` deletes staged files — failed jobs leave no partial output.
+  * Rows are CSV of primitive columns (the payload is deliberately simple;
+  * the protocol is the point). At 100 TB the same protocol carries any
+  * file format — this is exactly the commit dance FileOutputCommitter v1
+  * / Iceberg-style manifest commits perform.
+  */
+class AtomicDirSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-atomic-dir"
+  // Write-only source: the schema always comes from the query via getTable
+  // (supportsExternalMetadata is what makes Spark pass it through).
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = new StructType()
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      props: java.util.Map[String, String]): Table =
+    new AtomicDirTable(schema, props.get("path"))
+}
+
+object AtomicDirSink {
+  val ManifestName = "_MANIFEST"
+
+  /** Committed file names (with row counts) from the manifest — the ONLY
+    * sanctioned way to enumerate the table's files.
+    */
+  def manifest(dir: String): Seq[(String, Long)] = {
+    val p = Paths.get(dir, ManifestName)
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(name, n) = line.split(",", 2)
+        (name, n.toLong)
+      }
+  }
+}
+
+class AtomicDirTable(schema0: StructType, path: String) extends Table with SupportsWrite {
+  require(path != null, "graft-atomic-dir requires option 'path'")
+  override def name(): String = s"graft-atomic-dir($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new AtomicDirBatchWrite(info.schema(), path, doTruncate)
+      }
+    }
+}
+
+/** Commit message: the staged file a task attempt wrote, and its rows. */
+case class StagedFile(stagedPath: String, partitionId: Int, rows: Long)
+    extends WriterCommitMessage
+
+class AtomicDirBatchWrite(schema: StructType, dir: String, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AtomicDirWriterFactory(schema, dir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    if (truncate) {
+      Files.list(d).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") ||
+          p.getFileName.toString == AtomicDirSink.ManifestName)
+        .foreach(Files.delete)
+    }
+    val published = messages.toSeq.map { case StagedFile(staged, pid, rows) =>
+      val name = f"part-$pid%05d.csv"
+      Files.move(Paths.get(staged), d.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      (name, rows)
+    }
+    // Manifest LAST, itself staged-then-moved: publish is atomic.
+    val tmp = d.resolve(s".${AtomicDirSink.ManifestName}.tmp")
+    Files.write(tmp,
+      published.sortBy(_._1).map { case (n, r) => s"$n,$r" }.asJava,
+      StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, d.resolve(AtomicDirSink.ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedFile(staged, _, _) => Files.deleteIfExists(Paths.get(staged))
+      case _                        => ()
+    }
+}
+
+class AtomicDirWriterFactory(schema: StructType, dir: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val staging = {
+        val s = Paths.get(dir, ".staging")
+        Files.createDirectories(s)
+        s.resolve(s"attempt-$partitionId-$taskId.csv")
+      }
+      private val out = Files.newBufferedWriter(staging, StandardCharsets.UTF_8,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      private var n = 0L
+
+      private val getters: Array[InternalRow => String] =
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          f.dataType match {
+            case LongType    => (r: InternalRow) => if (r.isNullAt(i)) "" else r.getLong(i).toString
+            case IntegerType => (r: InternalRow) => if (r.isNullAt(i)) "" else r.getInt(i).toString
+            case DoubleType  => (r: InternalRow) => if (r.isNullAt(i)) "" else r.getDouble(i).toString
+            case StringType  => (r: InternalRow) => if (r.isNullAt(i)) "" else r.getUTF8String(i).toString
+            case other => throw new IllegalArgumentException(
+              s"graft-atomic-dir supports primitive columns only, got $other")
+          }
+        }
+
+      override def write(row: InternalRow): Unit = {
+        out.write(getters.map(_(row)).mkString(","))
+        out.write("\n")
+        n += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        StagedFile(staging.toString, partitionId, n)
+      }
+
+      override def abort(): Unit = {
+        out.close()
+        Files.deleteIfExists(staging)
+      }
+
+      override def close(): Unit = ()
+    }
+}

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol-level tests of the DSv2 atomic sink, driving the write API
+  * directly (no Spark job) so the failure paths a job can't cheaply
+  * simulate — aborted attempts, speculative duplicates, torn jobs — are
+  * pinned one by one.
+  */
+class AtomicDirSinkSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("s", StringType)))
+
+  private def row(id: Long, s: String): InternalRow =
+    InternalRow(id, org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_sink_spec").toString
+
+  private def batchWrite(dir: String, truncate: Boolean = false) =
+    new AtomicDirBatchWrite(schema, dir, truncate)
+
+  private def factory(dir: String) =
+    new AtomicDirWriterFactory(schema, dir)
+
+  test("commit publishes exactly the committed attempts, manifest-listed") {
+    val dir = freshDir()
+    val f = factory(dir)
+    val w0 = f.createWriter(0, 100L)
+    w0.write(row(1, "a")); w0.write(row(2, "b"))
+    val m0 = w0.commit()
+    val w1 = f.createWriter(1, 101L)
+    w1.write(row(3, "c"))
+    val m1 = w1.commit()
+    batchWrite(dir).commit(Array(m0, m1))
+
+    assert(AtomicDirSink.manifest(dir) ==
+      Seq(("part-00000.csv", 2L), ("part-00001.csv", 1L)))
+    val lines = AtomicDirSink.manifest(dir).flatMap { case (n, _) =>
+      Files.readAllLines(Paths.get(dir, n)).asScala }
+    assert(lines.sorted == Seq("1,a", "2,b", "3,c"))
+    // no staging leftovers
+    assert(!Files.list(Paths.get(dir, ".staging")).iterator().hasNext)
+  }
+
+  test("speculative duplicate: only the winning attempt's file is published") {
+    val dir = freshDir()
+    val f = factory(dir)
+    val win = f.createWriter(0, 200L)
+    win.write(row(1, "winner"))
+    val mWin = win.commit()
+    // the loser attempt of the SAME partition aborts (speculation killed)
+    val lose = f.createWriter(0, 201L)
+    lose.write(row(1, "loser"))
+    lose.abort()
+    batchWrite(dir).commit(Array(mWin))
+
+    val (name, n) = AtomicDirSink.manifest(dir).head
+    assert(n == 1L)
+    assert(Files.readAllLines(Paths.get(dir, name)).asScala == Seq("1,winner"))
+    assert(!Files.list(Paths.get(dir, ".staging")).iterator().hasNext)
+  }
+
+  test("job abort deletes every staged attempt; nothing published") {
+    val dir = freshDir()
+    val f = factory(dir)
+    val msgs = (0 to 2).map { p =>
+      val w = f.createWriter(p, 300L + p)
+      w.write(row(p.toLong, s"p$p"))
+      w.commit()
+    }
+    batchWrite(dir).abort(msgs.toArray[WriterCommitMessage])
+    assert(!Files.exists(Paths.get(dir, AtomicDirSink.ManifestName)))
+    assert(!Files.list(Paths.get(dir, ".staging")).iterator().hasNext)
+  }
+
+  test("truncate replaces prior contents atomically at commit time") {
+    val dir = freshDir()
+    val f = factory(dir)
+    val w = f.createWriter(0, 400L); w.write(row(1, "old"))
+    batchWrite(dir).commit(Array(w.commit()))
+
+    val f2 = factory(dir)
+    val w2 = f2.createWriter(0, 401L); w2.write(row(2, "new"))
+    batchWrite(dir, truncate = true).commit(Array(w2.commit()))
+
+    assert(AtomicDirSink.manifest(dir) == Seq(("part-00000.csv", 1L)))
+    assert(Files.readAllLines(Paths.get(dir, "part-00000.csv")).asScala == Seq("2,new"))
+  }
+}
