@@ -34,6 +34,7 @@ object SparkEntry {
     "equi_depth_buckets" -> Relational.equiDepthBuckets _,
     "dq_constraint_report" -> Relational.dqConstraintReport _,
     "atomic_sink_roundtrip" -> EventOps.atomicSinkRoundtrip _,
+    "schema_evolution_merge" -> EventOps.schemaEvolutionMerge _,
     "token_cooccurrence" -> TextOps.tokenCooccurrence _,
     "weighted_sample_strata" -> TextOps.weightedSampleStrata _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
@@ -424,6 +425,17 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem l JOIN orders o
         |    ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate < o.o_orderdate)
         |ORDER BY check_name""".stripMargin,
+
+    // The merged read must NULL-fill v1 rows and lose nothing: the oracle
+    // recomputes both slices from the source table.
+    "schema_evolution_merge" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS schema_version,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_channel
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY schema_version""".stripMargin,
 
     // Round-trip through the DSv2 atomic sink must deliver exactly the
     // source rows — the oracle reads the SOURCE, the engine the sink.

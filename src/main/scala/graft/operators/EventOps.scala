@@ -802,6 +802,38 @@ object EventOps {
         max(col("event_id")).as("max_id"))
   }
 
+  /** H+: SCHEMA EVOLUTION MERGE — the lake reality a long-lived table
+    * accretes: files written before a column existed sit next to files
+    * written after. Half the events are staged as schema v1 (no `channel`
+    * column), half as v2 (with it); the unified read uses parquet
+    * `mergeSchema`, which widens v1 rows with NULLs — exactly how
+    * Delta/Iceberg surface added columns without rewriting history. The
+    * aggregate groups by which schema wrote each row, proving both the
+    * NULL-fill and that no rows were lost in the merge. Scale: schema
+    * merging is a FOOTER operation (per-file metadata union, no data
+    * rewrite); the cost axis is listing+footers, not bytes — which is why
+    * evolved tables stay cheap to read but pin `mergeSchema` on (or a
+    * catalog-held schema) forever after the first evolution.
+    */
+  def schemaEvolutionMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_schema_evo").toString
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), cents.as("c"), col("event_type"))
+    e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("c"))
+      .write.mode("overwrite").parquet(s"$root/v1")
+    e.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("user_id"), col("c"), col("event_type").as("channel"))
+      .write.mode("overwrite").parquet(s"$root/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+      .groupBy(when(col("channel").isNull, lit("v1")).otherwise(lit("v2")).as("schema_version"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("sum_cents"),
+        count(col("channel")).as("n_channel"))
+      .orderBy(col("schema_version"))
+  }
+
   /** E+: INTERVAL UNION — total covered time per user when every event
     * opens a 30-minute activity window: the classic merge-overlapping-
     * intervals problem, solved WITHOUT a self-join. Per user (the
