@@ -35,6 +35,7 @@ object SparkEntry {
     "dq_constraint_report" -> Relational.dqConstraintReport _,
     "atomic_sink_roundtrip" -> EventOps.atomicSinkRoundtrip _,
     "schema_evolution_merge" -> EventOps.schemaEvolutionMerge _,
+    "band_join_binned" -> EventOps.bandJoinBinned _,
     "token_cooccurrence" -> TextOps.tokenCooccurrence _,
     "weighted_sample_strata" -> TextOps.weightedSampleStrata _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
@@ -425,6 +426,20 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem l JOIN orders o
         |    ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate < o.o_orderdate)
         |ORDER BY check_name""".stripMargin,
+
+    // The binned plan is provably the plain band join — the oracle IS the
+    // plain band (theta) join.
+    "band_join_binned" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |err AS (SELECT epoch_us(ts) AS err_ts FROM events WHERE event_type = 'error'),
+        |per AS (SELECT p.event_id, count(err.err_ts) AS n_errors
+        |  FROM p LEFT JOIN err
+        |    ON err.err_ts >= p.ts_us - 60000000 AND err.err_ts <= p.ts_us
+        |  GROUP BY p.event_id)
+        |SELECT CAST(n_errors AS BIGINT) AS n_errors,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM per GROUP BY 1
+        |ORDER BY n_errors""".stripMargin,
 
     // The merged read must NULL-fill v1 rows and lose nothing: the oracle
     // recomputes both slices from the source table.

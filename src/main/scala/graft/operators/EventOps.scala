@@ -834,6 +834,44 @@ object EventOps {
       .orderBy(col("schema_version"))
   }
 
+  /** C+: BINNED BAND JOIN — the theta join with NO equi key, made
+    * scalable by manufacturing one: attribute every purchase to the
+    * system-wide error events in its trailing 60 s (incident attribution
+    * — nothing relates the rows but time proximity). A naive theta join
+    * is a broadcast-nested-loop over everything; the binned plan floors
+    * time into 60 s bins, EXPLODES THE SMALLER SIDE (errors) to its bin
+    * and successor — any ≤60 s-trailing error shares one of two bins with
+    * the purchase — equi-joins on the bin, and applies the band predicate
+    * residually. A (purchase, error) pair can match on exactly ONE
+    * exploded copy (the copies carry distinct bins), so no dedup is
+    * needed. Cost collapses from |P|·|E| to pairs that SHARE a bin —
+    * within a constant of the output size, the information-theoretic
+    * floor; bin width trades explode factor against candidate precision.
+    * Declared output: the histogram of errors-per-purchase (LEFT join
+    * keeps zero-error purchases).
+    */
+  def bandJoinBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val binUs = 60000000L // 60 s
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_us"), (col("ts_us") / binUs).cast("long").as("bin"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("ts_us").as("err_ts"), (col("ts_us") / binUs).cast("long").as("err_bin"))
+    val errExploded = errors
+      .select(col("err_ts"), explode(array(col("err_bin"), col("err_bin") + 1)).as("bin"))
+    val perPurchase = purchases
+      .join(errExploded,
+        purchases("bin") === errExploded("bin") &&
+          col("err_ts") >= col("ts_us") - binUs && col("err_ts") <= col("ts_us"),
+        "left_outer")
+      .groupBy(col("event_id"))
+      .agg(count(col("err_ts")).as("n_errors"))
+    perPurchase
+      .groupBy(col("n_errors"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("n_errors"))
+  }
+
   /** E+: INTERVAL UNION — total covered time per user when every event
     * opens a 30-minute activity window: the classic merge-overlapping-
     * intervals problem, solved WITHOUT a self-join. Per user (the

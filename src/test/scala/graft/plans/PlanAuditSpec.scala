@@ -322,6 +322,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"distributed ntile must avoid the one-partition window:\n$p")
   }
 
+  test("band_join_binned: the keyless band join runs as an equi join, not BNLJ") {
+    val p = plan(graft.operators.EventOps.bandJoinBinned(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binning must manufacture an equi key — no nested-loop join:\n$p")
+    assert(p.toLowerCase.contains("hashjoin") || p.contains("SortMergeJoin"),
+      s"expected a hash/sort-merge equi join on the bin:\n$p")
+  }
+
   test("dpp_events_join: fact scan carries a dynamic-pruning partition filter") {
     val df = graft.operators.EventOps.dppEventsJoin(spark, sf0001)
     df.collect() // DPP subquery is finalized at execution
