@@ -36,6 +36,7 @@ object SparkEntry {
     "atomic_sink_roundtrip" -> EventOps.atomicSinkRoundtrip _,
     "schema_evolution_merge" -> EventOps.schemaEvolutionMerge _,
     "band_join_binned" -> EventOps.bandJoinBinned _,
+    "rolling_user_features" -> EventOps.rollingUserFeatures _,
     "token_cooccurrence" -> TextOps.tokenCooccurrence _,
     "weighted_sample_strata" -> TextOps.weightedSampleStrata _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
@@ -426,6 +427,20 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem l JOIN orders o
         |    ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate < o.o_orderdate)
         |ORDER BY check_name""".stripMargin,
+
+    // RANGE frame on the integer day — calendar gaps handled exactly.
+    "rolling_user_features" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_day
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n_day, cents_day,
+        |  CAST(sum(n_day) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
+        |  CAST(sum(cents_day) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d
+        |FROM d
+        |ORDER BY user_id, day""".stripMargin,
 
     // The binned plan is provably the plain band join — the oracle IS the
     // plain band (theta) join.

@@ -872,6 +872,33 @@ object EventOps {
       .orderBy(col("n_errors"))
   }
 
+  /** E+: ROLLING FEATURE TABLE — the ML feature-backfill pattern done in
+    * the right order: AGGREGATE THEN WINDOW. Facts collapse map-side to
+    * one (user, day) row (partial+final hash agg — the only full-table
+    * pass), and the 7-day rolling sums run over that |users|×|days| grid,
+    * partitioned by user. The window uses a RANGE frame on the integer
+    * day number, so calendar gaps are handled exactly (a ROWS frame would
+    * silently span gaps — the classic rolling-feature bug). The naive
+    * window-over-raw-events plan shuffles and sorts every fact row per
+    * feature; this shuffles each user's DAILY rows once for any number of
+    * rolling features. All integer arithmetic — exact on both engines.
+    */
+  def rollingUserFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), (col("ts_us") / lit(86400000000L)).cast("long").as("day"),
+        cents.as("c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_day"), sum(col("c")).as("cents_day"))
+      .select(
+        col("user_id"), col("day"),
+        col("n_day"), col("cents_day"),
+        sum(col("n_day")).over(w).as("n_7d"),
+        sum(col("cents_day")).over(w).as("cents_7d"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** E+: INTERVAL UNION — total covered time per user when every event
     * opens a 30-minute activity window: the classic merge-overlapping-
     * intervals problem, solved WITHOUT a self-join. Per user (the
