@@ -39,6 +39,7 @@ object SparkEntry {
     "rolling_user_features" -> EventOps.rollingUserFeatures _,
     "token_cooccurrence" -> TextOps.tokenCooccurrence _,
     "weighted_sample_strata" -> TextOps.weightedSampleStrata _,
+    "posting_lists" -> TextOps.postingLists _,
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
@@ -486,6 +487,20 @@ object SparkEntry {
         |SELECT event_type, CAST(rn AS BIGINT) AS rnk, event_id, value_cents
         |FROM r WHERE rn <= 5
         |ORDER BY event_type, rnk""".stripMargin,
+
+    // Inverted index over the same tokenization + DF band as
+    // token_cooccurrence; postings sorted so arrays compare exactly.
+    "posting_lists" ->
+      """WITH tk0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, tok FROM tk0 WHERE length(tok) > 0),
+        |df AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+        |kept AS (SELECT t.doc_id, t.tok FROM tk t JOIN df USING (tok)
+        |  WHERE df.df >= 2
+        |    AND df.df <= floor(0.8 * (SELECT count(*) FROM documents)))
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |  list(doc_id ORDER BY doc_id) AS postings
+        |FROM kept GROUP BY tok
+        |ORDER BY tok""".stripMargin,
 
     // Deterministic πps sample: u is pure integer arithmetic, the
     // priority one exact-integer IEEE division — no rand(), no libm.

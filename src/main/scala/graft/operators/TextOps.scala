@@ -865,6 +865,34 @@ object TextOps {
       .limit(100)
   }
 
+  /** V+: POSTING LISTS — the inverted index that turns a corpus into a
+    * retrieval structure: token → sorted document ids. Same DF band as
+    * [[tokenCooccurrence]] ([2, 80% of docs]): singletons index nothing
+    * retrievable, stopword postings are |corpus|-long lists no retrieval
+    * system stores raw (they get bitmap/skip encodings — or the cap).
+    * Build cost is ONE (tok, doc_id) exchange of 8-byte ids after the
+    * per-doc DISTINCT (the text itself never shuffles); each list is
+    * assembled by `sort_array(collect_list)` inside the token's
+    * partition. At 100 TB the only extra is segmenting lists over a
+    * (token, bucket) key so no single list exceeds task memory — the
+    * same banding LSH uses.
+    */
+  def postingLists(spark: SparkSession, sfDir: String): DataFrame = {
+    val nDocs = Tables.documents(spark, sfDir).count() // metadata-only
+    val tk = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val df = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= floor(lit(0.8) * lit(nDocs)).cast("long"))
+    tk.join(df, "tok")
+      .groupBy(col("tok"))
+      .agg(
+        count(lit(1)).cast("long").as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .orderBy(col("tok"))
+  }
+
   /** V+: WEIGHTED STRATIFIED SAMPLE — per-language bottom-20 by priority
     * u/w: Ohlsson's sequential Poisson (πps) sampling, the standard
     * "sample documents proportional to length" corpus subsampler, done
