@@ -44,6 +44,7 @@ object SparkEntry {
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
+    "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
     "csv_roundtrip_events" -> EventOps.csvRoundtripEvents _,
@@ -475,6 +476,15 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events""".stripMargin,
+
+    // Streaming epochs through the DSv2 sink must deliver exactly the
+    // slice — the oracle recomputes from the source.
+    "stream_atomic_sink" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM e""".stripMargin,
 
     // Continuous top-k == the batch rank-limit window over the slice.
     "stream_topk_tws" ->

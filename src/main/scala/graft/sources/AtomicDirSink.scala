@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,7 +71,8 @@ class AtomicDirTable(schema0: StructType, path: String) extends Table with Suppo
   override def name(): String = s"graft-atomic-dir($path)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -79,7 +81,63 @@ class AtomicDirTable(schema0: StructType, path: String) extends Table with Suppo
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new AtomicDirBatchWrite(info.schema(), path, doTruncate)
+        override def toStreaming: streaming.StreamingWrite =
+          new AtomicDirStreamingWrite(info.schema(), path)
       }
+    }
+}
+
+/** Epoch-committed streaming form: same staging discipline per
+  * micro-batch, with the two extra obligations streaming adds —
+  *  - **epoch-scoped publish names** (`part-e<epoch>-p<partition>.csv`):
+  *    a batch's files can never collide with another epoch's;
+  *  - **idempotent epoch re-commit**: after a failure the engine may
+  *    re-run and re-commit an epoch it already committed; if the manifest
+  *    already lists this epoch the staged duplicates are DISCARDED, not
+  *    published twice — the property that makes the sink exactly-once
+  *    under micro-batch replay (the foreachBatch batchId convention,
+  *    inside the connector).
+  * The manifest is rewritten (staged + ATOMIC_MOVE) with prior epochs'
+  * lines preserved, so a reader always sees a complete prefix of epochs.
+  */
+class AtomicDirStreamingWrite(schema: StructType, dir: String)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new AtomicDirStreamingWriterFactory(schema, dir)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val manifestPath = d.resolve(AtomicDirSink.ManifestName)
+    val prior: Seq[String] =
+      if (Files.exists(manifestPath))
+        Files.readAllLines(manifestPath, StandardCharsets.UTF_8).asScala.toSeq
+      else Seq.empty
+    val epochPrefix = f"part-e$epochId%05d-"
+    if (prior.exists(_.startsWith(epochPrefix))) {
+      // epoch already committed — replay: drop the duplicate attempt
+      abort(epochId, messages)
+      return
+    }
+    val published = messages.toSeq.map { case StagedFile(staged, pid, rows) =>
+      val name = f"${epochPrefix}p$pid%05d.csv"
+      Files.move(Paths.get(staged), d.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      s"$name,$rows"
+    }
+    val tmp = d.resolve(s".${AtomicDirSink.ManifestName}.tmp")
+    Files.write(tmp, (prior ++ published.sorted).asJava, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, manifestPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedFile(staged, _, _) => Files.deleteIfExists(Paths.get(staged))
+      case _                        => ()
     }
 }
 
@@ -123,6 +181,13 @@ class AtomicDirBatchWrite(schema: StructType, dir: String, truncate: Boolean)
       case StagedFile(staged, _, _) => Files.deleteIfExists(Paths.get(staged))
       case _                        => ()
     }
+}
+
+class AtomicDirStreamingWriterFactory(schema: StructType, dir: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new AtomicDirWriterFactory(schema, dir).createWriter(partitionId, taskId)
 }
 
 class AtomicDirWriterFactory(schema: StructType, dir: String) extends DataWriterFactory {

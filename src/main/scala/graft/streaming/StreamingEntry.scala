@@ -799,6 +799,38 @@ object StreamingEntry {
       .orderBy(col("nationkey"))
   }
 
+  /** DECLARED streaming write through the [[graft.sources.AtomicDirSink]]
+    * DSv2 STREAMING_WRITE path: three micro-batches, each epoch-committed
+    * (epoch-scoped file names, idempotent re-commit, manifest rewritten
+    * atomically with prior epochs preserved) — the connector-level
+    * exactly-once that `stream_upsert_foreachbatch` does at user level.
+    * Read-back goes through the manifest only; the oracle recomputes the
+    * aggregate from the source slice, so a lost epoch, a double-committed
+    * replay, or a torn manifest all surface as a mismatch.
+    */
+  def streamAtomicSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sink_ckpt").toString
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = stream.toDS()
+        .select(col("event_id"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+        .writeStream.format("graft-atomic-dir")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+    val files = graft.sources.AtomicDirSink.manifest(dir).map { case (n, _) => s"$dir/$n" }
+    spark.read.schema("event_id LONG, c LONG").csv(files: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
   /** Continuous top-k output row. */
   case class TopOut(
       event_type: String, rnk: Long, event_id: Long, value_cents: Long, consumed: Long)

@@ -81,6 +81,26 @@ class AtomicDirSinkSpec extends AnyFunSuite {
     assert(!Files.list(Paths.get(dir, ".staging")).iterator().hasNext)
   }
 
+  test("streaming: epochs accumulate; a replayed epoch commit is a no-op") {
+    val dir = freshDir()
+    val sw = new AtomicDirStreamingWrite(schema, dir)
+    val f = new AtomicDirStreamingWriterFactory(schema, dir)
+    val w0 = f.createWriter(0, 500L, epochId = 0L); w0.write(row(1, "e0"))
+    sw.commit(0L, Array(w0.commit()))
+    val w1 = f.createWriter(0, 501L, epochId = 1L); w1.write(row(2, "e1"))
+    sw.commit(1L, Array(w1.commit()))
+    assert(AtomicDirSink.manifest(dir).map(_._1) ==
+      Seq("part-e00000-p00000.csv", "part-e00001-p00000.csv"))
+
+    // micro-batch replay: epoch 1 re-runs and re-commits after a failure
+    val wr = f.createWriter(0, 502L, epochId = 1L); wr.write(row(2, "e1-replay"))
+    sw.commit(1L, Array(wr.commit()))
+    assert(AtomicDirSink.manifest(dir).size == 2, "replayed epoch must not re-publish")
+    assert(Files.readAllLines(Paths.get(dir, "part-e00001-p00000.csv")).asScala ==
+      Seq("2,e1"), "original epoch-1 contents must survive the replay")
+    assert(!Files.list(Paths.get(dir, ".staging")).iterator().hasNext)
+  }
+
   test("truncate replaces prior contents atomically at commit time") {
     val dir = freshDir()
     val f = factory(dir)
