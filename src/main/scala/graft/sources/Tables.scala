@@ -48,7 +48,13 @@ object Tables {
     val raw = read(spark, sfDir, "events")
     val tsUs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _                                   => unix_micros(col("ts"))
+      // Parquet µs timestamps with isAdjustedToUTC=false surface as
+      // TIMESTAMP_NTZ; every entry point pins session tz = UTC, so the
+      // NTZ→TZ cast interprets the naive value as UTC — the same epoch
+      // micros DuckDB's epoch_us() yields for the naive timestamp.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col("ts"))
     }
     raw.withColumn("ts_us", tsUs).withColumn("ts_utc", timestamp_micros(tsUs))
   }
