@@ -94,9 +94,15 @@ object GenData {
 
     // events: same 30-day window, `copies`× the users — horizontal growth,
     // the same axis the driver uses between its own SFs.
+    // ts layout-aware like Tables.events: driver ns-as-long fixtures are
+    // truncated to µs; µs timestamp fixtures (TZ or NTZ) pass through.
+    val tsOut = src("events").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000")).as("ts")
+      case _                                   => col("ts")
+    }
     write("events", replicate(src("events")).select(
       off("event_id", nEv),
-      timestamp_micros(expr("ts DIV 1000")).as("ts"),
+      tsOut,
       off("user_id", nUser), col("event_type"), col("value"), col("props")), copies)
 
     write("documents", replicate(src("documents"))

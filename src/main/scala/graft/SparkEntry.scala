@@ -1449,13 +1449,13 @@ object SparkEntry {
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
         |g AS (SELECT doc_id,
         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
-        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
-        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
-        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
-        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
-        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
-        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
-        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
         |  FROM sh GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
@@ -1474,13 +1474,13 @@ object SparkEntry {
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
         |g AS (SELECT doc_id,
         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
-        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
-        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
-        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
-        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
-        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
-        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
-        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
         |  FROM sh GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
@@ -1509,13 +1509,13 @@ object SparkEntry {
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
         |g AS (SELECT doc_id,
         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
-        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
-        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
-        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
-        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
-        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
-        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
-        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
         |  FROM sh GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
@@ -1552,13 +1552,13 @@ object SparkEntry {
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
         |g AS (SELECT doc_id,
         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
-        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
-        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
-        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
-        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
-        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
-        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
-        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
         |  FROM sh GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
@@ -1615,13 +1615,13 @@ object SparkEntry {
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
         |g AS (SELECT doc_id,
         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
-        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
-        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
-        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
-        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
-        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
-        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
-        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
         |  FROM sh0 GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
@@ -1895,13 +1895,13 @@ object SparkEntry {
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
         |g AS (SELECT doc_id,
         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
-        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s1,
-        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s2,
-        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s3,
-        |    min(substr(md5('mh4:' || shingle), 1, 16)) AS s4,
-        |    min(substr(md5('mh5:' || shingle), 1, 16)) AS s5,
-        |    min(substr(md5('mh6:' || shingle), 1, 16)) AS s6,
-        |    min(substr(md5('mh7:' || shingle), 1, 16)) AS s7
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
         |  FROM shl GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g

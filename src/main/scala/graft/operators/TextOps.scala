@@ -37,10 +37,11 @@ object TextOps {
     * family, consumed by [[dedupDocsMinhash]], [[ngramJaccard]] and
     * [[dedupClusters]].
     *
-    * k = 8 INDEPENDENT seeded permutations: s_i = min over shingles of the
-    * first 16 hex chars (64 bits) of md5("mh<i>:" ++ shingle). Distinct
-    * salts give independent orderings of shingle space in the random-oracle
-    * model, so with b=4 bands × r=2 rows the textbook LSH recall bound
+    * k = 8 INDEPENDENT permutations from 4 salted digests: s_{2i} / s_{2i+1}
+    * = min over shingles of the first / second 16 hex chars (64 bits each)
+    * of md5("mh<i>:" ++ shingle). Distinct salts — and the two halves of
+    * one digest — give independent orderings of shingle space in the
+    * random-oracle model, so with b=4 bands × r=2 rows the textbook LSH recall bound
     * P(candidate) = 1-(1-J²)⁴ holds exactly (a J=0.8 pair is caught with
     * p≈0.98; exact dups always collide). md5 — not murmur `hash()` or
     * xxhash64 — because it is bit-identical across engines and keeps these
@@ -51,7 +52,16 @@ object TextOps {
     * needed before the aggregate.
     */
   private[operators] def signatureColumns: Seq[org.apache.spark.sql.Column] =
-    (0 until 8).map(i => min(substring(md5(concat(lit(s"mh$i:"), col("sh"))), 1, 16)).as(s"s$i"))
+    (0 until 8).map { i =>
+      // Two 64-bit permutations per md5: hashes 2i and 2i+1 are the two
+      // halves of md5("mh<i>:" ++ shingle). In the random-oracle model the
+      // halves are independent functions of the input, so the 8 minhashes
+      // stay independent while the stage pays 4 md5 evaluations per
+      // shingle instead of 8 (HashAggregate codegen CSEs the repeated
+      // md5 across the paired min aggregates).
+      val h = md5(concat(lit(s"mh${i / 2}:"), col("sh")))
+      min(substring(h, 1 + 16 * (i % 2), 16)).as(s"s$i")
+    }
 
   private[operators] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     Materialize.stage(spark, s"minhash_sigs_$sfDir", sfDir) {
