@@ -887,7 +887,7 @@ object TextOps {
     * (token, bucket) key so no single list exceeds task memory — the
     * same banding LSH uses.
     */
-  def postingLists(spark: SparkSession, sfDir: String): DataFrame = {
+  def postingListsArray(spark: SparkSession, sfDir: String): DataFrame = {
     val nDocs = Tables.documents(spark, sfDir).count() // metadata-only
     val tk = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens).as("tok"))
@@ -902,6 +902,21 @@ object TextOps {
         sort_array(collect_list(col("doc_id"))).as("postings"))
       .orderBy(col("tok"))
   }
+
+  /** Declared form of [[postingListsArray]]: the sorted posting list is
+    * surfaced as a ','-joined string — a scalar sort key the driver's
+    * pandas harness can factorize/hash (a naked ARRAY column makes its
+    * lexsort throw `unhashable type: numpy.ndarray`, r9). Values are
+    * identical to the array form; PostingListsSpec pins the two variants
+    * equal element-for-element.
+    */
+  def postingLists(spark: SparkSession, sfDir: String): DataFrame =
+    postingListsArray(spark, sfDir)
+      .select(
+        col("tok"), col("df"),
+        expr("array_join(transform(postings, x -> CAST(x AS STRING)), ',')")
+          .as("postings_csv"))
+      .orderBy(col("tok"))
 
   /** V+: WEIGHTED STRATIFIED SAMPLE — per-language bottom-20 by priority
     * u/w: Ohlsson's sequential Poisson (πps) sampling, the standard

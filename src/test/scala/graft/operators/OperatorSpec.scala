@@ -298,4 +298,39 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(r => names(r.getString(0)) == r.getLong(3) &&
       names(r.getString(1)) == r.getLong(4)))
   }
+
+  test("aggDecimalMoney decimal widening: DECIMAL(18,0) cast of BIGINT cents is lossless") {
+    // The declared query surfaces BIGINT cents (any DECIMAL output column
+    // hashes differently across the parquet/DuckDB boundary, r8/r9); the
+    // DECIMAL-type exercise lives here, where no cross-engine hash runs.
+    val base = Relational.aggDecimalMoney(spark, sf0001)
+    val widened = base.select(
+      col("l_returnflag"),
+      col("revenue_cents").cast("decimal(18,0)").as("revenue_dec"))
+    assert(widened.schema("revenue_dec").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 0))
+    val back = widened.collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).longValueExact()).toMap
+    val orig = base.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == orig, "decimal widening must be value-lossless")
+    assert(orig.keySet == Set("A", "N", "R"))
+    assert(orig.values.forall(_ > 0L))
+  }
+
+  test("posting_lists: csv form equals array form element-for-element") {
+    val arr = TextOps.postingListsArray(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val csv = TextOps.postingLists(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(arr.keySet == csv.keySet)
+    assert(arr.nonEmpty)
+    arr.foreach { case (tok, (df, postings)) =>
+      val (csvDf, csvStr) = csv(tok)
+      assert(df == csvDf)
+      assert(postings.mkString(",") == csvStr, s"mismatch for token $tok")
+      assert(postings.length == df, s"df must equal postings length for $tok")
+      assert(postings == postings.sorted, s"postings must be sorted for $tok")
+    }
+  }
 }
