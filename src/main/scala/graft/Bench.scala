@@ -74,7 +74,12 @@ object Bench {
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable => Left(errStr(e)) }
     }
+    // args: [queryName ...] — optional subset filter for fast local
+    // iteration on one query's timing; the driver passes no args and gets
+    // the full suite (stages always run: staged queries need their files).
+    val only = args.toSet
     val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
     val best = collection.mutable.Map.empty[String, Double]
     val errs = collection.mutable.Map.empty[String, String]
     def record(name: String, r: Either[String, Double]): Unit = r match {
@@ -91,12 +96,16 @@ object Bench {
       record("stage_bucketed",
         try { graft.operators.Relational.stageBucketedTables(spark, sfDir); Right((System.nanoTime() - t1) / 1e9) }
         catch { case e: Throwable => Left(errStr(e)) })
+      val t2 = System.nanoTime()
+      record("stage_stats",
+        try { graft.operators.Relational.stageStatsTable(spark, sfDir); Right((System.nanoTime() - t2) / 1e9) }
+        catch { case e: Throwable => Left(errStr(e)) })
       for ((name, fn) <- ordered) {
         spark.catalog.clearCache()
         record(name, once(fn))
       }
     }
-    val results = (ordered.map(_._1) ++ Seq("stage_minhash", "stage_bucketed"))
+    val results = (ordered.map(_._1) ++ Seq("stage_minhash", "stage_bucketed", "stage_stats"))
       .flatMap(name => best.get(name).map(name -> _)).toMap
     // escape ALL control chars too: exception messages routinely contain
     // newlines (ParseException prints the SQL), which would otherwise break
@@ -129,7 +138,9 @@ object Bench {
     // artifact keeps every timing comparable across rounds. The per-SF
     // file survives a later run at another SF (plain BENCH_LOCAL.json is
     // always the LATEST run and would otherwise silently replace it).
-    try {
+    // A filtered run is an iteration aid — never let it replace the
+    // full-suite artifacts the rounds compare against.
+    if (only.isEmpty) try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
       val sfName = new java.io.File(sfDir).getName
       java.nio.file.Files.writeString(

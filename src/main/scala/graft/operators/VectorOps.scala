@@ -70,45 +70,54 @@ object VectorOps {
   private[operators] def nearDupBits(n: Long): Int =
     math.max(4, math.min(14, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 6))
 
-  /** 16-char sign signature of dims [off+1, off+16] — the longest key any
-    * band can use; a band's join key is its PREFIX of B chars. Exact
-    * float-vs-zero comparisons are engine-portable (no arithmetic).
+  /** 64-char sign signature of all dims — each band's join key is a B-char
+    * substring of its 16-char slice. Exact float-vs-zero comparisons are
+    * engine-portable (no arithmetic), and building the whole signature in
+    * ONE projection means the 64 CASE branches evaluate once per row.
     */
-  private def signSig(off: Int): org.apache.spark.sql.Column =
-    concat((1 to 16).map(j =>
-      when(expr(s"element_at(embedding, ${off + j}) > 0"), lit("1"))
+  private def signSig64: org.apache.spark.sql.Column =
+    concat((1 to 64).map(j =>
+      when(expr(s"element_at(embedding, $j) > 0"), lit("1"))
         .otherwise(lit("0"))): _*)
 
   /** V+: embedding-cosine near-duplicate pairs via banded sign-LSH with a
     * SIZE-ADAPTIVE key width (the r9 fix for the one measured super-linear
     * operator): L=4 bands over disjoint 16-dim slices, each keyed on the
-    * first [[nearDupBits]] sign bits of its slice; candidates meet only on
-    * a (band, key) equi join — never a crossJoin — are deduped across
-    * bands, then exact-rescored and thresholded. Recall per the rplsh
-    * (L,B) calculus: a pair at angle θ agrees per bit w.p. 1 − θ/π, so
-    * union-over-4-bands recall at the fixture's B=4 is ≈ 1 − (1 − p⁴)⁴
-    * (spec-pinned floor 0.30 vs the brute-force oracle); B grows with n,
-    * concentrating the budget on the high-sim pairs a near-dup pass is
-    * for. Scale posture: the n count is a 1-row scalar that SIZES the
-    * plan (like AQE's stats probe); keys are ≤ 14-char strings, the
-    * rescore joins ship only candidate ids back to the 64-float vectors.
+    * first [[nearDupBits]] sign bits of its slice. Candidates are formed by
+    * ONE shuffle on (band, key): each bucket's sorted id list emits its
+    * pairs map-side (the token_cooccurrence pattern) — never a crossJoin,
+    * and never the self-join that would compute the signature projection
+    * twice (the r9 plan scanned + signed the table once per join side; this
+    * one does it once total, r10). Pairs are deduped across bands, then
+    * exact-rescored and thresholded. Recall per the rplsh (L,B) calculus: a
+    * pair at angle θ agrees per bit w.p. 1 − θ/π, so union-over-4-bands
+    * recall at the fixture's B=4 is ≈ 1 − (1 − p⁴)⁴ (spec-pinned floor
+    * 0.30 vs the brute-force oracle); B grows with n, concentrating the
+    * budget on the high-sim pairs a near-dup pass is for. Scale posture:
+    * n comes from parquet footer metadata ([[Tables.rowCount]] — no sizing
+    * job), bucket occupancy is pinned near 2^6 by [[nearDupBits]] so
+    * per-bucket pair emission is bounded, and the rescore joins ship only
+    * candidate ids back to the 64-float vectors.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val bBits = nearDupBits(emb.count())
+    val bBits = nearDupBits(Tables.rowCount(spark, sfDir, "embeddings"))
     val keys = emb
-      .select(col("vec_id"),
-        array((0 until 4).map(i =>
-          struct(lit(i).as("band"), substring(signSig(i * 16), 1, bBits).as("key"))): _*)
-          .as("bands"))
-      .select(col("vec_id"), explode(col("bands")).as("bk"))
+      .select(col("vec_id"), signSig64.as("sig"))
+      .select(col("vec_id"), explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          substring(col("sig"), i * 16 + 1, bBits).as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = keys.as("a")
-      .join(keys.as("b2"),
-        col("a.band") === col("b2.band") && col("a.key") === col("b2.key") &&
-          col("a.vec_id") < col("b2.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b2.vec_id").as("v2"))
+    val cand = keys
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS v1, y AS v2))))"))
+        .as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
       .distinct()
     cand
       .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")

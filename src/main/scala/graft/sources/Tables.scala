@@ -24,6 +24,36 @@ object Tables {
   private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Exact table row count from parquet footer metadata — no Spark job, no
+    * data scan: each footer carries the file's record count, so the cost is
+    * one metadata read per file (memoized per path for the session). This
+    * is how size-adaptive operators (e.g. VectorOps.nearDupBits) size their
+    * plans without spending a full pass on `count()` first — the same role
+    * AQE's statistics probe plays, but available before the first stage
+    * runs. At 100 TB the footers live beside the data; a catalog would
+    * serve the same number from table statistics.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val pathStr = s"$sfDir/$name.parquet"
+    rowCountCache.computeIfAbsent(pathStr, { _ =>
+      val conf = spark.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(pathStr)
+      val fs = path.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(path))
+      files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }.sum
+    }): Long
+  }
+
   def region(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame   = read(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
