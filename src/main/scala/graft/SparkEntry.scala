@@ -200,6 +200,8 @@ object SparkEntry {
     "matching_k32" -> DiversityOps.matchingK32 _,
     "remote_edge_div" -> DiversityOps.remoteEdgeDiv _,
     "remote_clique_div" -> DiversityOps.remoteCliqueDiv _,
+    "remote_star_div" -> DiversityOps.remoteStarDiv _,
+    "remote_tree_div" -> DiversityOps.remoteTreeDiv _,
     "coreset_stream" -> DiversityOps.coresetStream _
   )
 

@@ -61,6 +61,28 @@ object Gmm {
     chosen.toIndexedSeq
   }
 
+  /** Weight-preserving re-coreset step: assign every already-weighted point
+    * to its nearest center and SUM the delegate masses (where [[weighted]]
+    * counts each raw point as 1). This is what a second coreset level needs
+    * — re-coresetting a union of weighted coresets must conserve total mass,
+    * not reset it to point counts.
+    */
+  def weightedMass(points: Seq[WeightedPt], centers: IndexedSeq[Pt]): IndexedSeq[WeightedPt] = {
+    val mass = Array.fill(centers.length)(0L)
+    points.foreach { p =>
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < centers.length) {
+        val d = Metric.r12(Metric.sqDist(p.vec, centers(j).vec))
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      mass(best) += p.weight
+    }
+    centers.zipWithIndex.map { case (c, j) => WeightedPt(c.id, c.vec, mass(j)) }
+  }
+
   /** Assign every point to its nearest center (ties → lowest center id);
     * returns the centers with delegate counts. This is the weighting step of
     * the composable coreset ([VLDB17] §4).

@@ -169,6 +169,39 @@ object DiversityOps {
     )).toDF("k", "remote_edge", "remote_star", "remote_tree")
   }
 
+  /** W: the R4 remote-star evaluator as its own declared query — min over
+    * centers c of Σ d(c, v) for the chosen GMM k=32 set, with the k-sweep
+    * (8/16/32) a reference experiment reports. Values for the same set are
+    * also carried as a column of [[remoteEdgeDiv]]; this entry makes the
+    * evaluator itself first-class (driver-checked rows, not just a column
+    * ride-along). Rows-only: the kernel selection is not SQL-expressible.
+    */
+  def remoteStarDiv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sel32 = selectDiverse(spark, sfDir, 32)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // GMM is prefix-greedy: the k=8/16 sets are prefixes of the k=32 run.
+    Seq(8, 16, 32).map { k =>
+      val sel = sel32.take(k)
+      (k.toLong, r6(Diversity.remoteStar(sel)))
+    }.toDF("k", "remote_star")
+  }
+
+  /** W: the R4 remote-tree (MST weight) evaluator declared directly —
+    * same prefix k-sweep as [[remoteStarDiv]]. The MST invariants
+    * (tree ≥ (k−1)·edge, tree ≤ clique) are spec-pinned through this
+    * declared path in DiversityOpsSpec.
+    */
+  def remoteTreeDiv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sel32 = selectDiverse(spark, sfDir, 32)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    Seq(8, 16, 32).map { k =>
+      val sel = sel32.take(k)
+      (k.toLong, r6(Diversity.remoteTree(sel)))
+    }.toDF("k", "remote_tree")
+  }
+
   /** W: remote-clique objectives — GMM set vs matching-heuristic set vs
     * local-search set, plus heuristic bipartition/cycle values.
     *
@@ -180,21 +213,29 @@ object DiversityOps {
     */
   def remoteCliqueDiv(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cs = coreset(spark, sfDir).map(w => Pt(w.id, w.vec))
+    val wcs = coreset(spark, sfDir)
+    val cs = wcs.map(w => Pt(w.id, w.vec))
     val bounded = if (cs.size <= HeuristicBudget) cs else Gmm.select(cs, HeuristicBudget)
+    // weight-carrying bound for the weighted search: re-coreset with mass
+    // conservation (Gmm.weightedMass), not count-reset delegate weighting
+    val boundedW =
+      if (wcs.size <= HeuristicBudget) wcs
+      else Gmm.weightedMass(wcs, Gmm.select(cs, HeuristicBudget))
     val gmmSet = Gmm.select(bounded, 32)
     val matchSet = Heuristics.matching(bounded, 32)
     val lsSet = Heuristics.localSearch(bounded, 32)
+    val lsWSet = Heuristics.localSearchWeighted(boundedW, 32)
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     Seq((
       32L,
       r6(Diversity.remoteClique(gmmSet)),
       r6(Diversity.remoteClique(matchSet)),
       r6(Diversity.remoteClique(lsSet)),
+      r6(Diversity.remoteClique(lsWSet)),
       r6(Diversity.remoteBipartitionGreedy(gmmSet)),
       r6(Diversity.remoteCycleApprox(gmmSet))
     )).toDF("k", "clique_gmm", "clique_matching", "clique_localsearch",
-      "bipartition_greedy", "cycle_mst2approx")
+      "clique_localsearch_weighted", "bipartition_greedy", "cycle_mst2approx")
   }
 
   /** Composable bag-of-words coreset (the doc-path analogue of
