@@ -64,13 +64,42 @@ object Experiments {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     for ((name, df) <- Seq(
         "ivf_sign_lsh" -> graft.operators.VectorOps.cosTopkIvf(spark, sfDir),
-        "ivf_kmeans" -> graft.operators.VectorOps.cosTopkIvfKmeans(spark, sfDir))) {
+        "ivf_kmeans" -> graft.operators.VectorOps.cosTopkIvfKmeans(spark, sfDir),
+        "rplsh" -> graft.operators.VectorOps.cosTopkRplsh(spark, sfDir),
+        "pq" -> graft.operators.VectorOps.cosTopkPq(spark, sfDir))) {
       val rows = df.collect()
       // fail loudly on an empty variant: NaN recall over 0 results could be
       // transcribed into EXPERIMENTS.md as a silent non-measurement
       require(rows.nonEmpty, s"ann $name returned 0 rows — recall undefined")
       val hits = rows.count(r => exact.contains((r.getLong(0), r.getLong(2))))
       println(f"ann $name%-12s recall@5=${hits.toDouble / rows.length}%.3f over ${rows.length} results")
+    }
+
+    // Per-label grouped streaming coreset (diverse_by_label) vs the
+    // sequential exact baseline: for each label, remote-edge of the m=16
+    // streamed kernel ids against GMM(16) run sequentially on the label's
+    // FULL point set — the approximation ratio the doubling-coreset theory
+    // bounds, measured instead of assumed.
+    {
+      import spark.implicits._
+      val kernels = DiversityOps.diverseByLabel(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val byLabel = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("label").cast("long"),
+          org.apache.spark.sql.functions.col("vec_id").cast("long"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Long, Array[Float])].collect().groupBy(_._1)
+      val ratios = byLabel.toSeq.sortBy(_._1).map { case (label, rows) =>
+        val pts = rows.map { case (_, id, emb) => Pt(id, emb) }.toIndexedSeq
+        val ptById = pts.map(p => p.id -> p).toMap
+        val streamed = kernels(label).map { case (_, id) => ptById(id) }.toIndexedSeq
+        val seqSel = Gmm.select(pts, streamed.length)
+        val ratio = Diversity.remoteEdge(streamed) / Diversity.remoteEdge(seqSel)
+        println(f"diverse_by_label label=$label%2d n=${pts.length}%6d kernels=${streamed.length}%3d " +
+          f"edge_stream=${Diversity.remoteEdge(streamed)}%8.4f edge_gmm=${Diversity.remoteEdge(seqSel)}%8.4f ratio=$ratio%6.3f")
+        ratio
+      }
+      println(f"diverse_by_label edge-ratio min=${ratios.min}%.3f mean=${ratios.sum / ratios.size}%.3f over ${ratios.size} labels")
     }
     spark.stop()
   }

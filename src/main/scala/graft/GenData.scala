@@ -69,7 +69,7 @@ object GenData {
     val nDoc = src("documents").count()
     val nVec = src("embeddings").count()
     // user_id is its own (denser) domain, not the customer key space.
-    val nUser = src("events").agg(max(col("user_id"))).head.getLong(0) + 1
+    val nUser = src("events").agg(max(col("user_id"))).head().getLong(0) + 1
 
     write("customer", replicate(src("customer")).select(
       off("c_custkey", nCust), col("c_name"), col("c_nationkey"),
@@ -98,7 +98,13 @@ object GenData {
     // truncated to µs; µs timestamp fixtures (TZ or NTZ) pass through.
     val tsOut = src("events").schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000")).as("ts")
-      case _                                   => col("ts")
+      // only the two µs-timestamp layouts pass through; anything else is a
+      // malformed fixture and must fail HERE, not in a downstream reader
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => col("ts")
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other (expected ns-as-LONG, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
     write("events", replicate(src("events")).select(
       off("event_id", nEv),

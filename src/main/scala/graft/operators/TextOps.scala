@@ -56,9 +56,10 @@ object TextOps {
       // Two 64-bit permutations per md5: hashes 2i and 2i+1 are the two
       // halves of md5("mh<i>:" ++ shingle). In the random-oracle model the
       // halves are independent functions of the input, so the 8 minhashes
-      // stay independent while the stage pays 4 md5 evaluations per
-      // shingle instead of 8 (HashAggregate codegen CSEs the repeated
-      // md5 across the paired min aggregates).
+      // stay independent while the structure admits 4 md5 evaluations per
+      // shingle instead of 8 — realized only when aggregate subexpression
+      // elimination applies (spark.sql.subexpressionElimination.enabled,
+      // codegen path); results are identical either way.
       val h = md5(concat(lit(s"mh${i / 2}:"), col("sh")))
       min(substring(h, 1 + 16 * (i % 2), 16)).as(s"s$i")
     }

@@ -393,13 +393,22 @@ object VectorOps {
 
     // ADC scan: approx = Σ_j lut[j·16 + codes[j]] — m array lookups per
     // (target, query), on the 8-byte codes only. 12-dp rounding + id
-    // tie-break keep the candidate cut deterministic.
+    // tie-break keep the candidate cut deterministic. Re-rank depth (the
+    // IVFADC "refine" knob) grows as √n from footer metadata: the LUT's
+    // quantization resolution is fixed, so the approximate-rank position
+    // of the true top-5 drifts down as the corpus densifies — a fixed
+    // depth-32 cut measured recall 0.36→0.14 from sf0.1→sf1, √n-depth
+    // restores it (EXPERIMENTS.md "ANN recall"); √n keeps re-rank cost
+    // per query sub-linear at any corpus size.
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val rerankDepth = math.max(32L, math.min(1024L,
+      32L * math.round(math.sqrt(n / 2000.0)))).toInt
     val wApprox = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("t_id"))
     val cand = codes.join(broadcast(qLut), col("t_id") =!= col("q_id"))
       .withColumn("approx",
         round(expr(s"aggregate(sequence(0, ${m - 1}), 0D, (acc, j) -> acc + lut[j * $k + codes[j]])"), 12))
       .withColumn("r", row_number().over(wApprox))
-      .filter(col("r") <= 32)
+      .filter(col("r") <= rerankDepth)
       .select(col("q_id"), col("t_id"))
 
     // Asymmetric re-rank: only the surviving candidates fetch raw vectors.

@@ -75,6 +75,10 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Defensive tz pin (ADVICE r9): the NTZ→TZ cast below is only correct
+    // under UTC. Every entry point already pins it, but an externally
+    // created session must not silently produce shifted epoch micros.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = read(spark, sfDir, "events")
     val tsUs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
