@@ -160,6 +160,7 @@ object SparkEntry {
     "text_tokens" -> TextOps.textTokens _,
     "bpe_pair_stats" -> TextOps.bpePairStats _,
     "heavy_hitters_tokens" -> TextOps.heavyHittersTokens _,
+    "cms_token_counts" -> TextAnalysisOps.cmsTokenCounts _,
     "pack_token_bins" -> TextOps.packTokenBins _,
     "rarity_top_terms" -> TextAnalysisOps.rarityTopTerms _,
     // rows-only: GK sketch estimates are engine-specific (SURVEY.md §7.4
@@ -1881,6 +1882,10 @@ object SparkEntry {
         |GROUP BY tok
         |HAVING count(*) * 512 > (SELECT n FROM tot)
         |ORDER BY n DESC, tok""".stripMargin,
+
+    // CMS: both engines build the IDENTICAL d×w sketch (md5-hex-prefix row
+    // hashes), so estimate, exact, and overcount all sit on the hash.
+    "cms_token_counts" -> TextAnalysisOps.Oracle.cmsTokenCounts,
 
     "text_stats_lang" ->
       """SELECT lang,

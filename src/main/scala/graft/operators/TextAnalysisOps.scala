@@ -186,6 +186,55 @@ object TextAnalysisOps {
       .orderBy(col("simhash"))
   }
 
+  /** CMS geometry: d hash rows × w buckets. Fixture-scaled (N ≈ 60k token
+    * occurrences at sf0.01 → expected overcount N/w ≈ 60 per row, min-of-4
+    * far lower); at production N grow w — the sketch stays d·w counters
+    * regardless of corpus size.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  private def cmsBucketSql(r: Int): String =
+    s"CAST(conv(substr(md5(concat('cms$r:', tok)), 1, 15), 16, 10) AS BIGINT) % $CmsWidth"
+
+  /** V+: COUNT-MIN SKETCH point estimates — the frequency-sketch member
+    * that completes the mergeable-summary family (HLL cardinality, bitmap
+    * exact-distinct, GK quantiles, Misra-Gries heavy hitters, Bloom
+    * membership, CMS frequency): d=4 seeded md5 rows × w=1024 counters
+    * built in ONE map-side-combined aggregation over the exploded token
+    * stream (the sketch table is d·w rows at ANY corpus size — this is the
+    * entire exchange), then the top-20 tokens' estimates read back as
+    * min-over-rows with the audit columns a sketch validation needs:
+    * exact count, estimate, overcount (≥ 0 always; ≤ N·e/w w.h.p.).
+    * Production queries the sketch WITHOUT the exact pass (point lookups
+    * on a 4096-row broadcast table); the exact side here exists to be
+    * audited against — same role as `heavy_hitters_tokens`' recount.
+    * Fully DuckDB-oracled: the row hashes are the engine-portable
+    * md5-hex-prefix integers ([[docFingerprint]] pattern), so both engines
+    * build the IDENTICAL sketch.
+    */
+  def cmsTokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val entries = toks.select(explode(array((0 until CmsDepth).map(r =>
+        struct(lit(r).as("r"), expr(cmsBucketSql(r)).as("b"))): _*)).as("e"))
+      .select(col("e.r").as("r"), col("e.b").as("b"))
+    val sketch = entries.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val heavy = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(20)
+    val probes = heavy.select(col("tok"), col("n_exact"),
+        explode(array((0 until CmsDepth).map(r =>
+          struct(lit(r).as("r"), expr(cmsBucketSql(r)).as("b"))): _*)).as("e"))
+      .select(col("tok"), col("n_exact"), col("e.r").as("r"), col("e.b").as("b"))
+    probes.join(sketch, Seq("r", "b"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("c")).as("n_cms"))
+      .select(col("tok"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   /** Oracle SQL builders (shared term generation keeps the 16 simhash
     * terms in lockstep with the Spark side).
     */
@@ -262,6 +311,35 @@ object TextAnalysisOps {
         |FROM q
         |GROUP BY source
         |ORDER BY source""".stripMargin
+
+    val cmsTokenCounts: String = {
+      def bucket(r: Int) =
+        s"('0x' || substr(md5('cms$r:' || tok), 1, 15))::BIGINT % $CmsWidth"
+      val entryRows = (0 until CmsDepth)
+        .map(r => s"SELECT ${if (r == 0) s"$r AS r" else r.toString}, ${
+          if (r == 0) s"${bucket(r)} AS b" else bucket(r)} FROM tk")
+        .mkString("\n  UNION ALL ")
+      val probeRows = (0 until CmsDepth)
+        .map(r => s"SELECT tok, n_exact, ${if (r == 0) s"$r AS r" else r.toString}, ${
+          if (r == 0) s"${bucket(r)} AS b" else bucket(r)} FROM heavy")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tk0 AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         |tk AS (SELECT tok FROM tk0 WHERE length(tok) > 0),
+         |entries AS (
+         |  $entryRows),
+         |sketch AS (SELECT r, b, count(*) AS c FROM entries GROUP BY 1, 2),
+         |heavy AS (SELECT tok, count(*) AS n_exact FROM tk
+         |  GROUP BY 1 ORDER BY n_exact DESC, tok LIMIT 20),
+         |probes AS (
+         |  $probeRows),
+         |est AS (SELECT p.tok, p.n_exact, min(s.c) AS n_cms
+         |  FROM probes p JOIN sketch s USING (r, b) GROUP BY 1, 2)
+         |SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_cms AS BIGINT) AS n_cms,
+         |  CAST(n_cms - n_exact AS BIGINT) AS overcount
+         |FROM est
+         |ORDER BY n_exact DESC, tok""".stripMargin
+    }
 
     val docFingerprint: String =
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

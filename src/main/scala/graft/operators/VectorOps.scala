@@ -242,10 +242,15 @@ object VectorOps {
     val t = signed(emb, "t_id", "t_emb")
     val q = signed(emb.filter(col("vec_id") < 50), "q_id", "q_emb")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))
+    // Score BEFORE the cross-table dedup: sim is deterministic per pair, so
+    // duplicates carry equal values and dropDuplicates exchanges only
+    // (q_id, t_id, sim) — 24 bytes — instead of both 64-float embeddings
+    // (the r9 shape shipped ~520 B/candidate through the exchange). The
+    // re-scored table-collision duplicates are a few codegen dots map-side.
     t.join(broadcast(q), Seq("tbl", "sig")).filter(col("t_id") =!= col("q_id"))
-      .select(col("q_id"), col("t_id"), col("q_emb"), col("t_emb"))
-      .dropDuplicates("q_id", "t_id")
       .withColumn("sim", round(expr("dot_f32(q_emb, t_emb)"), 6))
+      .select(col("q_id"), col("t_id"), col("sim"))
+      .dropDuplicates("q_id", "t_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("t_id"), col("sim"))

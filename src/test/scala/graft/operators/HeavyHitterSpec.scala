@@ -79,4 +79,26 @@ class HeavyHitterSpec extends AnyFunSuite with SparkTestBase {
       .orderBy(col("n").desc, col("tok")).collect().toSeq
     assert(sketched.nonEmpty && sketched == exact)
   }
+
+  test("cms_token_counts: estimates dominate exact counts within the CMS bound") {
+    val rows = TextAnalysisOps.cmsTokenCounts(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val total = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).count()
+    rows.foreach { r =>
+      val (exact, cms, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cms >= exact, s"CMS never undercounts: ${r.getString(0)}")
+      assert(over == cms - exact)
+      // Markov bound per row: overcount ≤ N/w in expectation; min over
+      // d=4 independent rows — allow 8× slack over the expectation, far
+      // below any plausible flake while still catching a broken hash/width.
+      assert(over <= 8L * total / TextAnalysisOps.CmsWidth + 8,
+        s"overcount $over exceeds the CMS bound for ${r.getString(0)} (N=$total)")
+    }
+    // descending exact order with token tie-break, unique tokens
+    val ex = rows.map(_.getLong(1)).toSeq
+    assert(ex == ex.sortBy(-_))
+    assert(rows.map(_.getString(0)).distinct.length == 20)
+  }
 }
