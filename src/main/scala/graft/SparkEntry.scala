@@ -178,6 +178,7 @@ object SparkEntry {
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
     "fuzzy_name_match" -> TextAnalysisOps.fuzzyNameMatch _,
     "pagerank_docs" -> GraphOps.pagerankDocs _,
+    "triangle_count_docs" -> GraphOps.triangleCountDocs _,
     "regex_clean_stats" -> TextAnalysisOps.regexCleanStats _,
     "hash_sample_stratified" -> TextAnalysisOps.hashSampleStratified _,
     "text_quality" -> TextAnalysisOps.textQuality _,
@@ -1801,6 +1802,27 @@ object SparkEntry {
     // aggregation order can't move a single bit — the recursion replays
     // identically as a recursive CTE. Nodes without in-edges are kept via
     // the left join (their iter tag is window-filled from the global max).
+    // Triangles counted once each at their minimum vertex (a<b<c oriented
+    // two-join); clustering = one exact-int IEEE quotient (class 2).
+    "triangle_count_docs" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |directed AS (
+        |  SELECT doc_id AS src, n_chars % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (n_chars * 31 + doc_id) % (SELECT n FROM nn) FROM documents),
+        |edges AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM directed WHERE src <> dst),
+        |wedges AS (SELECT e1.b AS a, e2.b AS b FROM edges e1 JOIN edges e2
+        |  ON e1.a = e2.a AND e1.b < e2.b),
+        |tri AS (SELECT w.a, w.b FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = w.a AND e.b = w.b))
+        |SELECT (SELECT n FROM nn) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+        |  CAST(3 * (SELECT count(*) FROM tri) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM wedges) AS DOUBLE) AS clustering""".stripMargin,
+
     "pagerank_docs" ->
       """WITH RECURSIVE
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

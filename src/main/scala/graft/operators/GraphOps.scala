@@ -50,6 +50,53 @@ object GraphOps {
     pagerankPlan(spark, sfDir, _.checkpoint(true))
   }
 
+  /** V+/graph: TRIANGLE COUNT + global clustering coefficient over the
+    * same closed-form doc graph as [[pagerankDocs]] — the other canonical
+    * distributed-graph kernel. The algorithm is the standard two-join
+    * oriented count: undirect + canonicalize edges to a<b (distinct), form
+    * wedges by self-joining on the lower endpoint with b<c (each unordered
+    * wedge generated exactly once), then close each wedge with a LEFT SEMI
+    * join back to the edge set — every triangle {a<b<c} is counted exactly
+    * once, at its minimum vertex. Output is one audit row: nodes, edges,
+    * wedges, triangles, and the global clustering coefficient
+    * 3·triangles/wedges as a raw int/int IEEE quotient (COVERAGE.md
+    * class 2 — no rounding needed, engine-exact).
+    *
+    * Scale: two shuffles on 8-byte node ids (wedge join, closing semi
+    * join); per-node wedge work is C(deg, 2), so the production variant
+    * orients edges lower-DEGREE → higher-degree instead of lower-id (the
+    * standard skew bound, turning the hub's C(d,2) into ~C(avg,2)); this
+    * graph's closed-form degrees are near-uniform (≤ 2 out, Poisson-ish
+    * in), so id-orientation is already the right plan here.
+    */
+  def triangleCountDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val n = Tables.rowCount(spark, sfDir, "documents")
+    val directed = docs.select(col("doc_id").as("src"), (col("n_chars") % n).as("dst"))
+      .unionByName(docs.select(
+        col("doc_id").as("src"), ((col("n_chars") * 31 + col("doc_id")) % n).as("dst")))
+    val edges = directed
+      .filter(col("src") =!= col("dst")) // self-loops close no triangle
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.b").as("a"), col("e2.b").as("b"))
+    val triangles = wedges.join(edges, Seq("a", "b"), "left_semi")
+    // one declarative row: 1-row aggregates cross-joined (intentional
+    // 1×1 BNLJs, the setop_all_parts checksum pattern) so the whole
+    // computation stays inside the timed/audited plan
+    docs.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        // 3·tri exact in BIGINT first, then ONE int/int IEEE division —
+        // the class-2 hash-safe quotient form
+        ((col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double"))
+          .as("clustering"))
+  }
+
   private def pagerankPlan(
       spark: SparkSession, sfDir: String,
       truncate: DataFrame => DataFrame): DataFrame = {

@@ -299,6 +299,18 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
       names(r.getString(1)) == r.getLong(4)))
   }
 
+  test("triangle_count_docs: invariants of the oriented two-join count") {
+    val r = GraphOps.triangleCountDocs(spark, sf0001).collect()(0)
+    val (nodes, edges, wedges, tris) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nodes == 500L)
+    assert(edges > 0 && edges <= 2 * nodes, "≤ 2 undirected edges per doc")
+    assert(wedges > 0 && tris >= 0 && tris <= wedges)
+    val clustering = r.getDouble(4)
+    assert(clustering >= 0.0 && clustering <= 1.0)
+    assert(clustering == 3.0 * tris / wedges)
+  }
+
   test("aggDecimalMoney decimal widening: DECIMAL(18,0) cast of BIGINT cents is lossless") {
     // The declared query surfaces BIGINT cents (any DECIMAL output column
     // hashes differently across the parquet/DuckDB boundary, r8/r9); the
