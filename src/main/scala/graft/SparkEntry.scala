@@ -81,6 +81,7 @@ object SparkEntry {
     "win_topk_parts" -> EventOps.winTopkParts _,
     "win_running_user" -> EventOps.winRunningUser _,
     "win_lag_delta" -> EventOps.winLagDelta _,
+    "win_zscore_events" -> EventOps.winZscoreEvents _,
     "win_range_frame" -> EventOps.winRangeFrame _,
     "win_rank_kinds" -> EventOps.winRankKinds _,
     // G: set ops
@@ -150,6 +151,7 @@ object SparkEntry {
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
     "dedup_docs_simhash" -> TextAnalysisOps.dedupDocsSimhash _,
     "ngram_jaccard" -> TextOps.ngramJaccard _,
+    "minhash_jaccard_audit" -> TextOps.minhashJaccardAudit _,
     "dedup_clusters" -> TextOps.dedupClusters _,
     "dedup_keep_best" -> TextOps.dedupKeepBest _,
     "split_no_leakage" -> TextOps.splitNoLeakage _,
@@ -926,6 +928,16 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM e
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // z-score: μ exact int/int quotient, σ stddev_samp (class 3 → 6 dp).
+    "win_zscore_events" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents FROM events)
+        |SELECT event_id, event_type, value_cents,
+        |  round((value_cents - avg(value_cents) OVER (PARTITION BY event_type))
+        |    / stddev_samp(value_cents) OVER (PARTITION BY event_type), 6) AS z
+        |FROM e
+        |ORDER BY event_id""".stripMargin,
 
     "win_lag_delta" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
@@ -1957,6 +1969,60 @@ object SparkEntry {
         |JOIN cnt c1 ON c.doc1 = c1.doc_id
         |JOIN cnt c2 ON c.doc2 = c2.doc_id
         |ORDER BY c.doc1, c.doc2""".stripMargin,
+
+    // Sketch-accuracy audit: the ngram_jaccard chain extended with the
+    // per-pair MinHash match count read from the same g CTE; n_match/8 and
+    // the error are exact IEEE values (class 2 — no rounding).
+    "minhash_jaccard_audit" -> {
+      val matches = (0 until 8)
+        .map(i => s"(CASE WHEN ga.s$i = gb.s$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |shl AS (SELECT doc_id, shingle
+         |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+         |g AS (SELECT doc_id,
+         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+         |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+         |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+         |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+         |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+         |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+         |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+         |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
+         |  FROM shl GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+         |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+         |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+         |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM shl),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+         |inter AS (SELECT c.doc1, c.doc2, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN shd a ON c.doc1 = a.doc_id
+         |  JOIN shd b ON c.doc2 = b.doc_id AND a.shingle = b.shingle
+         |  GROUP BY c.doc1, c.doc2),
+         |ex AS (SELECT c.doc1, c.doc2,
+         |    CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |      / CAST(c1.n_sh + c2.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
+         |  JOIN cnt c1 ON c.doc1 = c1.doc_id
+         |  JOIN cnt c2 ON c.doc2 = c2.doc_id)
+         |SELECT e.doc1, e.doc2,
+         |  CAST($matches AS BIGINT) AS n_match,
+         |  CAST($matches AS DOUBLE) / CAST(8 AS DOUBLE) AS est_j,
+         |  e.jaccard,
+         |  CAST($matches AS DOUBLE) / CAST(8 AS DOUBLE) - e.jaccard AS err
+         |FROM ex e
+         |JOIN g ga ON e.doc1 = ga.doc_id
+         |JOIN g gb ON e.doc2 = gb.doc_id
+         |ORDER BY e.doc1, e.doc2""".stripMargin
+    },
 
     "token_count_regex" ->
       """SELECT lang,

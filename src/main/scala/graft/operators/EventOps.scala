@@ -236,6 +236,29 @@ object EventOps {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** E+: per-group Z-SCORE standardization — the feature-normalization
+    * pass every tabular ML pipeline runs before training: each event's
+    * value standardized against its event_type population, (x − μ)/σ over
+    * an unbounded partition window (μ and σ computed once per group by the
+    * WindowExec frame, not per row). Determinism per COVERAGE.md: μ is an
+    * exact int/int quotient (integer cents), σ is stddev_samp — class 3,
+    * order-dependent in the last ulps — so the z value rounds to 6 dp on
+    * both engines. Scale: one exchange on event_type; the alternative
+    * groupBy+broadcast-join form shuffles the same bytes but reads the
+    * fact twice — the window form is the single-scan plan.
+    */
+  def winZscoreEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), cents.as("value_cents"))
+      .withColumn("mu", avg(col("value_cents")).over(w))
+      .withColumn("sd", stddev_samp(col("value_cents")).over(w))
+      .select(
+        col("event_id"), col("event_type"), col("value_cents"),
+        round((col("value_cents") - col("mu")) / col("sd"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** E: per-user Δt to previous event (lag). */
   def winLagDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))

@@ -609,6 +609,36 @@ object TextOps {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** V+: MINHASH ESTIMATE AUDIT — the sketch-accuracy companion of
+    * [[ngramJaccard]] (the same estimate-vs-exact pattern as
+    * `cms_token_counts`): for each banded candidate pair, the MinHash
+    * ESTIMATE of Jaccard — matching signature slots / 8, the unbiased
+    * estimator the LSH index implicitly ranks by — next to the exact
+    * 3-gram Jaccard, with the signed error. Every value is hash-safe raw
+    * IEEE: n_match/8 is an exact binary fraction, exact J is one int/int
+    * quotient, and the error is one exact subtraction (COVERAGE.md
+    * class 2 — no rounding anywhere). Cost on top of [[ngramJaccard]] is
+    * two joins against the STAGED signature table (8 minhashes per doc,
+    * the standing asset the dedup family already maintains) — at 100 TB
+    * this is the audit a pipeline runs on a candidate sample to pick its
+    * LSH thresholds.
+    */
+  def minhashJaccardAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir)
+    val matchSum = (0 until 8)
+      .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    ngramJaccard(spark, sfDir)
+      .join(sig.as("sa"), col("doc1") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc2") === col("sb.doc_id"))
+      .select(
+        col("doc1"), col("doc2"), matchSum.as("n_match"),
+        (matchSum.cast("double") / lit(8.0)).as("est_j"),
+        col("jaccard"),
+        ((matchSum.cast("double") / lit(8.0)) - col("jaccard")).as("err"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   /** V+: INCREMENTAL near-dup admission — [[dedupIncremental]]'s batch
     * convention (new slice = doc_id % 5 = 4) applied to NEAR-duplicates:
     * each batch document is admitted against the EXISTING corpus by a

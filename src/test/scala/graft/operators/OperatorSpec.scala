@@ -299,6 +299,35 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
       names(r.getString(1)) == r.getLong(4)))
   }
 
+  test("minhash_jaccard_audit: estimator in [0,1] steps of 1/8; exact dups estimate 1") {
+    val rows = TextOps.minhashJaccardAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nMatch, est, j, err) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nMatch >= 1 && nMatch <= 8, "a banded candidate shares >= 1 signature slot pair")
+      assert(est == nMatch / 8.0 && err == est - j)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    // identical texts hash to identical signatures AND jaccard 1 — the
+    // estimator must agree exactly there
+    rows.filter(_.getDouble(4) == 1.0).foreach { r =>
+      assert(r.getLong(2) == 8L, s"exact dup pair (${r.getLong(0)},${r.getLong(1)}) must match all 8 slots")
+    }
+  }
+
+  test("win_zscore_events: per-group mean ~0, sample stddev ~1") {
+    val rows = EventOps.winZscoreEvents(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (tpe, zs) =>
+      val v = zs.map(_._2)
+      val mean = v.sum / v.length
+      val sd = math.sqrt(v.map(z => (z - mean) * (z - mean)).sum / (v.length - 1))
+      assert(math.abs(mean) < 1e-6, s"$tpe: standardized mean must be ~0, got $mean")
+      assert(math.abs(sd - 1.0) < 1e-6, s"$tpe: standardized stddev must be ~1, got $sd")
+    }
+  }
+
   test("triangle_count_docs: invariants of the oriented two-join count") {
     val r = GraphOps.triangleCountDocs(spark, sf0001).collect()(0)
     val (nodes, edges, wedges, tris) =
