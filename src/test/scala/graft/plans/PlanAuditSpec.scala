@@ -352,6 +352,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!rewrite.contains("Exchange"), s"compaction must not shuffle:\n$rewrite")
   }
 
+  test("embedding_near_dup: one signature scan (bucket groupBy), no self-join double-sign") {
+    val p = plan(VectorOps.embeddingNearDup(spark, sf0001))
+    // r10 shape: candidates come from ONE grouped aggregation over the
+    // signature projection — the r9 self-join computed the 64-CASE
+    // signature once per join side (two scans of embeddings before the
+    // rescore; now exactly the 1 + the 2 rescore fetches)
+    val scans = p.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("embedding"))
+    assert(scans <= 3, s"expected <= 3 embedding scans (1 sign + 2 rescore), got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("triangle_count_docs: equi joins only; cartesians are the 1-row checksum combines") {
+    val df = graft.operators.GraphOps.triangleCountDocs(spark, sf0001)
+    val p = plan(df)
+    // wedge + closing joins must be hash/merge equi joins on ids
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // nested-loop appearances must all be the intentional 1-row aggregate
+    // cross-joins (the setop_all_parts checksum pattern): every BNLJ side
+    // is an aggregate, never a base-table scan
+    val bnlj = p.linesIterator.count(_.contains("CartesianProduct"))
+    assert(bnlj <= 3, s"only the three 1-row combines may be cartesian:\n$p")
+  }
+
+  test("win_zscore_events: single scan, one hash exchange under the window") {
+    val p = plan(EventOps.winZscoreEvents(spark, sf0001))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"z-score must be the single-scan window plan, got $scans scans:\n$p")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange (event_type), plan:\n$p")
+  }
+
   test("fuzzy_name_match: blocking tokens are frequency-capped before the candidate join") {
     val df = graft.operators.TextAnalysisOps.fuzzyNameMatch(spark, sf0001)
     // The DF-cap filter must sit in the plan (worst-case block is then
