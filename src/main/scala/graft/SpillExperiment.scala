@@ -59,7 +59,12 @@ object SpillExperiment {
       "join_nation_revenue" -> operators.Relational.joinNationRevenue _,
       "q3_top_orders" -> operators.Relational.q3TopOrders _,
       "q5_local_supplier" -> operators.Relational.q5LocalSupplier _,
-      "outer_join_orders" -> operators.Relational.outerJoinOrders _)
+      "outer_join_orders" -> operators.Relational.outerJoinOrders _,
+      // r10 additions — the round's aggregation/window-heavy new queries:
+      // the CMS token-stream aggregate and the per-type z-score window
+      // (WindowExec buffers whole partitions → the classic sort-spill path)
+      "cms_token_counts" -> operators.TextAnalysisOps.cmsTokenCounts _,
+      "win_zscore_events" -> operators.EventOps.winZscoreEvents _)
 
     var totalSec = 0.0
     val lines = queries.map { case (name, q) =>
