@@ -100,6 +100,7 @@ object SparkEntry {
     "try_funcs" -> ScalarOps.tryFuncs _,
     "win_ignore_nulls" -> EventOps.winIgnoreNulls _,
     "scd2_users" -> EventOps.scd2Users _,
+    "scd2_apply_batch" -> EventOps.scd2ApplyBatch _,
     "agg_incremental_users" -> EventOps.aggIncrementalUsers _,
     "agg_conditional" -> Relational.aggConditional _,
     "lateral_brand_stats" -> Relational.lateralBrandStats _,
@@ -958,6 +959,20 @@ object SparkEntry {
     // SCD2: change-detect → interval build → as-of snapshot. The snapshot
     // instant is (min+max) DIV 2 of ts_us — exact BIGINT floor division on
     // both engines, so the filter boundary can never drift.
+    // The oracle is the FULL REBUILD over the whole stream — the Spark
+    // side applies the batch incrementally onto the prefix-built standing
+    // table, so the hash-compare proves incremental == rebuild.
+    "scd2_apply_batch" ->
+      """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),
+        |c AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |v AS (SELECT user_id, state, ts_us, event_id FROM c WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version,
+        |  ts_us AS valid_from_us,
+        |  coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), -1) AS valid_to_us
+        |FROM v
+        |ORDER BY user_id, version""".stripMargin,
+
     "scd2_users" ->
       """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),
         |c AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),

@@ -665,6 +665,61 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** E+/warehouse: INCREMENTAL SCD2 APPLY — the maintenance operation the
+    * [[scd2Users]] dimension needs in production: a standing version table
+    * built from the change-log PREFIX (events before the 80% cutoff
+    * instant, integer-exact `lo + (hi−lo)·4 DIV 5`) has a new BATCH of
+    * changes applied incrementally — batch-only change detection with the
+    * standing open version's state as CARRY-IN (a batch event that merely
+    * repeats the current state opens no version), new versions appended,
+    * the affected open versions closed at their successor's start, and
+    * versions renumbered over the union. The run-collapse invariant makes
+    * change detection prefix-decomposable (the open version's state IS the
+    * last prefix event's state), so the DECLARED OUTPUT equals a full
+    * rebuild over the whole stream — and the DuckDB oracle is exactly that
+    * full rebuild: the driver's hash-compare proves incremental == rebuild
+    * cross-engine, the correctness contract of every MERGE-maintained
+    * dimension. Scale: fact-scale work touches ONLY the batch (one
+    * (user) exchange of batch rows + a broadcast-sized carry-in of open
+    * versions); the union window re-ranks the version table, which is
+    * |state changes| rows — dimension-sized, not fact-sized.
+    */
+  def scd2ApplyBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("state"), col("ts_us"), col("event_id"))
+    val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      .select(expr("lo + ((hi - lo) * 4) DIV 5").as("cutoff"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    // standing dimension: change-detect over the pre-cutoff prefix
+    val standing = ev.crossJoin(broadcast(bounds))
+      .filter(col("ts_us") < col("cutoff"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"), col("state"), col("ts_us"), col("event_id"))
+    // carry-in: each user's OPEN version state (last standing change)
+    val carry = standing
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("state").as("cur_state"))
+    // batch: change-detect ONLY the post-cutoff rows, seeded by carry-in
+    val newVersions = ev.crossJoin(broadcast(bounds))
+      .filter(col("ts_us") >= col("cutoff"))
+      .join(broadcast(carry), Seq("user_id"), "left")
+      .withColumn("prev", coalesce(lag(col("state"), 1).over(w), col("cur_state")))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"), col("state"), col("ts_us"), col("event_id"))
+    // apply: append, close (lead over the union), renumber
+    standing.unionByName(newVersions)
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", coalesce(lead(col("ts_us"), 1).over(w), lit(-1L)))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("state"), col("version"),
+        col("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** D+: FACT-TO-SCD2 TEMPORAL JOIN — the warehouse query the
     * [[scd2Users]] dimension exists for: each fact row joins the version
     * of its key that was VALID AT the fact's event time

@@ -299,6 +299,35 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
       names(r.getString(1)) == r.getLong(4)))
   }
 
+  test("scd2_apply_batch: incremental apply equals the in-engine full rebuild") {
+    // the declared oracle proves it vs DuckDB; this pins the same
+    // decomposition property WITHIN Spark (prefix+batch == full stream)
+    val incremental = EventOps.scd2ApplyBatch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val full = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type").as("state"), col("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", coalesce(lead(col("ts_us"), 1).over(w), lit(-1L)))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("state"), col("version"),
+        col("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("version")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(incremental.nonEmpty && incremental == full)
+    // every user's versions tile: each close == the successor's open
+    incremental.groupBy(_._1).foreach { case (_, vs) =>
+      vs.sortBy(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4, s"versions must tile: $a -> $b")
+        case _ =>
+      }
+      assert(vs.count(_._5 == -1L) == 1, "exactly one open version per user")
+    }
+  }
+
   test("minhash_jaccard_audit: estimator in [0,1] steps of 1/8; exact dups estimate 1") {
     val rows = TextOps.minhashJaccardAudit(spark, sf0001).collect()
     assert(rows.nonEmpty)
