@@ -942,4 +942,153 @@ object Relational {
       .unionByName(childless).unionByName(shipAfter)
       .orderBy(col("check_name"))
   }
+
+  /** D+: TPC-H Q6 shape — the pure-pushdown aggregate. Every predicate
+    * (shipdate year band, discount band, quantity cap) is a plain
+    * column-vs-literal comparison, so all of them reach the parquet scan as
+    * row-group filters (PushedFilters; plan-pinned in PlanAuditSpec) and
+    * only 4 columns are read. The surviving rows feed one partial+final
+    * aggregate whose only exchange is the single-row final — at 100 TB this
+    * query's cost is pruned IO and nothing else, which is exactly what it
+    * probes.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        centsSum(col("l_extendedprice") * col("l_discount")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** C+: TPC-H Q4 shape — correlated EXISTS with a non-equi residual
+    * (lineitem shipped more than 80 days after its order date). Written as
+    * SQL so Catalyst's RewritePredicateSubquery decorrelates the per-row
+    * subquery into ONE left-semi join on the orderkey equi key with the
+    * date comparison as the join residual — the 100 TB plan: a single
+    * shuffle pair on orderkey, no re-executed subquery, and the semi join
+    * stops probing an order at its first qualifying lineitem.
+    */
+  def q4PriorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** C+: TPC-H Q7 shape — two-nation shipping volume by year. The pair
+    * predicate `(supp, cust) ∈ {(N1,N2), (N2,N1)}` is split the way a
+    * 100 TB plan needs it: each nation dim is pre-filtered to the two
+    * names BEFORE its broadcast (so the supplier/customer joins drop
+    * ~23/25ths of their rows at the earliest join instead of at a final
+    * residual), and only the cross-pair disjunction — not expressible as a
+    * per-dim filter — remains as a post-join residual.
+    */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Seq("NATION_1", "NATION_2")
+    val suppNation = broadcast(Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(names: _*))
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation")))
+    val custNation = broadcast(Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(names: _*))
+      .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("supp_nk"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("cust_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** C+F: TPC-H Q10 shape — revenue lost to returned items per customer in
+    * one quarter, global top-20. The returnflag and orderdate predicates
+    * prune both fact scans before the orderkey shuffle; nation broadcasts;
+    * the final top-20 plans as TakeOrderedAndProject (per-partition heaps +
+    * single 20-row merge), never a full sort of the customer aggregate.
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsNtz("1996-04-01 00:00:00"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** D+C: TPC-H Q18 shape — large-volume orders. The HAVING aggregation
+    * runs FIRST (group lineitem by orderkey, keep sum(qty) > 180), so the
+    * expensive joins see only the qualifying keys — shrink-then-join; at
+    * fixture scale AQE broadcasts the shrunken aggregate into orders, and
+    * at 100 TB it stays a keyed shuffle join that still moves only
+    * qualifying orders. Quantities are compared on exact integer cents
+    * (18000), never a double sum.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(centsSum(col("l_quantity")).as("sum_qty_cents"))
+      .filter(col("sum_qty_cents") > 18000L)
+    big
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("totalprice_cents"),
+        col("sum_qty_cents"))
+      .orderBy(col("sum_qty_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** C+B: TPC-H Q19 shape — disjunction of brand/size/quantity bands over
+    * the part join. The classic Q19 rewrite is applied by hand because
+    * Catalyst does not factor common conjuncts out of a disjunction: each
+    * disjunct pins one brand and a quantity band, so the implied
+    * `p_brand IN (…)` is pushed to the part scan and the implied
+    * `l_quantity <= 40` to the lineitem scan — both become parquet
+    * row-group filters — while the full 3-way disjunction stays as the
+    * post-join residual. At 100 TB this is the difference between joining
+    * 3/25ths of part and joining all of it.
+    */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val brands = Seq("Brand#3", "Brand#7", "Brand#12")
+    val pt = Tables.part(spark, sfDir).filter(col("p_brand").isin(brands: _*))
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_quantity") <= 40)
+    val disjunction =
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#7" && col("p_size").between(5, 25) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#12" && col("p_size").between(10, 40) &&
+        col("l_quantity").between(20, 40))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(disjunction)
+      .agg(
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
 }

@@ -403,4 +403,42 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
       assert(postings == postings.sorted, s"postings must be sorted for $tok")
     }
   }
+
+  // r10 TPC-H classics — goldens computed once with DuckDB at sf0.001
+  test("q6_forecast_revenue: golden single row") {
+    val r = Relational.q6ForecastRevenue(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == 42964746L && r.getLong(1) == 152L)
+  }
+
+  test("q4_priority_exists: golden per-priority counts") {
+    val rows = Relational.q4PriorityExists(spark, sf0001).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("1-URGENT", 214L), ("2-HIGH", 235L), ("3-MEDIUM", 245L),
+      ("4-NOT SPECIFIED", 226L), ("5-LOW", 223L)))
+  }
+
+  test("q7_volume_shipping: empty at sf0.001 (none of the 10 suppliers sit in NATION_1/2)") {
+    // The substantive value check is the sf0.01 oracle (14 rows); this
+    // pins that the pre-filtered dims don't accidentally widen the result.
+    assert(Relational.q7VolumeShipping(spark, sf0001).count() == 0L)
+  }
+
+  test("q10_returned_items: golden top customer") {
+    val r = Relational.q10ReturnedItems(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == 140L)         // c_custkey
+    assert(r.getLong(3) == 24328402L)    // revenue_cents
+  }
+
+  test("q18_large_orders: limit binds (166 qualifying orders at sf0.001)") {
+    val rows = Relational.q18LargeOrders(spark, sf0001).collect()
+    assert(rows.length == 100)
+    // descending by quantity with orderkey tie-break; all above threshold
+    val qtys = rows.map(_.getLong(4))
+    assert(qtys.toSeq == qtys.sortBy(-_).toSeq && qtys.forall(_ > 18000L))
+  }
+
+  test("q19_disjunctive: golden single row") {
+    val r = Relational.q19Disjunctive(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == 734609460L && r.getLong(1) == 147L)
+  }
 }

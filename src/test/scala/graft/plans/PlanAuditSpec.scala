@@ -397,4 +397,42 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val p = plan(df)
     assert(p.contains("count(distinct"), s"expected a distinct-DF aggregate, plan:\n$p")
   }
+
+  test("q4: EXISTS decorrelates to one semi join, no re-executed subquery") {
+    val p = plan(Relational.q4PriorityExists(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q6: all three predicates reach the parquet scan as pushed filters") {
+    // the default 100-char metadata elision truncates this scan's filter
+    // list mid-entry — lengthen it so the assert sees every pushed filter
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan(Relational.q6ForecastRevenue(spark, sf0001))
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_discount[^\\]]*\\].*"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(l_quantity[^\\]]*\\].*"), p)
+    // partial+final agg: the only hash exchange is the single-row final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q7: both nation dims broadcast; pair residual never forces a nested loop") {
+    val p = plan(Relational.q7VolumeShipping(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q10/q18: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p10 = plan(Relational.q10ReturnedItems(spark, sf0001))
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+    val p18 = plan(Relational.q18LargeOrders(spark, sf0001))
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+  }
+
+  test("q19: implied brand IN-list and quantity cap pushed to both scans") {
+    val p = plan(Relational.q19Disjunctive(spark, sf0001))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(p_brand[^\\]]*\\].*"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_quantity,40[^\\]]*\\].*"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
