@@ -69,6 +69,10 @@ object SparkEntry {
     "skew_join_zipf" -> EventOps.skewJoinZipf _,
     "range_join_promo" -> Relational.rangeJoinPromo _,
     "asof_join_events" -> EventOps.asofJoinEvents _,
+    "asof_join_tolerance" -> EventOps.asofJoinTolerance _,
+    "event_transitions" -> EventOps.eventTransitions _,
+    "retention_cohorts" -> EventOps.retentionCohorts _,
+    "skyline_parts" -> Relational.skylineParts _,
     // D: aggregations
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "sql_interface_q1" -> Relational.sqlInterfaceQ1 _,
@@ -899,6 +903,57 @@ object SparkEntry {
         |SELECT event_id, ts_us, s_event_id, s_ts_us
         |FROM j WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+
+    "asof_join_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_event_id, user_id, epoch_us(ts) AS c_ts_us FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.ts_us, c.c_event_id, c.c_ts_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.c_ts_us ASC NULLS LAST, c.c_event_id ASC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts_us > p.ts_us AND c.c_ts_us <= p.ts_us + 3600000000)
+        |SELECT event_id, ts_us, c_event_id, c_ts_us, c_ts_us - ts_us AS gap_us
+        |FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "event_transitions" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS active_day
+        |  FROM events)
+        |SELECT cohort_day,
+        |  CAST(floor((active_day - cohort_day) / 7) AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active_users
+        |FROM cohort c JOIN active a ON c.user_id = a.user_id AND a.active_day >= c.cohort_day
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, week_offset""".stripMargin,
+
+    "skyline_parts" ->
+      """WITH d AS (
+        |  SELECT min(p_partkey) AS p_partkey, p_retailprice, p_size
+        |  FROM part GROUP BY p_retailprice, p_size)
+        |SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice,
+        |  CAST(p_size AS BIGINT) AS p_size
+        |FROM d p
+        |WHERE NOT EXISTS (SELECT 1 FROM d q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
 
     "agg_distinct_users" ->
       """SELECT event_type,

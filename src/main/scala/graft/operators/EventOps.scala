@@ -1008,4 +1008,86 @@ object EventOps {
         sum(col("fin") - col("st")).as("covered_us"))
       .orderBy(col("user_id"))
   }
+
+  /** C-asof+: FORWARD as-of join with a tolerance bound — each purchase
+    * matched to the same user's EARLIEST following click no more than one
+    * hour later (else null). Complements [[asofJoinEvents]] (backward,
+    * unbounded): the tolerance is the production form — it bounds how much
+    * history/future the match can reach, which is what makes the streaming
+    * analog's state GC-able and caps the per-key join fan at scale. Same
+    * scale shape as the backward variant: one user-keyed equi join with
+    * time residuals, one per-purchase window, no inequality-only join.
+    */
+  def asofJoinTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val hourUs = 3600L * 1000000L
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("c_event_id"),
+        col("user_id").as("c_user_id"),
+        col("ts_us").as("c_ts_us"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("c_ts_us").asc_nulls_last, col("c_event_id").asc_nulls_last)
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts_us") > col("ts_us") &&
+          col("c_ts_us") <= col("ts_us") + lit(hourUs), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_id"), col("ts_us"), col("c_event_id"), col("c_ts_us"),
+        (col("c_ts_us") - col("ts_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** E+: event-sequence transition matrix — per user, each event's
+    * `lag(event_type)` over the ts order forms a (prev → next) bigram;
+    * counts + distinct-user support per transition. The canonical Markov /
+    * clickstream-mining kernel. One user-partitioned window (the same
+    * exchange every per-user feature shares) then a 25-row aggregate;
+    * nothing about the shape changes at 100 TB — the window is per-user
+    * state, the transition matrix is |event_types|² rows at any scale.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** S+: retention cohort matrix — users cohorted by the DAY of their first
+    * signup; for each cohort, distinct users active per whole-week offset.
+    * Day-granular cohorting sidesteps week-start semantics (an engine
+    * version knob); the offset is an exact integer day difference floored
+    * to weeks. Shape at scale: one per-user min (cohort assignment), one
+    * (user, day) distinct — both key-bounded aggregates — and a broadcast
+    * of nothing: the cohort table scales with users, so the join stays a
+    * user-keyed shuffle pair that AQE may broadcast while small.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val dayUs = 86400L * 1000000L
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(floor(col("ts_us") / dayUs)).as("cohort_day"))
+    val active = e
+      .select(col("user_id").as("a_user_id"),
+        floor(col("ts_us") / dayUs).as("active_day"))
+      .distinct()
+    cohort.join(active,
+        col("user_id") === col("a_user_id") && col("active_day") >= col("cohort_day"))
+      .withColumn("week_offset", floor((col("active_day") - col("cohort_day")) / 7).cast("long"))
+      .groupBy(col("cohort_day").cast("long").as("cohort_day"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active_users"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
 }

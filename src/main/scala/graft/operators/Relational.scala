@@ -1064,6 +1064,45 @@ object Relational {
       .limit(100)
   }
 
+  /** F+: 2-D skyline (Pareto frontier) of part on (price ↓ better,
+    * size ↑ better) — parts no other part beats on both axes. The
+    * sort-based formulation: ordered by (price asc, size desc, key), a row
+    * is on the frontier iff its size exceeds the running max size of every
+    * earlier row. Exact (price, size) duplicates collapse to the min key
+    * first so the strict `>` test is precisely the dominance predicate.
+    *
+    * Distributed shape (the textbook two-phase skyline): phase 1 prunes
+    * within 64 hash buckets — a row dominated inside ANY subset is
+    * dominated globally, so per-bucket pruning is sound and each bucket
+    * forwards only its local frontier (expected O(log n) rows for random
+    * 2-D data). Phase 2 runs the same window over the ≤ 64·|local frontier|
+    * survivors; only that residue ever crosses into the single-partition
+    * window, never the table. The oracle deliberately uses the OTHER
+    * algorithm (quadratic NOT EXISTS dominance) so the hash-compare checks
+    * the semantics, not a shared formulation.
+    */
+  def skylineParts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.part(spark, sfDir)
+      .groupBy(col("p_retailprice"), col("p_size"))
+      .agg(min(col("p_partkey")).as("p_partkey"))
+    def frontier(df: DataFrame, parts: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = Window.partitionBy(parts: _*)
+        .orderBy(col("p_retailprice").asc, col("p_size").desc, col("p_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("pmax", max(col("p_size")).over(w))
+        .filter(col("pmax").isNull || col("p_size") > col("pmax"))
+        .drop("pmax")
+    }
+    val local = frontier(pairs, Seq(pmod(xxhash64(col("p_partkey")), lit(64))))
+    frontier(local, Seq.empty)
+      .select(
+        col("p_partkey"),
+        round(col("p_retailprice"), 2).as("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
   /** C+B: TPC-H Q19 shape — disjunction of brand/size/quantity bands over
     * the part join. The classic Q19 rewrite is applied by hand because
     * Catalyst does not factor common conjuncts out of a disjunction: each

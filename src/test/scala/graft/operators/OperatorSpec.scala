@@ -441,4 +441,38 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     val r = Relational.q19Disjunctive(spark, sf0001).collect()(0)
     assert(r.getLong(0) == 734609460L && r.getLong(1) == 147L)
   }
+
+  test("skyline_parts: golden frontier + no row dominates another") {
+    val rows = Relational.skylineParts(spark, sf0001).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq == Seq(
+      (0L, 900.0, 24L), (3L, 900.3, 29L), (7L, 900.7, 33L),
+      (9L, 900.9, 48L), (26L, 902.6, 50L)))
+    // frontier internal consistency: price strictly asc ⇒ size strictly asc
+    val sizes = rows.map(_.getLong(2))
+    assert(sizes.toSeq == sizes.sorted.toSeq && sizes.distinct.length == sizes.length)
+  }
+
+  test("event_transitions: 5×5 matrix, bigram count = rows - users-with-events") {
+    val rows = EventOps.eventTransitions(spark, sf0001).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getLong(2)).sum == 985L) // 1000 events - 15 users' first rows
+  }
+
+  test("asof_join_tolerance: every purchase kept; matches respect (0, 1h] gap") {
+    val rows = EventOps.asofJoinTolerance(spark, sf0001).collect()
+    assert(rows.length == 202)
+    val matched = rows.filter(!_.isNullAt(2))
+    assert(matched.length == 2)
+    matched.foreach { r =>
+      val gap = r.getLong(4)
+      assert(gap > 0L && gap <= 3600000000L, s"gap out of tolerance: $gap")
+    }
+  }
+
+  test("retention_cohorts: 18 cells summing to 69 active-user-weeks; offsets start at 0") {
+    val rows = EventOps.retentionCohorts(spark, sf0001).collect()
+    assert(rows.length == 18)
+    assert(rows.map(_.getLong(2)).sum == 69L)
+    assert(rows.forall(_.getLong(1) >= 0L))
+  }
 }

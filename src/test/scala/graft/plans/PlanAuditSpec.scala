@@ -429,6 +429,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p18.contains("TakeOrderedAndProject"), p18)
   }
 
+  test("skyline_parts: bucketed local frontier before the single-partition pass") {
+    val p = plan(Relational.skylineParts(spark, sf0001))
+    // phase 1 runs under a hash exchange on the bucket; only its survivors
+    // reach the one SinglePartition exchange of the global pass
+    assert("Window".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("asof_join_tolerance: user-keyed equi join with time residuals, rank-1 limited") {
+    val p = plan(EventOps.asofJoinTolerance(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the rn=1 filter must push into WindowGroupLimit (per-purchase top-1,
+    // no full candidate-list materialization)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q19: implied brand IN-list and quantity cap pushed to both scans") {
     val p = plan(Relational.q19Disjunctive(spark, sf0001))
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(p_brand[^\\]]*\\].*"), p)
