@@ -162,6 +162,7 @@ object SparkEntry {
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
     "dedup_docs_simhash" -> TextAnalysisOps.dedupDocsSimhash _,
     "ngram_jaccard" -> TextOps.ngramJaccard _,
+    "minhash_containment" -> TextOps.minhashContainment _,
     "minhash_jaccard_audit" -> TextOps.minhashJaccardAudit _,
     "dedup_clusters" -> TextOps.dedupClusters _,
     "dedup_keep_best" -> TextOps.dedupKeepBest _,
@@ -2116,6 +2117,50 @@ object SparkEntry {
         |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
         |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
         |    / CAST(c1.n_sh + c2.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
+        |JOIN cnt c1 ON c.doc1 = c1.doc_id
+        |JOIN cnt c2 ON c.doc2 = c2.doc_id
+        |ORDER BY c.doc1, c.doc2""".stripMargin,
+
+    "minhash_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |shl AS (SELECT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |g AS (SELECT doc_id,
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
+        |  FROM shl GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |shd AS (SELECT DISTINCT doc_id, shingle FROM shl),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        |inter AS (SELECT c.doc1, c.doc2, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN shd a ON c.doc1 = a.doc_id
+        |  JOIN shd b ON c.doc2 = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY c.doc1, c.doc2)
+        |SELECT c.doc1, c.doc2,
+        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(c1.n_sh AS DOUBLE) AS cont_1in2,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(c2.n_sh AS DOUBLE) AS cont_2in1,
+        |  CAST(CASE WHEN greatest(
+        |      CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(c1.n_sh AS DOUBLE),
+        |      CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(c2.n_sh AS DOUBLE)) >= 0.9
+        |    THEN 1 ELSE 0 END AS BIGINT) AS contained
         |FROM cand c
         |LEFT JOIN inter i ON c.doc1 = i.doc1 AND c.doc2 = i.doc2
         |JOIN cnt c1 ON c.doc1 = c1.doc_id

@@ -563,7 +563,39 @@ object TextOps {
     * pairs; |A∪B| = |A|+|B|-|A∩B|. Candidates whose band collision was a
     * hash accident get jaccard 0 (left join).
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    candidateOverlapCounts(spark, sfDir)
+      .select(
+        col("doc1"), col("doc2"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double")).as("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+
+  /** V+: CONTAINMENT for the same candidate pairs — the asymmetric overlap
+    * measures C(1⊆2) = |A∩B|/|A| and C(2⊆1) = |A∩B|/|B|. Containment is
+    * the dedup signal Jaccard structurally misses: a short document pasted
+    * inside a much longer one has near-1 containment but low Jaccard
+    * (|A∩B|/|A∪B| is diluted by the big doc). The `contained` flag marks
+    * pairs where either direction reaches 0.9 — both ratios are exact
+    * int/int IEEE quotients (class-2), so the threshold compare is
+    * bit-identical cross-engine.
+    */
+  def minhashContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val fwd = col("n_inter").cast("double") / col("n1").cast("double")
+    val rev = col("n_inter").cast("double") / col("n2").cast("double")
+    candidateOverlapCounts(spark, sfDir)
+      .select(
+        col("doc1"), col("doc2"), col("n_inter"),
+        fwd.as("cont_1in2"), rev.as("cont_2in1"),
+        when(greatest(fwd, rev) >= 0.9, 1L).otherwise(0L).as("contained"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Shared verify-stage kernel for [[ngramJaccard]] / [[minhashContainment]]:
+    * per banded candidate pair, the exact shingle-set intersection size and
+    * both set sizes — (doc1, doc2, n_inter, n1, n2).
+    */
+  private def candidateOverlapCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cand = minhashCandidates(spark, sfDir)
     val nPairs = cand.count() // cheap: count over the staged parquet
@@ -604,9 +636,7 @@ object TextOps {
       .select(
         col("doc1"), col("doc2"),
         coalesce(col("n_inter"), lit(0L)).as("n_inter"),
-        (coalesce(col("n_inter"), lit(0L)).cast("double") /
-          (col("n1") + col("n2") - coalesce(col("n_inter"), lit(0L))).cast("double")).as("jaccard"))
-      .orderBy(col("doc1"), col("doc2"))
+        col("n1"), col("n2"))
   }
 
   /** V+: MINHASH ESTIMATE AUDIT — the sketch-accuracy companion of

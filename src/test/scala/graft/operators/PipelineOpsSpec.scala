@@ -496,6 +496,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0).getDouble(3) == 1.0)
   }
 
+  test("minhash_containment: prefix doc fully contained in its superset, not vice versa") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, short, "en", "src0", short.length.toLong),
+      (2L, long, "en", "src1", long.length.toLong),
+      (3L, short, "en", "src2", short.length.toLong) // exact dup of 1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs5/documents.parquet")
+    val rows = TextOps.minhashContainment(spark, "/tmp/graft_test_docs5").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    // exact dup pair: both directions 1.0, contained
+    assert(rows((1L, 3L)) == ((1.0, 1.0, 1L)))
+    // prefix pair (if banding surfaced it): short-in-long direction is 1.0,
+    // reverse is the shingle ratio 8/18 < 0.9 — flag still fires on max
+    rows.get((1L, 2L)).foreach { case (fwd, rev, flag) =>
+      assert(fwd == 1.0 && rev < 0.9 && flag == 1L)
+    }
+    // every ratio is a valid containment
+    rows.values.foreach { case (f, r, _) =>
+      assert(f >= 0.0 && f <= 1.0 && r >= 0.0 && r <= 1.0)
+    }
+  }
+
   test("doc_fingerprint: order-sensitive, content-defined") {
     import spark.implicits._
     Seq(
