@@ -173,6 +173,7 @@ object SparkEntry {
     "token_count_regex" -> TextOps.tokenCountRegex _,
     "text_tokens" -> TextOps.textTokens _,
     "bpe_pair_stats" -> TextOps.bpePairStats _,
+    "bpe_train_merges" -> TextOps.bpeTrainMerges _,
     "heavy_hitters_tokens" -> TextOps.heavyHittersTokens _,
     "cms_token_counts" -> TextAnalysisOps.cmsTokenCounts _,
     "pack_token_bins" -> TextOps.packTokenBins _,

@@ -183,6 +183,73 @@ object TextOps {
       .limit(30)
   }
 
+  /** V+: BPE TOKENIZER TRAINING — 8 rounds of byte-pair-encoding merges
+    * over the English corpus, the induction loop whose per-round counting
+    * step is [[bpePairStats]]. Each round: count adjacent symbol pairs
+    * weighted by word frequency, merge the most frequent pair (ties →
+    * lexicographically first) greedily left-to-right inside every word,
+    * repeat. Output: one row per merge — rank, the pair, the merged
+    * symbol, its weighted count at merge time.
+    *
+    * Scale shape — the reason real BPE trainers are corpus-scale feasible:
+    * the corpus collapses ONCE to the (word, count) vocabulary table
+    * (bounded by distinct words, ≪ corpus size); all 8 rounds iterate over
+    * that vocab only, each round one pair-count aggregate (map-side
+    * partial over ≤ word-length pairs per row) plus a 1-row argmax
+    * collect — the same driver-loop iteration shape as pagerank. The
+    * symbol alphabet is restricted to [a-z0-9]+ tokens so merge literals
+    * embed safely in the fold expression.
+    *
+    * No SQL oracle: the greedy left-to-right merge fold is not expressible
+    * as a single DuckDB statement (string replace() skips overlapping
+    * occurrences, so adjacent repeats diverge). Declared rows-only; the
+    * binding check is BpeSpec — engine merges == an independent sequential
+    * in-memory BPE on the identical vocabulary.
+    */
+  def bpeTrainMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rounds = 8
+    val vocab = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(explode(tokens).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), filter(split(col("w"), ""), s => length(s) > 0).as("syms"))
+    var seqs = vocab.persist()
+    seqs.count() // materialize the base table once; rounds build on it
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    try {
+      (1 to rounds).foreach { r =>
+        val top = seqs
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1), (x, i) -> concat(x, ' ', element_at(syms, i + 2)))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val Array(a, b) = top(0).getString(0).split(" ", 2)
+          val n = top(0).getLong(1)
+          merges += ((r.toLong, s"$a $b", a + b, n))
+          // greedy leftmost merge: fold over symbols; a just-merged symbol
+          // (a+b != a unless the merge is a no-op) cannot re-merge in-round
+          val fold = s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+            |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b'
+            |  THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
+            |  ELSE concat(acc, array(x)) END)""".stripMargin
+          val next = seqs.select(col("cnt"), expr(fold).as("syms")).persist()
+          next.count() // cut lineage growth: each round reads the previous
+          seqs.unpersist()
+          seqs = next
+        }
+      }
+    } finally seqs.unpersist()
+    merges.toSeq.toDF("rank", "pair", "merged", "n")
+      .orderBy(col("rank"))
+  }
+
   /** Misra-Gries frequent-items sketch over one partition's tokens: at most
     * `k` counters; a miss on a full table decrements every counter and
     * drops zeros. Guarantee (the classic one): any item whose true count in
