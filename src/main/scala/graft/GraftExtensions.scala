@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{BloomMightContainLong, DotProductF32}
+import graft.functions.{BloomMightContainLong, DotProductF32, HilbertIndex}
 
 /** Session extensions registering graft's native expressions, for users who
   * configure `spark.sql.extensions=graft.GraftExtensions`. The engine's own
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotF32)
     ext.injectFunction(GraftFunctions.bloomMightContain)
+    ext.injectFunction(GraftFunctions.hilbertD)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.CoresetStrategy)
   }
@@ -32,10 +33,15 @@ object GraftFunctions {
     BloomMightContainLong.info,
     (children: Seq[Expression]) => BloomMightContainLong(children(0), children(1)): Expression)
 
+  private[graft] val hilbertD = (
+    FunctionIdentifier("hilbert_d"),
+    HilbertIndex.info,
+    (children: Seq[Expression]) => HilbertIndex(children(0), children(1)): Expression)
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(dotF32, bloomMightContain).foreach { case (id, info, builder) =>
+    Seq(dotF32, bloomMightContain, hilbertD).foreach { case (id, info, builder) =>
       if (!registry.functionExists(id)) {
         registry.registerFunction(id, info, builder)
       }

@@ -47,6 +47,12 @@ object LayoutExperiment {
         expr(s"CAST(((ts_us - $tmin) * 256) DIV $tSpan AS INT)")))
       .orderBy(col("z")).drop("z")
       .write.mode("overwrite").parquet(s"$base/zorder")
+    GraftFunctions.register(spark)
+    raw.withColumn("h", expr(
+        s"hilbert_d(CAST(((user_id - $umin) * 256) DIV $uSpan AS INT), " +
+          s"CAST(((ts_us - $tmin) * 256) DIV $tSpan AS INT))"))
+      .orderBy(col("h")).drop("h")
+      .write.mode("overwrite").parquet(s"$base/hilbert")
 
     // narrow slices (1/16 of each dimension) — the dashboard-query shape
     val (uLo, uHi) = (umin + uSpan / 4, umin + uSpan / 4 + uSpan / 16)
@@ -71,10 +77,13 @@ object LayoutExperiment {
       ("time_slice", timeSlice)).foreach { case (name, pred) =>
       val (scanT, retT) = scanRows(s"$base/bytime", pred)
       val (scanZ, retZ) = scanRows(s"$base/zorder", pred)
-      require(retT == retZ, s"$name: layouts disagree: $retT vs $retZ")
+      val (scanH, retH) = scanRows(s"$base/hilbert", pred)
+      require(retT == retZ && retT == retH, s"$name: layouts disagree: $retT vs $retZ vs $retH")
       println(f"$name%-10s rows=$retT  bytime_scan=$scanT (${100.0 * scanT / total}%.1f%%)" +
         f"  zorder_scan=$scanZ (${100.0 * scanZ / total}%.1f%%)" +
-        f"  factor=${scanT.toDouble / math.max(1, scanZ)}%.1f")
+        f"  hilbert_scan=$scanH (${100.0 * scanH / total}%.1f%%)" +
+        f"  factor_z=${scanT.toDouble / math.max(1, scanZ)}%.1f" +
+        f"  factor_h=${scanT.toDouble / math.max(1, scanH)}%.1f")
     }
     spark.stop()
   }

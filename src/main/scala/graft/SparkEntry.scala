@@ -46,6 +46,7 @@ object SparkEntry {
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
+    "hilbert_events_box" -> EventOps.hilbertEventsBox _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
     "csv_roundtrip_events" -> EventOps.csvRoundtripEvents _,
     "orc_roundtrip_events" -> EventOps.orcRoundtripEvents _,
@@ -718,6 +719,19 @@ object SparkEntry {
     // answer — the oracle computes the identical middle-quarter box over
     // the raw table, deriving the same integer bounds from min/max.
     "zorder_events_box" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT min(user_id) AS umin, max(user_id) - min(user_id) + 1 AS uspan,
+        |    min(ts_us) AS tmn, max(ts_us) - min(ts_us) + 1 AS tspan FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(event_id) AS BIGINT) AS min_eid,
+        |  CAST(max(event_id) AS BIGINT) AS max_eid
+        |FROM e, s
+        |WHERE user_id >= umin + uspan // 4 AND user_id < umin + uspan // 2
+        |  AND ts_us >= tmn + tspan // 4 AND ts_us < tmn + tspan // 2""".stripMargin,
+
+    "hilbert_events_box" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
         |s AS (SELECT min(user_id) AS umin, max(user_id) - min(user_id) + 1 AS uspan,
