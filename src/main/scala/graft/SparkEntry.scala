@@ -61,6 +61,8 @@ object SparkEntry {
     "q10_returned_items" -> Relational.q10ReturnedItems _,
     "q18_large_orders" -> Relational.q18LargeOrders _,
     "q19_disjunctive" -> Relational.q19Disjunctive _,
+    "q15_top_supplier" -> Relational.q15TopSupplier _,
+    "ivm_join_view" -> Relational.ivmJoinView _,
     "semi_anti_customers" -> Relational.semiAntiCustomers _,
     "merge_upsert_parts" -> Relational.mergeUpsertParts _,
     "outer_join_orders" -> Relational.outerJoinOrders _,
@@ -387,6 +389,29 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "ivm_join_view" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     "semi_anti_customers" ->
       """SELECT

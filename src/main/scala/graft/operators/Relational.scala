@@ -1103,6 +1103,63 @@ object Relational {
       .orderBy(col("p_retailprice"), col("p_partkey"))
   }
 
+  /** D+C: INCREMENTAL VIEW MAINTENANCE for an aggregate-over-join view —
+    * the revenue-per-nation view under a 10% lineitem batch insert. The
+    * standing view is staged once from the 90% base (a real materialized
+    * view); the refresh joins ONLY the delta against the dims, partial-
+    * aggregates it, and merges partials with the standing view (algebraic
+    * aggregates merge by summation). The DuckDB oracle computes the view
+    * DIRECTLY over the full table, so the driver's hash-compare proves
+    * incremental-refresh == full-recompute cross-engine — the materialized-
+    * view correctness contract, same proof shape as `scd2_apply_batch`.
+    * At 100 TB this is the only viable refresh: cost is
+    * O(Δ ⋈ dims) + O(view), never O(fact).
+    */
+  def ivmJoinView(spark: SparkSession, sfDir: String): DataFrame = {
+    def partials(li: DataFrame): DataFrame =
+      li.join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    val standing = Materialize.stage(spark, s"ivm_nation_view_$sfDir", sfDir) {
+      partials(Tables.lineitem(spark, sfDir).filter(pmod(col("l_orderkey"), lit(10)) =!= 0))
+    }
+    val delta =
+      partials(Tables.lineitem(spark, sfDir).filter(pmod(col("l_orderkey"), lit(10)) === 0))
+    standing.unionByName(delta)
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("revenue_cents")).as("revenue_cents"),
+        sum(col("n_items")).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** C+D: TPC-H Q15 shape — top supplier(s) by quarterly revenue via a
+    * scalar subquery over an aggregate. Written as SQL so Catalyst plans
+    * the max as a true scalar subquery and AQE reuses the revenue
+    * aggregate's exchange for both the probe and the max (one fact scan's
+    * worth of aggregation, a 1-row broadcast, then a filter — at any scale
+    * the revenue table is ǀsuppliersǀ rows, never fact-sized).
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** C+B: TPC-H Q19 shape — disjunction of brand/size/quantity bands over
     * the part join. The classic Q19 rewrite is applied by hand because
     * Catalyst does not factor common conjuncts out of a disjunction: each

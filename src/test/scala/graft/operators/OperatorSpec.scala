@@ -469,6 +469,22 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q15_top_supplier: golden top supplier") {
+    val rows = Relational.q15TopSupplier(spark, sf0001).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 9L && rows(0).getLong(2) == 141942064L)
+  }
+
+  test("ivm_join_view: incremental refresh == direct full aggregate, in-engine") {
+    val ivm = Relational.ivmJoinView(spark, sf0001).collect().map(_.toSeq).toSeq
+    val direct = Relational.joinNationRevenue(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(ivm == direct)
+    // the refresh must not re-read the base fact: exactly one lineitem scan
+    // (the delta) — the standing view comes from its staged parquet
+    val p = Relational.ivmJoinView(spark, sf0001).queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
+  }
+
   test("retention_cohorts: 18 cells summing to 69 active-user-weeks; offsets start at 0") {
     val rows = EventOps.retentionCohorts(spark, sf0001).collect()
     assert(rows.length == 18)
