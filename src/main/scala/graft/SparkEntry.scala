@@ -45,6 +45,7 @@ object SparkEntry {
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
+    "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
     "hilbert_events_box" -> EventOps.hilbertEventsBox _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
@@ -606,6 +607,21 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM e""".stripMargin,
+
+    "stream_sink_time_travel" ->
+      """WITH e AS (SELECT event_id, value,
+        |    row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 5000)),
+        |c AS (SELECT (count(*) + 2) // 3 AS chunk, count(*) AS n FROM e),
+        |b AS (SELECT 0 AS epoch_bound, chunk AS lim FROM c
+        |  UNION ALL SELECT 1, least(2 * chunk, n) FROM c
+        |  UNION ALL SELECT 2, n FROM c)
+        |SELECT CAST(epoch_bound AS BIGINT) AS epoch_bound,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM b JOIN e ON e.rn <= b.lim
+        |GROUP BY epoch_bound
+        |ORDER BY epoch_bound""".stripMargin,
 
     // Continuous top-k == the batch rank-limit window over the slice.
     "stream_topk_tws" ->

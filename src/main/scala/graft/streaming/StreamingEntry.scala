@@ -799,6 +799,45 @@ object StreamingEntry {
       .orderBy(col("nationkey"))
   }
 
+  /** DECLARED snapshot TIME TRAVEL on the atomic sink: after the same
+    * 3-epoch streaming write as [[streamAtomicSink]], read back one
+    * SNAPSHOT PER EPOCH BOUND — the files of all epochs ≤ e, exactly what
+    * the manifest guaranteed is always a complete prefix ("a reader always
+    * sees a complete prefix of epochs"). This is the Iceberg/Delta
+    * read-at-version contract on the engine's own manifest commits: each
+    * snapshot row aggregates a historically consistent view, counts are
+    * monotone in the bound, and the final snapshot equals the full table.
+    * The oracle reconstructs the same prefixes from the source slice via
+    * the feed's deterministic chunking (⌈(n+2)/3⌉-sized event-id-ordered
+    * chunks), so a file leaking across epochs or a snapshot reading a
+    * torn prefix hash-mismatches.
+    */
+  def streamSinkTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_tt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_tt_ckpt").toString
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = stream.toDS()
+        .select(col("event_id"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+        .writeStream.format("graft-atomic-dir")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+    val byEpoch = graft.sources.AtomicDirSink.manifest(dir)
+      .groupBy { case (n, _) => n.split("-")(1).drop(1).toInt }
+      .toSeq.sortBy(_._1)
+    val snapshots = byEpoch.indices.map { i =>
+      val files = byEpoch.take(i + 1).flatMap(_._2).map { case (n, _) => s"$dir/$n" }
+      spark.read.schema("event_id LONG, c LONG").csv(files: _*)
+        .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_cents"))
+        .select(lit(i.toLong).as("epoch_bound"), col("n_rows"), col("sum_cents"))
+    }
+    snapshots.reduce(_ unionByName _).orderBy(col("epoch_bound"))
+  }
+
   /** DECLARED streaming write through the [[graft.sources.AtomicDirSink]]
     * DSv2 STREAMING_WRITE path: three micro-batches, each epoch-committed
     * (epoch-scoped file names, idempotent re-commit, manifest rewritten

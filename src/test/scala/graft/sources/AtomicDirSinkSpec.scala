@@ -101,6 +101,30 @@ class AtomicDirSinkSpec extends AnyFunSuite {
     assert(!Files.list(Paths.get(dir, ".staging")).iterator().hasNext)
   }
 
+  test("time travel: every epoch-prefix snapshot is complete and consistent") {
+    // protocol-level form of the declared stream_sink_time_travel query:
+    // after 3 epoch commits, the files with epoch ≤ e are exactly epochs
+    // 0..e — the "reader always sees a complete prefix" guarantee that
+    // makes read-at-epoch a consistent snapshot
+    val dir = freshDir()
+    val sw = new AtomicDirStreamingWrite(schema, dir)
+    val f = new AtomicDirStreamingWriterFactory(schema, dir)
+    (0 to 2).foreach { e =>
+      val w = f.createWriter(0, 600L + e, epochId = e.toLong)
+      (0 to e).foreach(i => w.write(row(10L * e + i, s"e$e-r$i")))
+      sw.commit(e.toLong, Array(w.commit()))
+    }
+    val entries = AtomicDirSink.manifest(dir)
+    (0 to 2).foreach { bound =>
+      val snap = entries.filter { case (n, _) => n.split("-")(1).drop(1).toInt <= bound }
+      assert(snap.map(_._1).sorted ==
+        (0 to bound).map(e => f"part-e$e%05d-p00000.csv"), s"bound=$bound")
+      // row counts in the manifest are per-epoch truth: snapshot size is
+      // the prefix sum — monotone, final == everything
+      assert(snap.map(_._2).sum == (0 to bound).map(_ + 1).sum.toLong, s"bound=$bound")
+    }
+  }
+
   test("truncate replaces prior contents atomically at commit time") {
     val dir = freshDir()
     val f = factory(dir)
