@@ -46,6 +46,7 @@ object SparkEntry {
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
+    "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
     "hilbert_events_box" -> EventOps.hilbertEventsBox _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
@@ -622,6 +623,18 @@ object SparkEntry {
         |FROM b JOIN e ON e.rn <= b.lim
         |GROUP BY epoch_bound
         |ORDER BY epoch_bound""".stripMargin,
+
+    "stream_event_transitions" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |l AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM e)
+        |SELECT prev_type, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
 
     // Continuous top-k == the batch rank-limit window over the slice.
     "stream_topk_tws" ->

@@ -912,6 +912,72 @@ object StreamingEntry {
     }
   }
 
+  /** Emitted transition bigram. */
+  case class TransOut(user_id: Long, prev_type: String, event_type: String)
+
+  /** `transformWithState` processor for the streaming transition matrix:
+    * per-user state is ONE string — the last event_type seen — so a
+    * batch's first event pairs with the previous batch's last (the
+    * cross-batch carry a per-batch window cannot produce). Rows of a key
+    * arrive in shuffle order within the micro-batch, so the processor
+    * sorts its batch slice by event_id before folding; sequence order is
+    * ingestion (event_id) order end-to-end.
+    */
+  class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, TransOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var last: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[String]("last", E.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TransOut] = {
+      val sorted = rows.toArray.sortBy(_.event_id)
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+      var prev = if (last.exists()) last.get() else null
+      sorted.foreach { e =>
+        if (prev != null) out += TransOut(key, prev, e.event_type)
+        prev = e.event_type
+      }
+      if (prev != null) last.update(prev)
+      out.iterator
+    }
+  }
+
+  /** DECLARED streaming transition matrix: the batch `event_transitions`
+    * bigram counting carried live on [[TransitionProcessor]] — O(1) state
+    * per user (one string), bigrams emitted incrementally, aggregated at
+    * read-back. The oracle computes the same lag-bigrams over the slice in
+    * event_id order, so a dropped cross-batch carry (the classic
+    * per-batch-windowing bug) under-counts and hash-mismatches.
+    */
+  def streamEventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = stream.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+          .writeStream.format("memory").queryName("graft_stream_trans")
+          .outputMode("append").start()
+        try feedChunks(stream, q, slice) finally q.stop()
+      }
+    }
+    spark.table("graft_stream_trans")
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** DECLARED continuous top-k entry: per-type top-5 by (cents desc, id
     * asc) maintained across micro-batches on `transformWithState` — the
     * streaming carrier of the SAME mergeable state `group_topk_agg`
