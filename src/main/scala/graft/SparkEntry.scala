@@ -76,6 +76,8 @@ object SparkEntry {
     "asof_join_events" -> EventOps.asofJoinEvents _,
     "asof_join_tolerance" -> EventOps.asofJoinTolerance _,
     "event_transitions" -> EventOps.eventTransitions _,
+    "drift_tv_distance" -> EventOps.driftTvDistance _,
+    "image_color_near_dup" -> MultimodalOps.imageColorNearDup _,
     "retention_cohorts" -> EventOps.retentionCohorts _,
     "skyline_parts" -> Relational.skylineParts _,
     // D: aggregations
@@ -315,6 +317,35 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "drift_tv_distance" ->
+      """WITH counts AS (
+        |  SELECT CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |totals AS (SELECT week, sum(n) AS total FROM counts GROUP BY week),
+        |types AS (SELECT DISTINCT event_type FROM counts),
+        |wk AS (SELECT t.week, ty.event_type, coalesce(c.n, 0) AS n, t.total
+        |  FROM totals t CROSS JOIN types ty
+        |  LEFT JOIN counts c ON c.week = t.week AND c.event_type = ty.event_type),
+        |j AS (SELECT w.week, w.total, p.total AS total_prev,
+        |    sum(abs(p.n * w.total - w.n * p.total)) AS num
+        |  FROM wk w JOIN wk p ON p.week = w.week - 1 AND p.event_type = w.event_type
+        |  GROUP BY 1, 2, 3)
+        |SELECT week,
+        |  CAST(num AS DOUBLE) / (2 * CAST(total AS DOUBLE) * CAST(total_prev AS DOUBLE)) AS tv_vs_prev,
+        |  CAST(total AS BIGINT) AS n_events
+        |FROM j ORDER BY week""".stripMargin,
+
+    "image_color_near_dup" ->
+      """WITH img AS (SELECT doc_id, CAST((doc_id * 7) % 256 AS BIGINT) AS r_int,
+        |    CAST(floor(((doc_id * 7) % 256) / 8) AS BIGINT) AS bucket
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.r_int AS r1, b.r_int AS r2,
+        |  a.r_int - b.r_int AS dr
+        |FROM img a JOIN img b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  AND abs(a.r_int - b.r_int) <= 4
+        |ORDER BY doc1, doc2""".stripMargin,
 
     "q4_priority_exists" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

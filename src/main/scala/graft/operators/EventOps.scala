@@ -1049,6 +1049,46 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** D+: DATA-DRIFT MONITORING — total-variation distance between
+    * consecutive weeks' event_type distributions, the week-over-week
+    * "did the mix shift" check a production pipeline runs on every
+    * ingest. TV = Σ_t ǀn₁ₜ·N₂ − n₂ₜ·N₁ǀ / (2·N₁·N₂) is computed on the
+    * INTEGER numerator (exact at any scale, order-independent) with one
+    * final IEEE division of exact integers — no ln/KL (libm last-ulp
+    * differences are banned from declared scores). Shape at scale: one
+    * (week, type) count aggregate — ǀweeksǀ·ǀtypesǀ rows — then a
+    * self-join on week adjacency; nothing downstream scales with events.
+    */
+  def driftTvDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(
+        floor(col("ts_us") / weekUs).cast("long").as("week"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("week")).agg(sum(col("n")).as("total"))
+    // complete (week × type) grid so a type absent from one week still
+    // contributes its ǀ0 − n·Nǀ term — both frames are tiny (ǀweeksǀ and
+    // ǀtypesǀ rows), the one sanctioned crossJoin size
+    val types = counts.select(col("event_type")).distinct()
+    val wk = totals.crossJoin(types)
+      .join(counts, Seq("week", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val prev = wk.select(
+      (col("week") + 1).as("week"), col("event_type"),
+      col("n").as("n_prev"), col("total").as("total_prev"))
+    wk.join(prev, Seq("week", "event_type"))
+      .groupBy(col("week"), col("total"), col("total_prev"))
+      .agg(sum(abs(col("n_prev") * col("total") - col("n") * col("total_prev"))).as("num"))
+      .select(
+        col("week"),
+        (col("num").cast("double") /
+          (lit(2).cast("double") * col("total").cast("double") * col("total_prev").cast("double")))
+          .as("tv_vs_prev"),
+        col("total").as("n_events"))
+      .orderBy(col("week"))
+  }
+
   /** C-asof+: FORWARD as-of join with a tolerance bound — each purchase
     * matched to the same user's EARLIEST following click no more than one
     * hour later (else null). Complements [[asofJoinEvents]] (backward,

@@ -474,4 +474,35 @@ object MultimodalOps {
       .toDF("doc_id", "width", "height", "r_mean")
       .orderBy(col("doc_id"))
   }
+
+  /** V+: IMAGE near-dup by decoded color feature — the multimodal
+    * instantiation of the LSH dedup shape: REAL codec decode
+    * (executor-side imageio) → scalar feature (mean red channel) →
+    * bucketed equi self-join on the quantized feature (width-8 buckets) →
+    * exact |Δ| ≤ 4 residual inside the bucket. Never pairwise over the
+    * corpus: candidates are per-bucket, the same discipline as
+    * MinHash/SimHash banding, with the same documented recall caveat
+    * (a near pair straddling a bucket boundary is missed — tighten with
+    * multi-probe or overlapping bands at production recall targets).
+    * The oracle re-derives the feature from the generator's closed form
+    * ((doc_id·7) mod 256 — constant-fill images), so the WHOLE decode
+    * path sits under the cross-engine hash.
+    */
+  def imageColorNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = decodeFeatures(spark, sfDir)
+      .filter(_.mime == "image/png")
+      .map(f => (f.doc_id, f.r_mean.toLong)) // constant fill → exact integer mean
+      .toDF("doc_id", "r_int")
+      .withColumn("bucket", floor(col("r_int") / 8))
+    imgs.as("a").join(imgs.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.r_int") - col("b.r_int")) <= 4)
+      .select(
+        col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.r_int").as("r1"), col("b.r_int").as("r2"),
+        (col("a.r_int") - col("b.r_int")).as("dr"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
 }

@@ -485,6 +485,23 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("drift_tv_distance: golden weeks; TV bounded in [0,1]") {
+    val rows = EventOps.driftTvDistance(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2818L, 2819L, 2820L, 2821L))
+    assert(math.abs(rows(0).getDouble(1) - 0.13371978390315076) < 1e-15)
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("image_color_near_dup: 286 bucketed pairs at sf0.001, residual bound holds") {
+    val rows = graft.operators.MultimodalOps.imageColorNearDup(spark, sf0001).collect()
+    assert(rows.length == 286)
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(4)) <= 4L)
+      // real decode must equal the generator's closed form
+      assert(r.getLong(2) == (r.getLong(0) * 7) % 256)
+    }
+  }
+
   test("retention_cohorts: 18 cells summing to 69 active-user-weeks; offsets start at 0") {
     val rows = EventOps.retentionCohorts(spark, sf0001).collect()
     assert(rows.length == 18)
