@@ -200,6 +200,7 @@ object SparkEntry {
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
     "fuzzy_name_match" -> TextAnalysisOps.fuzzyNameMatch _,
     "pagerank_docs" -> GraphOps.pagerankDocs _,
+    "doc_hop_distance" -> GraphOps.docHopDistance _,
     "triangle_count_docs" -> GraphOps.triangleCountDocs _,
     "regex_clean_stats" -> TextAnalysisOps.regexCleanStats _,
     "hash_sample_stratified" -> TextAnalysisOps.hashSampleStratified _,
@@ -317,6 +318,24 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "doc_hop_distance" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, CAST(n_chars % (SELECT n FROM nn) AS BIGINT) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST((n_chars * 31 + doc_id) % (SELECT n FROM nn) AS BIGINT) FROM documents),
+        |und AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        |  UNION
+        |  SELECT und.dst, walk.depth + 1
+        |  FROM walk JOIN und ON und.src = walk.node
+        |  WHERE walk.depth < 6)
+        |SELECT node, CAST(min(depth) AS BIGINT) AS depth
+        |FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
 
     "drift_tv_distance" ->
       """WITH counts AS (

@@ -97,6 +97,42 @@ object GraphOps {
           .as("clustering"))
   }
 
+  /** V+/graph: BFS HOP DISTANCE from node 0 over the undirected closed-form
+    * doc graph, capped at 6 hops — the shortest-path kernel that completes
+    * the graph family (rank: pagerank, structure: triangles, components:
+    * dedup_clusters, distance: this). The engine runs the Pregel/BSP
+    * shape: per round, join the previous frontier with the edge list and
+    * relax with a min-depth aggregate — state is O(discovered nodes)
+    * (node, depth) pairs, each round one keyed join + one partial-agg'd
+    * min, lineage truncated per round; at 100 TB rounds are bounded
+    * shuffles of 16-byte pairs, never the corpus. The oracle replays the
+    * same search as a DuckDB RECURSIVE CTE (UNION-distinct on
+    * (node, depth) bounds the recursion), so frontier iteration is proven
+    * equal to the declarative recursion cross-engine.
+    */
+  def docHopDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val n = docs.count()
+    val fwd = docs.select(col("doc_id").as("src"), (col("n_chars") % n).as("dst"))
+      .unionByName(docs.select(
+        col("doc_id").as("src"), ((col("n_chars") * 31 + col("doc_id")) % n).as("dst")))
+    val und = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var dist = docs.select(col("doc_id").as("node"))
+      .filter(col("node") === 0)
+      .withColumn("depth", lit(0L))
+    for (d <- 1 to 6) {
+      val next = dist.filter(col("depth") === (d - 1))
+        .join(und, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(d.toLong).as("depth"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("depth")).as("depth"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node"), col("depth")).orderBy(col("node"))
+  }
+
   private def pagerankPlan(
       spark: SparkSession, sfDir: String,
       truncate: DataFrame => DataFrame): DataFrame = {

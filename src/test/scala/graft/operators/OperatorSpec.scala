@@ -485,6 +485,25 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("doc_hop_distance: BFS invariants — source at 0, every level supported by the previous") {
+    val dist = graft.operators.GraphOps.docHopDistance(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist(0L) == 0L)
+    assert(dist.values.forall(d => d >= 0L && d <= 6L))
+    // rebuild the undirected edge set and check: a node at depth d > 0 has
+    // at least one neighbor at depth d-1 (BFS level consistency)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.length
+    val und = docs.flatMap { case (id, c) =>
+      Seq(id -> c % n, id -> (c * 31 + id) % n)
+    }.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    dist.foreach { case (node, d) =>
+      if (d > 0) assert(und(node).exists(nb => dist.get(nb).contains(d - 1)), s"node $node")
+    }
+  }
+
   test("drift_tv_distance: golden weeks; TV bounded in [0,1]") {
     val rows = EventOps.driftTvDistance(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(2818L, 2819L, 2820L, 2821L))
