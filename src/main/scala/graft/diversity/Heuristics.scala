@@ -111,6 +111,16 @@ object Heuristics {
   /** Matching heuristic (R3): greedily add the farthest remaining *pair*
     * until k points are chosen; ½-approx for remote-clique. Deterministic:
     * pair ties resolved by (lower id, lower id).
+    *
+    * Weights (see the object doc): unweighted-on-delegates is exactly
+    * equivalent here, same argument as remote-edge — a weight-w point's
+    * extra copies only add zero-distance pairs (a copy paired with
+    * itself), and a FARTHEST-pair greedy never selects a zero pair while
+    * any positive-distance pair of unused points remains; so as long as
+    * k ≤ #distinct coreset points, the weighted multiset run picks the
+    * identical pairs. Weights matter only in the degenerate k > #distinct
+    * case, which the coreset construction (k′ ≥ k distinct kernels)
+    * rules out.
     */
   def matching(points: Seq[Pt], k: Int): IndexedSeq[Pt] = {
     val pts = points.toArray.sortBy(_.id)
