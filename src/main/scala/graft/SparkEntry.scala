@@ -181,6 +181,7 @@ object SparkEntry {
     "text_tokens" -> TextOps.textTokens _,
     "bpe_pair_stats" -> TextOps.bpePairStats _,
     "bpe_train_merges" -> TextOps.bpeTrainMerges _,
+    "bpe_encode_docs" -> TextOps.bpeEncodeDocs _,
     "heavy_hitters_tokens" -> TextOps.heavyHittersTokens _,
     "cms_token_counts" -> TextAnalysisOps.cmsTokenCounts _,
     "pack_token_bins" -> TextOps.packTokenBins _,

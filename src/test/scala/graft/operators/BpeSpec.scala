@@ -52,6 +52,38 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(engine == reference, s"\nengine:    $engine\nreference: $reference")
   }
 
+  test("bpe_encode_docs == independent sequential encoder on the same corpus") {
+    import org.apache.spark.sql.functions.col
+    def mergeWord(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeWord(rest, a, b)
+      case x :: rest => x :: mergeWord(rest, a, b)
+      case Nil => Nil
+    }
+    val merges = TextOps.bpeTrainMerges(spark, sf0001).collect()
+      .map(r => (r.getString(1).split(" ", 2)(0), r.getString(1).split(" ", 2)(1))).toSeq
+    // sequential per-doc encoding over ALL langs (training is en-only, the
+    // tokenizer applies corpus-wide — same as the engine query)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val perLang = docs.groupBy(_._1).map { case (lang, ds) =>
+      var subwords = 0L
+      ds.foreach { case (_, text) =>
+        text.split(" ").filter(w => w.matches("^[a-z0-9]+$") && w.length >= 2).foreach { w =>
+          var syms = w.map(_.toString).toList
+          merges.foreach { case (a, b) => syms = mergeWord(syms, a, b) }
+          subwords += syms.length
+        }
+      }
+      lang -> (ds.length.toLong, subwords)
+    }
+    val engine = TextOps.bpeEncodeDocs(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    perLang.foreach { case (lang, (nDocs, subwords)) =>
+      assert(engine(lang) == ((nDocs, subwords)), s"lang=$lang")
+    }
+  }
+
   test("sequential reference handles overlapping repeats greedily (aaa -> [aa, a])") {
     // pins the left-to-right greedy semantics both implementations share
     val m = sequentialBpe(Map("aaa" -> 1L), 1)
