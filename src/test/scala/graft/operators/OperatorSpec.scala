@@ -511,6 +511,23 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  test("drift_tv_distance: metric identity — identical weekly mixes give TV exactly 0") {
+    import spark.implicits._
+    // two weeks with the same type mix scaled 3×: TV must be exactly 0
+    // (integer numerator n1*N2 - n2*N1 vanishes term-by-term)
+    val weekUs = 7L * 86400L * 1000000L
+    val rows =
+      Seq.tabulate(10)(i => (i.toLong, 0L * weekUs + i, 1L, if (i % 2 == 0) "a" else "b", 1.0, "{}")) ++
+      Seq.tabulate(30)(i => ((100 + i).toLong, 1L * weekUs + i, 1L, if (i % 2 == 0) "a" else "b", 1.0, "{}"))
+    val dir = "/tmp/graft_tv_ident"
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val tv = EventOps.driftTvDistance(spark, dir).collect()
+    assert(tv.length == 1 && tv(0).getDouble(1) == 0.0, tv.mkString(","))
+  }
+
   test("image_color_near_dup: 286 bucketed pairs at sf0.001, residual bound holds") {
     val rows = graft.operators.MultimodalOps.imageColorNearDup(spark, sf0001).collect()
     assert(rows.length == 286)
