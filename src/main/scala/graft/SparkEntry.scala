@@ -64,6 +64,8 @@ object SparkEntry {
     "q18_large_orders" -> Relational.q18LargeOrders _,
     "q19_disjunctive" -> Relational.q19Disjunctive _,
     "q15_top_supplier" -> Relational.q15TopSupplier _,
+    "table_profile_lineitem" -> Relational.tableProfileLineitem _,
+    "source_overlap_matrix" -> TextOps.sourceOverlapMatrix _,
     "ivm_join_view" -> Relational.ivmJoinView _,
     "semi_anti_customers" -> Relational.semiAntiCustomers _,
     "merge_upsert_parts" -> Relational.mergeUpsertParts _,
@@ -319,6 +321,51 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "table_profile_lineitem" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS column_name, CAST(count(l_orderkey) AS BIGINT) AS n_nonnull,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_val, CAST(max(l_orderkey) AS VARCHAR) AS max_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(count(l_partkey) AS BIGINT), CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |    CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(count(l_suppkey) AS BIGINT), CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |    CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(count(l_quantity) AS BIGINT), CAST(count(DISTINCT l_quantity) AS BIGINT),
+        |    CAST(CAST(floor(min(l_quantity) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+        |    CAST(CAST(floor(max(l_quantity) * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT), CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+        |    CAST(CAST(floor(min(l_extendedprice) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+        |    CAST(CAST(floor(max(l_extendedprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(count(l_discount) AS BIGINT), CAST(count(DISTINCT l_discount) AS BIGINT),
+        |    CAST(CAST(floor(min(l_discount) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+        |    CAST(CAST(floor(max(l_discount) * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', CAST(count(l_returnflag) AS BIGINT), CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |    min(l_returnflag), max(l_returnflag) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', CAST(count(l_shipdate) AS BIGINT), CAST(count(DISTINCT l_shipdate) AS BIGINT),
+        |    strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
+
+    "source_overlap_matrix" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |shl AS (SELECT DISTINCT source, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle))
+        |SELECT a.source AS source1, b.source AS source2,
+        |  CAST(count(*) AS BIGINT) AS n_shared_shingles
+        |FROM shl a JOIN shl b ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY source1, source2""".stripMargin,
 
     "doc_hop_distance" ->
       """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),

@@ -1164,6 +1164,45 @@ object Relational {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** D+/profiling: TABLE PROFILE — per-column (non-null count, exact NDV,
+    * min, max) for lineitem, the dataset-profiling report every platform
+    * materializes before planning layouts and join strategies. ONE scan:
+    * all 8 columns' stats compute in a single aggregate (exact multi-
+    * distinct plans as one Expand ×ǀcolsǀ pass — the documented cost of
+    * exact NDV; swap to approx_count_distinct per column when 2% error is
+    * acceptable at extreme scale), then `stack` pivots the 1×40 row into
+    * the 8×5 report. Engine-stable value protocol: doubles surface as
+    * integer cents, timestamps as formatted strings — no raw double→string
+    * casts (shortest-roundtrip formatting is an engine-version surface).
+    */
+  def tableProfileLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    type C = org.apache.spark.sql.Column
+    val asIs: C => C = _.cast("string")
+    val asCents: C => C = c => floor(c * 100 + lit(0.5)).cast("long").cast("string")
+    val asTs: C => C = c => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    // (name, render) — aggregation runs on the ORIGINAL column (numeric /
+    // temporal order); the monotone renderer applies AFTER min/max, so
+    // ordering is never lexical on digits
+    val cols: Seq[(String, C => C)] = Seq(
+      "l_orderkey" -> asIs, "l_partkey" -> asIs, "l_suppkey" -> asIs,
+      "l_quantity" -> asCents, "l_extendedprice" -> asCents, "l_discount" -> asCents,
+      "l_returnflag" -> asIs, "l_shipdate" -> asTs)
+    val aggs = cols.flatMap { case (n, render) =>
+      Seq(
+        count(col(n)).as(s"${n}_cnt"),
+        count_distinct(col(n)).as(s"${n}_ndv"),
+        render(min(col(n))).as(s"${n}_min"),
+        render(max(col(n))).as(s"${n}_max"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { case (n, _) =>
+      s"'$n', ${n}_cnt, ${n}_ndv, ${n}_min, ${n}_max"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    one.selectExpr(s"$stackExpr AS (column_name, n_nonnull, ndv, min_val, max_val)")
+      .orderBy(col("column_name"))
+  }
+
   /** C+B: TPC-H Q19 shape — disjunction of brand/size/quantity bands over
     * the part join. The classic Q19 rewrite is applied by hand because
     * Catalyst does not factor common conjuncts out of a disjunction: each

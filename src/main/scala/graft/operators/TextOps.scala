@@ -308,6 +308,29 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** V+: CROSS-SOURCE OVERLAP MATRIX — for every source pair, how many
+    * distinct 3-gram shingles they share: the "which of my sources
+    * duplicate each other" report that decides source-level dedup order
+    * and mixture weights before any doc-level pass. Shape at scale:
+    * shingles collapse to DISTINCT (source, xxhash64) pairs FIRST — the
+    * exchange carries 8-byte hashes keyed by hash, bounded by distinct
+    * shingles × sources — then a hash-keyed self-join with source1 <
+    * source2 and a count per pair; output is ǀsourcesǀ²/2 rows at any
+    * corpus size. Never doc-pairwise, never raw text on an exchange.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val srcSh = shingleRows(docs.withColumn("doc_id", col("doc_id")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    srcSh.as("a")
+      .join(srcSh.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy(col("source1"), col("source2"))
+  }
+
   /** Misra-Gries frequent-items sketch over one partition's tokens: at most
     * `k` counters; a miss on a full table decrements every counter and
     * drops zeros. Guarantee (the classic one): any item whose true count in

@@ -485,6 +485,27 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("table_profile_lineitem: 8 columns; counts/ndv/ranges internally consistent") {
+    val rows = Relational.tableProfileLineitem(spark, sf0001).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 6000L, r.toString)                 // all columns non-null
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 6000L)       // 1 ≤ ndv ≤ rows
+    }
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("l_returnflag").getLong(2) == 3L)             // A/N/R
+    assert(byName("l_discount").getString(3) == "0")            // min 0 cents
+  }
+
+  test("source_overlap_matrix: symmetric-free pairs; overlap bounded by smaller side") {
+    val rows = graft.operators.TextOps.sourceOverlapMatrix(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))                   // canonical orientation
+      assert(r.getLong(2) > 0L)
+    }
+    assert(rows.length <= 20 * 19 / 2)
+  }
+
   test("doc_hop_distance: BFS invariants — source at 0, every level supported by the previous") {
     val dist = graft.operators.GraphOps.docHopDistance(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
