@@ -65,6 +65,7 @@ object SparkEntry {
     "q19_disjunctive" -> Relational.q19Disjunctive _,
     "q15_top_supplier" -> Relational.q15TopSupplier _,
     "table_profile_lineitem" -> Relational.tableProfileLineitem _,
+    "k_anonymity_customers" -> Relational.kAnonymityCustomers _,
     "source_overlap_matrix" -> TextOps.sourceOverlapMatrix _,
     "ivm_join_view" -> Relational.ivmJoinView _,
     "semi_anti_customers" -> Relational.semiAntiCustomers _,
@@ -79,6 +80,7 @@ object SparkEntry {
     "asof_join_tolerance" -> EventOps.asofJoinTolerance _,
     "event_transitions" -> EventOps.eventTransitions _,
     "drift_tv_distance" -> EventOps.driftTvDistance _,
+    "ewma_user_value" -> EventOps.ewmaUserValue _,
     "image_color_near_dup" -> MultimodalOps.imageColorNearDup _,
     "retention_cohorts" -> EventOps.retentionCohorts _,
     "skyline_parts" -> Relational.skylineParts _,
@@ -322,6 +324,18 @@ object SparkEntry {
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
 
+    "k_anonymity_customers" ->
+      """WITH cls AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_class_size
+        |FROM cls GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     "table_profile_lineitem" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS column_name, CAST(count(l_orderkey) AS BIGINT) AS n_nonnull,
@@ -384,6 +398,22 @@ object SparkEntry {
         |SELECT node, CAST(min(depth) AS BIGINT) AS depth
         |FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
+
+    "ewma_user_value" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, cents AS s FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, r.s + CAST(floor((e.cents - r.s) / 4.0) AS BIGINT)
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id,
+        |  CAST(max(rn) AS BIGINT) AS n_events,
+        |  CAST(arg_max(s, rn) AS BIGINT) AS ewma_cents
+        |FROM r GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "drift_tv_distance" ->
       """WITH counts AS (

@@ -1089,6 +1089,39 @@ object EventOps {
       .orderBy(col("week"))
   }
 
+  /** E+/time-series: EWMA SMOOTHING in exact fixed-point integer
+    * arithmetic — per user, the exponentially weighted moving average of
+    * spend (α = 1/4) folded over the event sequence in (ts, id) order:
+    * s₀ = x₀, sᵢ = sᵢ₋₁ + ⌊(xᵢ − sᵢ₋₁)/4⌋. The recurrence is inherently
+    * sequential (each value depends on the previous), which windows can't
+    * express — it runs as a per-user `aggregate` fold over the sorted
+    * event array, all integer so partial order/engine cannot perturb it.
+    * ⌊·/4.0⌋ (floor of an exact double quotient) is used on BOTH engines
+    * because integral `DIV` truncates toward zero in Spark but floors in
+    * DuckDB — negative deltas would diverge. State is bounded by one
+    * user's events (the same bound as every per-user window); the oracle
+    * replays the recurrence as a RECURSIVE CTE over row_number.
+    */
+  def ewmaUserValue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("cents"))))
+        .as("evs"))
+      .select(
+        col("user_id"),
+        size(col("evs")).cast("long").as("n_events"),
+        expr(
+          """aggregate(evs,
+            |  named_struct('has', false, 's', CAST(0 AS BIGINT)),
+            |  (acc, e) -> named_struct('has', true, 's',
+            |    CASE WHEN acc.has
+            |         THEN acc.s + CAST(floor((e.cents - acc.s) / 4.0) AS BIGINT)
+            |         ELSE e.cents END),
+            |  acc -> acc.s)""".stripMargin).as("ewma_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** C-asof+: FORWARD as-of join with a tolerance bound — each purchase
     * matched to the same user's EARLIEST following click no more than one
     * hour later (else null). Complements [[asofJoinEvents]] (backward,

@@ -1164,6 +1164,29 @@ object Relational {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** D+/privacy: K-ANONYMITY AUDIT — for the quasi-identifier pair
+    * (c_mktsegment, c_nationkey), how many equivalence classes fall below
+    * k=5 members and how many rows sit in them (re-identification risk
+    * mass), reported per segment. The release-gating check a privacy
+    * review runs before sharing a "pseudonymized" table: any QI class
+    * smaller than k re-identifies its members by linkage. Two bounded
+    * aggregations — (QI) then (segment) — nothing scales past
+    * ǀQI-domainǀ rows after the first map-side-combined pass.
+    */
+  def kAnonymityCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5L
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(lit(0L))).as("n_rows_at_risk"),
+        min(col("n")).as("min_class_size"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** D+/profiling: TABLE PROFILE — per-column (non-null count, exact NDV,
     * min, max) for lineitem, the dataset-profiling report every platform
     * materializes before planning layouts and join strategies. ONE scan:

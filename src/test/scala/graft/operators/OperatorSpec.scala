@@ -485,6 +485,36 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("k_anonymity_customers: risk accounting is internally consistent") {
+    val rows = Relational.kAnonymityCustomers(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (classes, below, atRisk, minSz) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(below <= classes)
+      assert(atRisk <= below * 4L)  // every below-k class has < 5 rows
+      assert(minSz >= 1L)
+      assert((below == 0L) == (atRisk == 0L))
+    }
+  }
+
+  test("ewma_user_value == sequential fixed-point recurrence, per user") {
+    val engine = EventOps.ewmaUserValue(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "ts_us", "event_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perUser = events.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+      val s = sorted.tail.foldLeft(sorted.head) { (s, x) =>
+        s + math.floor((x - s) / 4.0).toLong
+      }
+      u -> (sorted.length.toLong, s)
+    }
+    assert(perUser.size == engine.size)
+    perUser.foreach { case (u, v) => assert(engine(u) == v, s"user=$u") }
+  }
+
   test("table_profile_lineitem: 8 columns; counts/ndv/ranges internally consistent") {
     val rows = Relational.tableProfileLineitem(spark, sf0001).collect()
     assert(rows.length == 8)
