@@ -47,6 +47,8 @@ object SparkEntry {
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
+    "stream_ewma_user" -> graft.streaming.StreamingEntry.streamEwmaUser _,
+    "q14_promo_share" -> Relational.q14PromoShare _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
     "hilbert_events_box" -> EventOps.hilbertEventsBox _,
     "jsonl_roundtrip_events" -> EventOps.jsonlRoundtripEvents _,
@@ -398,6 +400,38 @@ object SparkEntry {
         |SELECT node, CAST(min(depth) AS BIGINT) AS depth
         |FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
+
+    "stream_ewma_user" ->
+      """WITH RECURSIVE sl AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |e AS (
+        |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM sl),
+        |r AS (
+        |  SELECT user_id, rn, cents AS s FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, r.s + CAST(floor((e.cents - r.s) / 4.0) AS BIGINT)
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id,
+        |  CAST(max(rn) AS BIGINT) AS n_events,
+        |  CAST(arg_max(s, rn) AS BIGINT) AS ewma_cents
+        |FROM r GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS promo_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
 
     "ewma_user_value" ->
       """WITH RECURSIVE e AS (

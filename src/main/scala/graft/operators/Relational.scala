@@ -1164,6 +1164,31 @@ object Relational {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** D+C: TPC-H Q14 shape — promo revenue share for one ship-month: a
+    * conditional aggregate over the part join, emitted as exact integer
+    * cents for both the promo slice and the total plus their exact-IEEE
+    * ratio (one int/int division — class-2, no rounding). The month
+    * filter prunes the fact scan; part joins on partkey with only
+    * (p_partkey, p_type) projected, so the broadcast/shuffle side carries
+    * 16 bytes a row at any scale.
+    */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= tsNtz("1996-03-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1996-04-01 00:00:00"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", floor(rev * 100 + lit(0.5))).otherwise(0L))
+          .as("promo_cents"),
+        centsSum(rev).as("total_cents"))
+      .select(
+        col("promo_cents"), col("total_cents"),
+        (col("promo_cents").cast("double") / col("total_cents").cast("double"))
+          .as("promo_share"))
+  }
+
   /** D+/privacy: K-ANONYMITY AUDIT — for the quasi-identifier pair
     * (c_mktsegment, c_nationkey), how many equivalence classes fall below
     * k=5 members and how many rows sit in them (re-identification risk

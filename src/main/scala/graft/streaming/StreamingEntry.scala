@@ -948,6 +948,75 @@ object StreamingEntry {
     }
   }
 
+  /** Final EWMA per user. */
+  case class EwmaOut(user_id: Long, n_events: Long, ewma_cents: Long)
+
+  /** `transformWithState` processor for the streaming EWMA: per-user state
+    * is the (count, smoothed value) pair; each batch's rows fold through
+    * the SAME fixed-point recurrence as the batch `ewma_user_value`
+    * (⌊(x−s)/4.0⌋ — floor, not truncating DIV), sorted by (ts, id) within
+    * the batch. Update mode re-emits the running result; the final batch's
+    * emission is the answer.
+    */
+  class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, EwmaOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("ewma", E.tuple(E.scalaLong, E.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[EwmaOut] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0L)
+      // ingestion (event_id) order — the feed is event_id-chunked, so this
+      // is the one order that is consistent ACROSS batches (a ts-ordered
+      // fold would need future batches' earlier-ts rows; see the oracle)
+      rows.toArray.sortBy(_.event_id).foreach { e =>
+        val cents = math.floor(e.value * 100 + 0.5).toLong
+        s = if (n == 0L) cents else s + math.floor((cents - s) / 4.0).toLong
+        n += 1
+      }
+      st.update((n, s))
+      Iterator.single(EwmaOut(key, n, s))
+    }
+  }
+
+  /** DECLARED streaming EWMA: the batch `ewma_user_value` recurrence
+    * carried live — O(1) state per user (count + smoothed cents),
+    * cross-batch carry exact because the state IS the recurrence value.
+    * Update mode re-emits per batch; the declared output takes each
+    * user's final emission (max n_events), which must equal the batch
+    * fold — the oracle is the same recursive-CTE replay over the slice.
+    */
+  def streamEwmaUser(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = stream.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
+          .writeStream.format("memory").queryName("graft_stream_ewma")
+          .outputMode("update").start()
+        try feedChunks(stream, q, slice) finally q.stop()
+      }
+    }
+    // final emission per user = the row with the max n_events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    spark.table("graft_stream_ewma")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("ewma_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** DECLARED streaming transition matrix: the batch `event_transitions`
     * bigram counting carried live on [[TransitionProcessor]] — O(1) state
     * per user (one string), bigrams emitted incrementally, aggregated at
