@@ -66,6 +66,19 @@ object SparkEntry {
     "q18_large_orders" -> Relational.q18LargeOrders _,
     "q19_disjunctive" -> Relational.q19Disjunctive _,
     "q15_top_supplier" -> Relational.q15TopSupplier _,
+    // TPC-H completion set (TpchOps): the 11 remaining classic shapes over
+    // the derived-partsupp CTE / fixture-expressible adaptations.
+    "q2_min_cost_supplier" -> TpchOps.q2MinCostSupplier _,
+    "q8_market_share" -> TpchOps.q8MarketShare _,
+    "q9_product_profit" -> TpchOps.q9ProductProfit _,
+    "q11_important_stock" -> TpchOps.q11ImportantStock _,
+    "q12_late_priority" -> TpchOps.q12LatePriority _,
+    "q13_customer_distribution" -> TpchOps.q13CustomerDistribution _,
+    "q16_supplier_counts" -> TpchOps.q16SupplierCounts _,
+    "q17_small_qty_revenue" -> TpchOps.q17SmallQtyRevenue _,
+    "q20_excess_suppliers" -> TpchOps.q20ExcessSuppliers _,
+    "q21_waiting_supplier" -> TpchOps.q21WaitingSupplier _,
+    "q22_dormant_customers" -> TpchOps.q22DormantCustomers _,
     "table_profile_lineitem" -> Relational.tableProfileLineitem _,
     "k_anonymity_customers" -> Relational.kAnonymityCustomers _,
     "source_overlap_matrix" -> TextOps.sourceOverlapMatrix _,
@@ -168,6 +181,11 @@ object SparkEntry {
     // SQL-expressible; recall vs exact pinned in PipelineOpsSpec
     "cos_topk_pq" -> VectorOps.cosTopkPq _,
     "knn_label_vote" -> VectorOps.knnLabelVote _,
+    // rows-only: iterative Lloyd fixpoint (GMM-seeded) not SQL-expressible;
+    // objective-monotone + bit-stability invariants in PipelineOpsSpec
+    "kmeans_lloyd" -> VectorOps.kmeansLloyd _,
+    "bm25_topk" -> TextAnalysisOps.bm25Topk _,
+    "mad_outliers" -> EventOps.madOutliers _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
@@ -566,6 +584,185 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    // TPC-H completion set: every oracle re-derives partsupp with the SAME
+    // integer-arithmetic CTE the engine uses (TpchOps.partsupp), so the
+    // derivation itself sits under the cross-engine hash.
+    "q2_min_cost_supplier" ->
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST((l_partkey * 7 + l_suppkey * 3) % 90000 + 100 AS BIGINT) AS ps_supplycost_cents,
+        |         CAST((l_partkey * 31 + l_suppkey * 17) % 100 + 1 AS BIGINT) AS ps_availqty
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+        |SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_cents,
+        |       s_name, n_name, p_partkey, ps.ps_supplycost_cents
+        |FROM partsupp ps
+        |JOIN supplier ON ps.ps_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |JOIN part ON ps.ps_partkey = p_partkey AND p_size = 15
+        |WHERE ps.ps_supplycost_cents = (
+        |  SELECT min(ps2.ps_supplycost_cents)
+        |  FROM partsupp ps2
+        |  JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+        |  WHERE ps2.ps_partkey = ps.ps_partkey)
+        |ORDER BY s_acctbal_cents DESC, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN vol_cents ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(vol_cents) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT l_suppkey, o_orderdate, o_custkey,
+        |         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS vol_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00') v
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST((l_partkey * 7 + l_suppkey * 3) % 90000 + 100 AS BIGINT) AS ps_supplycost_cents,
+        |         CAST((l_partkey * 31 + l_suppkey * 17) % 100 + 1 AS BIGINT) AS ps_availqty
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+        |SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        |      - ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY n_name, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST((l_partkey * 7 + l_suppkey * 3) % 90000 + 100 AS BIGINT) AS ps_supplycost_cents,
+        |         CAST((l_partkey * 31 + l_suppkey * 17) % 100 + 1 AS BIGINT) AS ps_availqty
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
+        |pp AS (
+        |  SELECT ps_partkey, sum(ps_supplycost_cents * ps_availqty) AS value_cents
+        |  FROM partsupp
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        |  GROUP BY ps_partkey)
+        |SELECT ps_partkey, value_cents
+        |FROM pp
+        |WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM pp)
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT
+        |  CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey) co
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST((l_partkey * 7 + l_suppkey * 3) % 90000 + 100 AS BIGINT) AS ps_supplycost_cents,
+        |         CAST((l_partkey * 31 + l_suppkey * 17) % 100 + 1 AS BIGINT) AS ps_availqty
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM partsupp
+        |JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH pq AS (
+        |  SELECT l_partkey AS a_partkey,
+        |         sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |         CAST(count(*) AS BIGINT) AS n_li
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 7.0
+        |         AS avg_yearly_cents,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |JOIN pq ON a_partkey = l_partkey
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST((l_partkey * 7 + l_suppkey * 3) % 90000 + 100 AS BIGINT) AS ps_supplycost_cents,
+        |         CAST((l_partkey * 31 + l_suppkey * 17) % 100 + 1 AS BIGINT) AS ps_availqty
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
+        |shipped AS (
+        |  SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+        |         sum(CAST(l_quantity AS BIGINT)) AS sh_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, s_suppkey
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        |WHERE s_suppkey IN (
+        |  SELECT ps_suppkey FROM partsupp
+        |  JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+        |  JOIN shipped ON sh_partkey = ps_partkey AND sh_suppkey = ps_suppkey
+        |  WHERE ps_availqty * 2 > sh_qty)
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lo l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+        |       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS totacctbal_cents
+        |FROM customer
+        |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > (
+        |    SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ivm_join_view" ->
       """SELECT n_name,
@@ -2154,6 +2351,52 @@ object SparkEntry {
         |FROM t JOIN counts USING (tok)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the log-free rational idf (house no-libm rule); per-term
+    // scores quantized to BIGINT micro-units BEFORE the per-doc sum, so the
+    // ranking key is an exact integer in both engines.
+    "bm25_topk" ->
+      """WITH q(qid, q_term) AS (VALUES (1, 'scan'), (1, 'filter'), (1, 'fast'),
+        |  (2, 'join'), (2, 'key'), (2, 'merge'),
+        |  (3, 'stream'), (3, 'window'), (3, 'batch')),
+        |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |      FROM documents WHERE lang = 'en'),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |sc AS (
+        |  SELECT qid, tfc.doc_id,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) +
+        |      1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) * 1000000 + 0.5) AS BIGINT)
+        |      AS score_micro
+        |  FROM tfc JOIN q ON term = q_term JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = tfc.doc_id CROSS JOIN st),
+        |qd AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, sum(score_micro) AS score_micro,
+        |              CAST(count(*) AS BIGINT) AS n_terms_hit FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id)
+        |        AS rnk FROM qd)
+        |SELECT qid, CAST(rnk AS BIGINT) AS "rank", doc_id, score_micro, n_terms_hit
+        |FROM r WHERE rnk <= 10 ORDER BY qid, "rank"""".stripMargin,
+
+    // Exact medians over integer cents (quantile_cont ≡ Spark percentile):
+    // interpolated midpoints are exact .5-step doubles, so med/MAD/compare
+    // are engine-portable with no rounding anywhere.
+    "mad_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med_cents FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, abs(CAST(cents AS DOUBLE) - med_cents) AS dev, med_cents
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_cents FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       min(med_cents) AS med_cents, min(mad_cents) AS mad_cents,
+        |       sum(CASE WHEN dev > 3.0 * mad_cents THEN 1 ELSE 0 END) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "text_tokens" ->
       """WITH tk AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en')

@@ -1203,4 +1203,39 @@ object EventOps {
       .agg(count_distinct(col("user_id")).as("n_active_users"))
       .orderBy(col("cohort_day"), col("week_offset"))
   }
+
+  /** D+: ROBUST OUTLIER DETECTION per event type via median absolute
+    * deviation — the data-quality screen that, unlike z-scores
+    * ([[winZscoreEvents]]), a few extreme values cannot drag: med and MAD
+    * are order statistics, 50%-breakdown-robust. Exact medians
+    * (`percentile` ≡ DuckDB `quantile_cont`, the [[Relational
+    * .percentilesQty]] parity) over INTEGER cents, so the interpolated
+    * midpoints are exact .5-step doubles and |cents − med| is exact
+    * again — the whole chain is engine-portable without a single
+    * `round()`. Flag = deviation > 3·MAD (double compare of exact
+    * values). Two grouped order-statistic passes + one conditional
+    * aggregate, all keyed on the 5-value event_type; at 100 TB the
+    * per-group exact median is the deliberate choice (bounded group
+    * count) with `value_quantiles_sketch` as the unbounded-cardinality
+    * escape.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents.as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med_cents"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents").cast("double") - col("med_cents")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med_cents")).as("med_cents"),
+        first(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3.0) * col("mad_cents"), lit(1L)).otherwise(lit(0L)))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -477,6 +477,65 @@ object TextAnalysisOps {
     * scalars ride a broadcast cross join of a 1-row aggregate over that
     * tiny table — the fact scan never repeats and never shuffles twice.
     */
+  /** V+: BM25 RANKED RETRIEVAL over the corpus — the scoring half the
+    * inverted index ([[TextOps.postingLists]]) exists for: three fixed
+    * keyword queries ranked against every English document, top-10 each.
+    * Okapi BM25 with k1=1.2, b=0.75, and the LOG-FREE rational idf
+    * `(N − df + 0.5)/(df + 0.5)` — the house no-libm rule (COVERAGE.md;
+    * `ln` is the one op whose last ulp differs across engines, same reason
+    * `drift_tv_distance` uses TV not KL). Rank-ordering is preserved: the
+    * rational form is the argument of the standard idf's monotone `ln`.
+    * Determinism: tf/df/dl/N are exact BIGINTs, avgdl a class-2 quotient,
+    * and each per-term score is ONE fixed left-associated chain of IEEE
+    * ops — both engines evaluate the identical expression text — then
+    * quantized to BIGINT micro-units BEFORE the per-doc sum, so the
+    * query-document score is an exact integer no summation order can
+    * perturb. Scale posture: tf and df are token-keyed partial-agg'd
+    * aggregates off ONE corpus scan each; the query side is a broadcast
+    * literal; the only fact-scale exchange is the tf groupBy — the
+    * classic "search engine as a join" plan, never a corpus × query scan.
+    */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (1L, "scan"), (1L, "filter"), (1L, "fast"),
+      (2L, "join"), (2L, "key"), (2L, "merge"),
+      (3L, "stream"), (3L, "window"), (3L, "batch")).toDF("qid", "q_term")
+    val docToks = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("toks"))
+    val dl = docToks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = docToks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(queries), col("term") === col("q_term"))
+      .join(df_, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // identical expression text to the oracle: idf · saturated-tf, one
+      // left-associated chain, quantized per term
+      .withColumn("score_micro", expr(
+        "CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+          "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
+          "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) * 1000000 + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_micro").desc, col("doc_id"))
+    perTerm
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("score_micro")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_micro"), col("n_terms_hit"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def corpusMixWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val perLang = Tables.documents(spark, sfDir)
       .select(col("lang"),

@@ -486,4 +486,77 @@ object VectorOps {
           (col("n_rows") * lit(1000000L)).cast("double")).as("centroid"))
       .orderBy(col("label"), col("dim"))
   }
+
+  /** V+: LLOYD'S K-MEANS (k=8, 3 refinement iterations) — the canonical
+    * iterative-ML kernel on the DataFrame runtime, composing the diversity
+    * core one step further than [[cosTopkIvfKmeans]]: GMM farthest-first
+    * over the composable coreset SEEDS the cells (the k-means++ role —
+    * Gonzalez init carries a provable spread guarantee), Lloyd refines
+    * them. Each iteration is ONE scan + ONE k-group exchange: assignment
+    * is a closure-broadcast argmin computed map-side in a typed map
+    * (ascending-dim fold, ties → lowest cell: deterministic), the update
+    * rides [[graft.functions.KmeansCellAgg]]'s exact micro-unit state, and
+    * the next centroid is `floor(sum/n + 0.5)` micro-units — one IEEE
+    * division of exact integers, so the whole trajectory is bit-stable
+    * under any partitioning (spec-pinned, as is the Lloyd guarantee that
+    * the objective never increases). Iterations are driver-looped over
+    * bounded derived state (k centroids), the MLlib shape; only the 24-row
+    * (iter × cell) history crosses to the driver. Per-point d² is
+    * quantized to BIGINT micro-units so the objective sum is exact — at
+    * extreme scale (≳10¹² rows × large d²) that sum's headroom would need
+    * DECIMAL(38) or a two-level split, noted here once. Not
+    * SQL-expressible (iterative fixpoint) → rows-only, invariant-tested.
+    */
+  def kmeansLloyd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val iters = 3
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding")).as("d")).first().getInt(0)
+    // seed on the micro grid so iteration 0 is already exactly representable
+    var centers: Array[Array[Double]] = DiversityOps.selectDiverse(spark, sfDir, k)
+      .map(_.vec.map(f => math.floor(f.toDouble * 1e6 + 0.5) / 1e6).toArray).toArray
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val agg = new graft.functions.KmeansCellAgg(dim)
+    for (it <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val stats = emb
+        .map { case (_, v) =>
+          val cs = bc.value
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var d = 0.0
+            var i = 0
+            while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c } // strict <: ties keep lowest cell
+            c += 1
+          }
+          (best, v, math.floor(bd * 1e6 + 0.5).toLong)
+        }
+        .groupByKey(_._1)
+        .agg(agg.toColumn.name("state"))
+        .collect()
+        .toMap
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        stats.get(c) match {
+          case Some(st) if st.n > 0 =>
+            st.sums.map(s => math.floor(s.toDouble / st.n + 0.5) / 1e6)
+          case _ => old // empty cell keeps its centroid (no reseeding: determinism)
+        }
+      }
+      (0 until k).foreach { c =>
+        val st = stats.get(c)
+        history += ((it.toLong, c.toLong,
+          st.map(_.n).getOrElse(0L), st.map(_.wcssMicro).getOrElse(0L)))
+      }
+      bc.destroy()
+    }
+    history.toSeq.toDF("iter", "cell", "n_points", "wcss_micro")
+      .orderBy(col("iter"), col("cell"))
+  }
 }

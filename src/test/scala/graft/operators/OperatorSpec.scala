@@ -595,4 +595,107 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getLong(2)).sum == 69L)
     assert(rows.forall(_.getLong(1) >= 0L))
   }
+
+  test("bm25_topk: top hit per query is golden; scores descend within query; ranks tile 1..10") {
+    val rows = TextAnalysisOps.bm25Topk(spark, sf0001).collect()
+    assert(rows.length == 30)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(1L, 2L, 3L))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 10L))
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.toSeq == scores.sortBy(-_).toSeq)
+      assert(g.forall(r => r.getLong(4) >= 1L && r.getLong(4) <= 3L))
+    }
+    val top1 = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 1L).get
+    assert(top1.getLong(2) == 333L && top1.getLong(3) == 1476971L)
+  }
+
+  test("mad_outliers: golden per-type medians/MADs; outliers bounded") {
+    val rows = EventOps.madOutliers(spark, sf0001).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4))).toSeq == Seq(
+      ("click", 210L, 3339.5, 2286.5, 23L),
+      ("error", 201L, 3355.0, 2295.0, 22L),
+      ("purchase", 202L, 3582.5, 2391.0, 28L),
+      ("signup", 199L, 3790.0, 2849.0, 14L),
+      ("view", 188L, 3721.5, 2556.0, 17L)))
+    assert(rows.map(_.getLong(1)).sum == 1000L) // every event in exactly one group
+  }
+
+  // r10 TPC-H completion set — goldens computed once with DuckDB at sf0.001
+  // (the substantive cross-engine check is the sf0.01 driver oracle).
+
+  test("q2_min_cost_supplier: golden 5 rows — each part keeps only its EUROPE min-cost supplier") {
+    val rows = TpchOps.q2MinCostSupplier(spark, sf0001).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4))).toSeq == Seq(
+      (603519L, "Supplier#000000002", 20L, 246L),
+      (603519L, "Supplier#000000002", 52L, 470L),
+      (603519L, "Supplier#000000002", 120L, 946L),
+      (603519L, "Supplier#000000002", 130L, 1016L),
+      (603519L, "Supplier#000000002", 150L, 1156L)))
+  }
+
+  test("q8_market_share: both years present; share 0 at sf0.001 (no NATION_7 volume in ASIA)") {
+    val rows = TpchOps.q8MarketShare(spark, sf0001).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1995L, 0.0), (1996L, 0.0)))
+  }
+
+  test("q9_product_profit: golden head; years descend within nation") {
+    val rows = TpchOps.q9ProductProfit(spark, sf0001).collect()
+    assert(rows.length == 70)
+    val r0 = rows(0)
+    assert(r0.getString(0) == "NATION_12" && r0.getLong(1) == 2001L && r0.getLong(2) == 22863249L)
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val ys = g.map(_.getLong(1)).toSeq
+      assert(ys == ys.sortBy(-_), s"years not descending: $ys")
+    }
+  }
+
+  test("q11_important_stock: empty at sf0.001 (NATION_9 holds no suppliers there)") {
+    assert(TpchOps.q11ImportantStock(spark, sf0001).count() == 0L)
+  }
+
+  test("q12_late_priority: golden CASE-sum split") {
+    val rows = TpchOps.q12LatePriority(spark, sf0001).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      ("LATE", 1218L, 1829L), ("ONTIME", 1189L, 1764L)))
+  }
+
+  test("q13_customer_distribution: golden head; distribution masses sum to the customer count") {
+    val rows = TpchOps.q13CustomerDistribution(spark, sf0001).collect()
+    assert(rows.length == 15)
+    assert(rows.take(3).map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq(
+      (9L, 25L), (6L, 20L), (10L, 17L)))
+    assert(rows.map(_.getLong(1)).sum == 150L) // every customer lands in exactly one bucket
+  }
+
+  test("q16_supplier_counts: golden head; counts descend") {
+    val rows = TpchOps.q16SupplierCounts(spark, sf0001).collect()
+    assert(rows.length == 26)
+    val r0 = rows(0)
+    assert((r0.getString(0), r0.getString(1), r0.getLong(2), r0.getLong(3)) ==
+      (("Brand#11", "SMALL", 16L, 10L)))
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.toSeq == cnts.sortBy(-_).toSeq)
+  }
+
+  test("q17_small_qty_revenue: golden single row (integer-exact 5·qty·count < sum threshold)") {
+    val r = TpchOps.q17SmallQtyRevenue(spark, sf0001).collect()(0)
+    assert(r.getDouble(0) == 800232.7142857143 && r.getLong(1) == 1L)
+  }
+
+  test("q20/q21: empty at sf0.001 (NATION_9 holds no suppliers there)") {
+    assert(TpchOps.q20ExcessSuppliers(spark, sf0001).count() == 0L)
+    assert(TpchOps.q21WaitingSupplier(spark, sf0001).count() == 0L)
+  }
+
+  test("q22_dormant_customers: golden head; every cohort is dormant high-balance") {
+    val rows = TpchOps.q22DormantCustomers(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.take(3).map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      (0L, 1L, 880844L), (1L, 1L, 590039L), (10L, 1L, 762287L)))
+    assert(rows.forall(_.getLong(1) >= 1L))
+  }
 }

@@ -601,4 +601,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(langs.contains(r.getString(0)) && langs.contains(r.getString(1)))
     }
   }
+
+  test("kmeans_lloyd: objective never increases, mass conserved, bit-stable across runs") {
+    val a = VectorOps.kmeansLloyd(spark, sf0001).collect()
+    assert(a.length == 24) // 3 iterations × 8 cells
+    val byIter = a.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    // Lloyd guarantee: total assignment WCSS is non-increasing
+    val wcss = byIter.map(_._2.map(_.getLong(3)).sum)
+    assert(wcss == wcss.sorted.reverse, s"objective increased: $wcss")
+    assert(wcss.head > wcss.last, "refinement did no work at all")
+    // every point assigned to exactly one cell, every iteration
+    byIter.foreach { case (_, g) => assert(g.map(_.getLong(2)).sum == 500L) }
+    // exact micro-unit algebra ⇒ a second run is bit-identical
+    val b = VectorOps.kmeansLloyd(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
 }

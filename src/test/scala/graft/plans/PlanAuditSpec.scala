@@ -2,7 +2,7 @@ package graft.plans
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
-import graft.operators.{EventOps, Relational, VectorOps}
+import graft.operators.{EventOps, Relational, TpchOps, VectorOps}
 
 /** Regression guards for the scale-critical physical-plan properties the
   * engine's 100 TB posture depends on (SURVEY.md §4.2, SCALING.md). These
@@ -452,5 +452,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(p_brand[^\\]]*\\].*"), p)
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_quantity,40[^\\]]*\\].*"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q2: correlated-min as ONE per-part window; bounded dims broadcast; no cartesian") {
+    val p = plan(TpchOps.q2MinCostSupplier(spark, sf0001))
+    assert("Window".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q13: join-condition filter keeps the join LEFT OUTER (a WHERE would make it inner)") {
+    val p = plan(TpchOps.q13CustomerDistribution(spark, sf0001))
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q16: NOT IN planned as a broadcast anti join; distinct-count via Expand, no self-join") {
+    val p = plan(TpchOps.q16SupplierCounts(spark, sf0001))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Expand") || p.contains("count(distinct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q21: the double correlation is one semi + one anti join, all on orderkey") {
+    val p = plan(TpchOps.q21WaitingSupplier(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q11/q22: the scalar-subquery totals ride 1-row broadcasts, never a shuffle") {
+    // the crossJoin(broadcast(1-row agg)) pattern plans as a broadcast
+    // nested loop — intentional: the inner side is exactly one row
+    val p11 = plan(TpchOps.q11ImportantStock(spark, sf0001))
+    assert(p11.contains("BroadcastNestedLoopJoin"), p11)
+    assert(!p11.contains("CartesianProduct"), p11)
+    val p22 = plan(TpchOps.q22DormantCustomers(spark, sf0001))
+    assert(p22.contains("BroadcastNestedLoopJoin"), p22)
+    assert(p22.contains("LeftAnti"), p22)
+    assert(!p22.contains("CartesianProduct"), p22)
   }
 }
