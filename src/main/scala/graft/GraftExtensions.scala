@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bloomMightContain)
     ext.injectFunction(GraftFunctions.hilbertD)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.CoresetStrategy)
   }
 }

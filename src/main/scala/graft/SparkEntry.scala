@@ -186,6 +186,8 @@ object SparkEntry {
     "kmeans_lloyd" -> VectorOps.kmeansLloyd _,
     "bm25_topk" -> TextAnalysisOps.bm25Topk _,
     "mad_outliers" -> EventOps.madOutliers _,
+    "band_join_auto" -> EventOps.bandJoinAuto _,
+    "link_predict_cn" -> GraphOps.linkPredictCn _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
@@ -928,6 +930,19 @@ object SparkEntry {
 
     // The binned plan is provably the plain band join — the oracle IS the
     // plain band (theta) join.
+    // The NAIVE band join (no manual binning) — the engine side relies on
+    // the BandJoinRewrite optimizer rule for the scalable plan; the hash
+    // proves the rewritten plan computes the naive semantics.
+    "band_join_auto" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |err AS (SELECT epoch_us(ts) AS err_ts FROM events WHERE event_type = 'error'),
+        |per AS (SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_errors
+        |  FROM p JOIN err ON abs(err.err_ts - p.ts_us) <= 60000000
+        |  GROUP BY p.event_id)
+        |SELECT n_errors, CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM per GROUP BY 1
+        |ORDER BY n_errors""".stripMargin,
+
     "band_join_binned" ->
       """WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
         |err AS (SELECT epoch_us(ts) AS err_ts FROM events WHERE event_type = 'error'),
@@ -2443,6 +2458,34 @@ object SparkEntry {
     // the left join (their iter tag is window-filled from the global max).
     // Triangles counted once each at their minimum vertex (a<b<c oriented
     // two-join); clustering = one exact-int IEEE quotient (class 2).
+    // Link prediction over the same closed-form graph; Jaccard is one
+    // int/int IEEE division (class 2).
+    "link_predict_cn" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |directed AS (
+        |  SELECT doc_id AS src, n_chars % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (n_chars * 31 + doc_id) % (SELECT n FROM nn) FROM documents),
+        |edges AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM directed WHERE src <> dst),
+        |und AS (SELECT a AS node, b AS nbr FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY node),
+        |cand AS (
+        |  SELECT x.nbr AS u, y.nbr AS v, CAST(count(*) AS BIGINT) AS cn
+        |  FROM und x JOIN und y ON x.node = y.node AND x.nbr < y.nbr
+        |  GROUP BY 1, 2),
+        |nonedge AS (
+        |  SELECT u, v, cn FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = c.u AND e.b = c.v))
+        |SELECT u, v, cn, du.deg AS deg_u, dv.deg AS deg_v,
+        |  CAST(cn AS DOUBLE) / CAST(du.deg + dv.deg - cn AS DOUBLE) AS jaccard
+        |FROM nonedge
+        |JOIN deg du ON du.node = u
+        |JOIN deg dv ON dv.node = v
+        |ORDER BY cn DESC, u, v
+        |LIMIT 20""".stripMargin,
+
     "triangle_count_docs" ->
       """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |directed AS (

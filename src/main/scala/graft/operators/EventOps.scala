@@ -1204,6 +1204,35 @@ object EventOps {
       .orderBy(col("cohort_day"), col("week_offset"))
   }
 
+  /** C+: the NAIVE band join, made scalable by the optimizer — written
+    * exactly as a user writes it (`abs(err_ts − ts_us) <= 60 s`, an inner
+    * join with no equi key), which Spark would plan as a
+    * BroadcastNestedLoopJoin; the injected [[graft.plans.BandJoinRewrite]]
+    * rule turns it into the bin-exploded equi join
+    * ([[bandJoinBinned]]'s hand shape) automatically. Declared output:
+    * per-purchase ±60 s error counts distribution (inner join, so only
+    * purchases with ≥1 nearby error appear — the two-sided complement of
+    * the one-sided LEFT [[bandJoinBinned]]). The oracle runs the same
+    * naive join in DuckDB: the hash proves rewrite == naive cross-engine;
+    * BandJoinRewriteSpec proves rewrite == unrewritten in-engine and
+    * pins the no-BNLJ plan.
+    */
+  def bandJoinAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.BandJoinRewrite.ensure(spark) // bare-session robustness
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_us"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("ts_us").as("err_ts"))
+    purchases
+      .join(errors, abs(col("err_ts") - col("ts_us")) <= lit(60000000L))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_errors"))
+      .groupBy(col("n_errors"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("n_errors"))
+  }
+
   /** D+: ROBUST OUTLIER DETECTION per event type via median absolute
     * deviation — the data-quality screen that, unlike z-scores
     * ([[winZscoreEvents]]), a few extreme values cannot drag: med and MAD

@@ -97,6 +97,49 @@ object GraphOps {
           .as("clustering"))
   }
 
+  /** V+/graph: LINK PREDICTION by common-neighbor count + Jaccard
+    * coefficient over the same closed-form doc graph — the fourth graph
+    * kernel (rank / structure / distance / prediction). Candidate pairs
+    * are NON-edges sharing ≥1 neighbor: wedges formed at the middle
+    * vertex (one self-join of the undirected adjacency on the midpoint,
+    * u < v canonical), existing edges removed with a LEFT ANTI on the
+    * canonical edge list, common-neighbor counts partial-agg'd, Jaccard
+    * = cn / (deg u + deg v − cn) as ONE IEEE division of exact BIGINTs
+    * (no libm, class-2). Top-20 by (cn, u, v) via TakeOrdered. Scale
+    * posture: wedge emission is Σ deg(mid)² — bounded here (mean degree
+    * ~4); at production degree skew you'd cap or sample high-degree
+    * midpoints first (the standard two-path pruning), which composes
+    * with this plan as one extra filter on a degree join.
+    */
+  def linkPredictCn(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val n = Tables.rowCount(spark, sfDir, "documents")
+    val directed = docs.select(col("doc_id").as("src"), (col("n_chars") % n).as("dst"))
+      .unionByName(docs.select(
+        col("doc_id").as("src"), ((col("n_chars") * 31 + col("doc_id")) % n).as("dst")))
+    val edges = directed
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val cand = und.as("x")
+      .join(und.as("y"), col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("u"), col("y.nbr").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"))
+      .join(edges, col("u") === col("a") && col("v") === col("b"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        (col("cn").cast("double") /
+          (col("deg_u") + col("deg_v") - col("cn")).cast("double")).as("jaccard"))
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   /** V+/graph: BFS HOP DISTANCE from node 0 over the undirected closed-form
     * doc graph, capped at 6 hops — the shortest-path kernel that completes
     * the graph family (rank: pagerank, structure: triangles, components:

@@ -624,6 +624,21 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == 1000L) // every event in exactly one group
   }
 
+  test("link_predict_cn: candidates are canonical non-edges with consistent Jaccard") {
+    val rows = graft.operators.GraphOps.linkPredictCn(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val cns = rows.map(_.getLong(2))
+    assert(cns.toSeq == cns.sortBy(-_).toSeq)
+    rows.foreach { r =>
+      val (u, v, cn, du, dv, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(u < v)
+      assert(cn >= 1L && cn <= math.min(du, dv)) // common nbrs bounded by degree
+      assert(j == cn.toDouble / (du + dv - cn).toDouble) // exact int/int quotient
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   // r10 TPC-H completion set — goldens computed once with DuckDB at sf0.001
   // (the substantive cross-engine check is the sf0.01 driver oracle).
 
