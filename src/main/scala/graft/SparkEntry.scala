@@ -188,6 +188,7 @@ object SparkEntry {
     "mad_outliers" -> EventOps.madOutliers _,
     "band_join_auto" -> EventOps.bandJoinAuto _,
     "link_predict_cn" -> GraphOps.linkPredictCn _,
+    "sink_stats_pruned_read" -> EventOps.sinkStatsPrunedRead _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
@@ -734,7 +735,7 @@ object SparkEntry {
         |  JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
         |  JOIN shipped ON sh_partkey = ps_partkey AND sh_suppkey = ps_suppkey
         |  WHERE ps_availqty * 2 > sh_qty)
-        |ORDER BY s_name""".stripMargin,
+        |ORDER BY s_name, s_suppkey""".stripMargin,
 
     "q21_waiting_supplier" ->
       """WITH lo AS (
@@ -930,6 +931,18 @@ object SparkEntry {
 
     // The binned plan is provably the plain band join — the oracle IS the
     // plain band (theta) join.
+    // The engine writes through the stats-collecting atomic sink, prunes
+    // files on manifest min/max, then filters; the oracle aggregates the
+    // SOURCE with the same predicate — pruning must drop no qualifying row.
+    "sink_stats_pruned_read" ->
+      """WITH b AS (SELECT count(*) // 4 AS lo, count(*) // 2 - 1 AS hi FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE event_id BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)""".stripMargin,
+
     // The NAIVE band join (no manual binning) — the engine side relies on
     // the BandJoinRewrite optimizer rule for the scalable plan; the hash
     // proves the rewritten plan computes the naive semantics.

@@ -64,7 +64,13 @@ object SpillExperiment {
       // the CMS token-stream aggregate and the per-type z-score window
       // (WindowExec buffers whole partitions → the classic sort-spill path)
       "cms_token_counts" -> operators.TextAnalysisOps.cmsTokenCounts _,
-      "win_zscore_events" -> operators.EventOps.winZscoreEvents _)
+      "win_zscore_events" -> operators.EventOps.winZscoreEvents _,
+      // r10 continuation — the two reshaped heavy queries (profile must
+      // stay HashAggregate under pressure; the auto-rewritten band join
+      // must never fall back to a nested loop) plus the robust-stats scan
+      "table_profile_lineitem" -> operators.Relational.tableProfileLineitem _,
+      "band_join_auto" -> operators.EventOps.bandJoinAuto _,
+      "mad_outliers" -> operators.EventOps.madOutliers _)
 
     var totalSec = 0.0
     val lines = queries.map { case (name, q) =>

@@ -1204,6 +1204,47 @@ object EventOps {
       .orderBy(col("cohort_day"), col("week_offset"))
   }
 
+  /** H+: MANIFEST-STATS PRUNED READ — the lakehouse file-skipping loop
+    * closed on the [[graft.sources.AtomicDirSink]]: the write is
+    * range-repartitioned on user_id (so each of the 8 files carries a
+    * tight user range), the sink's writers collect per-file integral
+    * min/max stats into the manifest, and the read enumerates ONLY the
+    * files whose stat range intersects the predicate band
+    * (`AtomicDirSink.prunedFiles`) before applying the row filter. The
+    * oracle computes the same aggregate from the SOURCE table — the hash
+    * proves pruning dropped no qualifying row; AtomicDirSinkSpec pins
+    * that it actually skips (≥ half the files for a quarter-range band).
+    * At 100 TB this is the decisive scan economics: skipping is decided
+    * from a manifest that is O(files), before any data file is opened —
+    * the same contract as Iceberg/Delta file stats, expressed in the
+    * sink's two-phase-commit manifest.
+    */
+  def sinkStatsPrunedRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_sink").toString
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), cents.as("c"))
+      .repartitionByRange(8, col("event_id"))
+      .write.format("graft-atomic-dir").option("path", dir)
+      .mode("append").save()
+    // scale-invariant quarter band [n/4, n/2): event ids are dense 0..n−1
+    // at every SF, and n comes from footer metadata — same bounds the
+    // oracle derives from count(*)
+    val n = Tables.rowCount(spark, sfDir, "events")
+    val (lo, hi) = (n / 4, n / 2 - 1)
+    val files = graft.sources.AtomicDirSink.prunedFiles(dir, colIdx = 0, lo = lo, hi = hi)
+      .map(f => s"$dir/$f")
+    spark.read
+      .schema("event_id LONG, user_id LONG, c LONG")
+      .csv(files: _*)
+      .filter(col("event_id").between(lo, hi))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("sum_cents"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
   /** C+: the NAIVE band join, made scalable by the optimizer — written
     * exactly as a user writes it (`abs(err_ts − ts_us) <= 60 s`, an inner
     * join with no equi key), which Spark would plan as a

@@ -274,7 +274,8 @@ object TpchOps {
         col("s_nationkey") === col("n_nationkey"))
       .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
       .select(col("s_name"), col("s_suppkey"))
-      .orderBy(col("s_name"))
+      // suppkey tie-break: replicated fixtures (GenData) duplicate names
+      .orderBy(col("s_name"), col("s_suppkey"))
   }
 
   /** C/TPC-H Q21 shape: the double-correlated EXISTS / NOT EXISTS —

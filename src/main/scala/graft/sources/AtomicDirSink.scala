@@ -52,18 +52,52 @@ class AtomicDirSink extends TableProvider with DataSourceRegister {
 object AtomicDirSink {
   val ManifestName = "_MANIFEST"
 
+  /** One committed file as the manifest records it: name, rows, and the
+    * per-column min/max stats (keyed by schema ordinal) the writer
+    * collected for integral columns — the Iceberg-style file-level stats
+    * that make manifest reads PRUNABLE without opening data files.
+    */
+  case class ManifestEntry(name: String, rows: Long, stats: Map[Int, (Long, Long)])
+
   /** Committed file names (with row counts) from the manifest — the ONLY
     * sanctioned way to enumerate the table's files.
     */
-  def manifest(dir: String): Seq[(String, Long)] = {
+  def manifest(dir: String): Seq[(String, Long)] =
+    manifestEntries(dir).map(e => (e.name, e.rows))
+
+  /** Full manifest incl. file stats. Line format:
+    * `name,rows[,colIdx:min:max ...]` — the stats fields are optional, so
+    * v1 manifests (and epoch lines written before stats existed) parse
+    * unchanged with empty stats (= unprunable, always read: safe).
+    */
+  def manifestEntries(dir: String): Seq[ManifestEntry] = {
     val p = Paths.get(dir, ManifestName)
     Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty)
       .map { line =>
-        val Array(name, n) = line.split(",", 2)
-        (name, n.toLong)
+        val parts = line.split(",")
+        val stats = parts.drop(2).iterator.map { s =>
+          val Array(i, mn, mx) = s.split(":", 3)
+          i.toInt -> (mn.toLong, mx.toLong)
+        }.toMap
+        ManifestEntry(parts(0), parts(1).toLong, stats)
       }
   }
+
+  /** File skipping on manifest stats: the files whose [min, max] range for
+    * schema ordinal `colIdx` intersects [lo, hi]. Files without stats for
+    * the column are KEPT (cannot prove them empty — correctness first).
+    * This is the scan-planning half of lakehouse pruning: at 100 TB the
+    * win is not reading 7/8ths of the data files at all, decided from a
+    * manifest that is O(files), not O(rows).
+    */
+  def prunedFiles(dir: String, colIdx: Int, lo: Long, hi: Long): Seq[String] =
+    manifestEntries(dir)
+      .filter(_.stats.get(colIdx).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      .map(_.name)
+
+  private[sources] def statsSuffix(stats: Seq[(Int, Long, Long)]): String =
+    stats.map { case (i, mn, mx) => s",$i:$mn:$mx" }.mkString
 }
 
 class AtomicDirTable(schema0: StructType, path: String) extends Table with SupportsWrite {
@@ -121,11 +155,11 @@ class AtomicDirStreamingWrite(schema: StructType, dir: String)
       abort(epochId, messages)
       return
     }
-    val published = messages.toSeq.map { case StagedFile(staged, pid, rows) =>
-      val name = f"${epochPrefix}p$pid%05d.csv"
-      Files.move(Paths.get(staged), d.resolve(name),
+    val published = messages.toSeq.map { case sf: StagedFile =>
+      val name = f"${epochPrefix}p${sf.partitionId}%05d.csv"
+      Files.move(Paths.get(sf.stagedPath), d.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      s"$name,$rows"
+      s"$name,${sf.rows}" + AtomicDirSink.statsSuffix(sf.stats)
     }
     val tmp = d.resolve(s".${AtomicDirSink.ManifestName}.tmp")
     Files.write(tmp, (prior ++ published.sorted).asJava, StandardCharsets.UTF_8,
@@ -136,13 +170,17 @@ class AtomicDirStreamingWrite(schema: StructType, dir: String)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case StagedFile(staged, _, _) => Files.deleteIfExists(Paths.get(staged))
+      case sf: StagedFile => Files.deleteIfExists(Paths.get(sf.stagedPath))
       case _                        => ()
     }
 }
 
-/** Commit message: the staged file a task attempt wrote, and its rows. */
-case class StagedFile(stagedPath: String, partitionId: Int, rows: Long)
+/** Commit message: the staged file a task attempt wrote, its rows, and
+  * the integral-column min/max stats gathered during the write (schema
+  * ordinal, min, max) — columns that stayed all-NULL are omitted.
+  */
+case class StagedFile(stagedPath: String, partitionId: Int, rows: Long,
+    stats: Seq[(Int, Long, Long)] = Nil)
     extends WriterCommitMessage
 
 class AtomicDirBatchWrite(schema: StructType, dir: String, truncate: Boolean)
@@ -160,16 +198,16 @@ class AtomicDirBatchWrite(schema: StructType, dir: String, truncate: Boolean)
           p.getFileName.toString == AtomicDirSink.ManifestName)
         .foreach(Files.delete)
     }
-    val published = messages.toSeq.map { case StagedFile(staged, pid, rows) =>
-      val name = f"part-$pid%05d.csv"
-      Files.move(Paths.get(staged), d.resolve(name),
+    val published = messages.toSeq.map { case sf: StagedFile =>
+      val name = f"part-${sf.partitionId}%05d.csv"
+      Files.move(Paths.get(sf.stagedPath), d.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      (name, rows)
+      s"$name,${sf.rows}" + AtomicDirSink.statsSuffix(sf.stats)
     }
     // Manifest LAST, itself staged-then-moved: publish is atomic.
     val tmp = d.resolve(s".${AtomicDirSink.ManifestName}.tmp")
     Files.write(tmp,
-      published.sortBy(_._1).map { case (n, r) => s"$n,$r" }.asJava,
+      published.sorted.asJava,
       StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, d.resolve(AtomicDirSink.ManifestName),
@@ -178,7 +216,7 @@ class AtomicDirBatchWrite(schema: StructType, dir: String, truncate: Boolean)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case StagedFile(staged, _, _) => Files.deleteIfExists(Paths.get(staged))
+      case sf: StagedFile => Files.deleteIfExists(Paths.get(sf.stagedPath))
       case _                        => ()
     }
 }
@@ -202,6 +240,13 @@ class AtomicDirWriterFactory(schema: StructType, dir: String) extends DataWriter
       private val out = Files.newBufferedWriter(staging, StandardCharsets.UTF_8,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       private var n = 0L
+      // file-level min/max stats for integral columns (manifest pruning);
+      // gathered inline — one compare pair per integral cell, no extra pass
+      private val statIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
+      }
+      private val statMin = Array.fill(statIdx.length)(Long.MaxValue)
+      private val statMax = Array.fill(statIdx.length)(Long.MinValue)
 
       private val getters: Array[InternalRow => String] =
         schema.fields.zipWithIndex.map { case (f, i) =>
@@ -218,12 +263,28 @@ class AtomicDirWriterFactory(schema: StructType, dir: String) extends DataWriter
       override def write(row: InternalRow): Unit = {
         out.write(getters.map(_(row)).mkString(","))
         out.write("\n")
+        var k = 0
+        while (k < statIdx.length) {
+          val i = statIdx(k)
+          if (!row.isNullAt(i)) {
+            val v = schema.fields(i).dataType match {
+              case LongType => row.getLong(i)
+              case _        => row.getInt(i).toLong
+            }
+            if (v < statMin(k)) statMin(k) = v
+            if (v > statMax(k)) statMax(k) = v
+          }
+          k += 1
+        }
         n += 1
       }
 
       override def commit(): WriterCommitMessage = {
         out.close()
-        StagedFile(staging.toString, partitionId, n)
+        val stats = statIdx.indices.collect {
+          case k if statMin(k) <= statMax(k) => (statIdx(k), statMin(k), statMax(k))
+        }
+        StagedFile(staging.toString, partitionId, n, stats.toSeq)
       }
 
       override def abort(): Unit = {

@@ -138,4 +138,31 @@ class AtomicDirSinkSpec extends AnyFunSuite {
     assert(AtomicDirSink.manifest(dir) == Seq(("part-00000.csv", 1L)))
     assert(Files.readAllLines(Paths.get(dir, "part-00000.csv")).asScala == Seq("2,new"))
   }
+
+  test("file stats land in the manifest; pruning skips disjoint files and keeps overlapping/statless ones") {
+    val dir = freshDir()
+    val f = factory(dir)
+    // partition 0: ids 1..10, partition 1: ids 100..110, partition 2: all-NULL ids
+    val w0 = f.createWriter(0, 500L); (1L to 10L).foreach(i => w0.write(row(i, s"a$i")))
+    val w1 = f.createWriter(1, 501L); (100L to 110L).foreach(i => w1.write(row(i, s"b$i")))
+    val w2 = f.createWriter(2, 502L)
+    w2.write(InternalRow(null, org.apache.spark.unsafe.types.UTF8String.fromString("z")))
+    batchWrite(dir).commit(Array(w0.commit(), w1.commit(), w2.commit()))
+
+    val entries = AtomicDirSink.manifestEntries(dir)
+    assert(entries.map(_.name) ==
+      Seq("part-00000.csv", "part-00001.csv", "part-00002.csv"))
+    assert(entries(0).stats(0) == ((1L, 10L)))
+    assert(entries(1).stats(0) == ((100L, 110L)))
+    assert(entries(2).stats.get(0).isEmpty) // all-NULL column: no stat
+
+    // band [5, 50]: file 0 overlaps, file 1 is provably disjoint (skipped),
+    // file 2 has no stats (kept — correctness first)
+    assert(AtomicDirSink.prunedFiles(dir, 0, 5L, 50L) ==
+      Seq("part-00000.csv", "part-00002.csv"))
+    // full-range band keeps everything
+    assert(AtomicDirSink.prunedFiles(dir, 0, Long.MinValue, Long.MaxValue).length == 3)
+    // row counts unaffected by the stats suffix
+    assert(AtomicDirSink.manifest(dir).map(_._2) == Seq(10L, 11L, 1L))
+  }
 }
