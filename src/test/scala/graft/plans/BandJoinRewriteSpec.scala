@@ -83,6 +83,27 @@ class BandJoinRewriteSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("randomized bands: rewritten result == naive result for 12 seeded (lo, hi, data) draws") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 12).foreach { _ =>
+      val a = Seq.fill(120)((rnd.nextInt(2000) - 1000).toLong).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("a_id", "a_v")
+      val b = Seq.fill(90)((rnd.nextInt(2000) - 1000).toLong).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("b_id", "b_v")
+      val x = rnd.nextInt(201) - 100
+      val y = rnd.nextInt(201) - 100
+      val (lo, hi) = (math.min(x, y).toLong, math.max(x, y).toLong)
+      def q = a.join(b,
+        col("a_v") >= col("b_v") + lit(lo) && col("a_v") <= col("b_v") + lit(hi))
+      val naive = sortedRows(q)
+      val (rewritten, p) = withRule((sortedRows(q), plan(q)))
+      assert(rewritten == naive, s"band [$lo, $hi] diverged")
+      assert(p.contains("Generate") && !p.contains("BroadcastNestedLoopJoin"),
+        s"band [$lo, $hi] not rewritten:\n$p")
+    }
+  }
+
   test("band_join_auto: declared query gets the rewritten plan and matches the manual binned result at sf0.001") {
     // inner two-sided ±60 s band recomputed from the manual one-sided
     // binned shape is a different query; instead cross-check the declared
