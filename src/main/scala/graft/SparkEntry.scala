@@ -189,6 +189,7 @@ object SparkEntry {
     "band_join_auto" -> EventOps.bandJoinAuto _,
     "link_predict_cn" -> GraphOps.linkPredictCn _,
     "sink_stats_pruned_read" -> EventOps.sinkStatsPrunedRead _,
+    "seasonal_forecast_mae" -> EventOps.seasonalForecastMae _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
@@ -931,6 +932,32 @@ object SparkEntry {
 
     // The binned plan is provably the plain band join — the oracle IS the
     // plain band (theta) join.
+    // Seasonal-mean backtest: profile = class-2 quotient; per-event abs
+    // error quantized to micro BIGINT before summing, so MAE sits on the
+    // hash with no summation-order exposure.
+    "seasonal_forecast_mae" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |         epoch_us(ts) // 86400000000 AS d,
+        |         (epoch_us(ts) // 3600000000) % 24 AS hod
+        |  FROM events),
+        |d0 AS (SELECT min(d) AS d0 FROM e),
+        |ed AS (SELECT e.*, d - (SELECT d0 FROM d0) AS rel FROM e),
+        |prof AS (
+        |  SELECT event_type, hod,
+        |         CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pred
+        |  FROM ed WHERE rel < 21 GROUP BY 1, 2),
+        |test AS (
+        |  SELECT ed.event_type,
+        |         CAST(floor(abs(CAST(c AS DOUBLE) - pred) * 1e6 + 0.5) AS BIGINT) AS err_micro
+        |  FROM ed JOIN prof ON ed.event_type = prof.event_type AND ed.hod = prof.hod
+        |  WHERE rel >= 21 AND rel < 28)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+        |  sum(err_micro) AS sum_abs_err_micro,
+        |  CAST(sum(err_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae_micro
+        |FROM test GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The engine writes through the stats-collecting atomic sink, prunes
     // files on manifest min/max, then filters; the oracle aggregates the
     // SOURCE with the same predicate — pruning must drop no qualifying row.

@@ -1204,6 +1204,41 @@ object EventOps {
       .orderBy(col("cohort_day"), col("week_offset"))
   }
 
+  /** D+: SEASONAL BASELINE FORECAST + BACKTEST — the simplest honest
+    * forecasting loop a metrics pipeline runs: per (event_type,
+    * hour-of-day) mean value learned on the first three weeks, evaluated
+    * as MAE on week four. Everything engine-portable: hour/day from
+    * integer µs division, the profile a class-2 exact-int quotient, each
+    * test event's absolute error quantized to BIGINT micro-units BEFORE
+    * the sum (one deterministic IEEE chain per event — no
+    * summation-order drift), MAE one final int/int division. The
+    * train/test boundary is data-driven (min-day broadcast), so the
+    * query is scale- and epoch-invariant. Plan: one scan feeds both
+    * slices, profile is |types|×24 rows broadcast back to the test side,
+    * one event_type-keyed final aggregate.
+    */
+  def seasonalForecastMae(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"), cents.as("c"))
+      .withColumn("d", expr("ts_us DIV 86400000000"))
+      .withColumn("hod", expr("(ts_us DIV 3600000000) % 24"))
+    val d0 = ev.agg(min(col("d")).as("d0"))
+    val evd = ev.crossJoin(broadcast(d0)).withColumn("rel", col("d") - col("d0"))
+    val profile = evd.filter(col("rel") < 21)
+      .groupBy(col("event_type"), col("hod"))
+      .agg((sum(col("c")).cast("double") / count(lit(1)).cast("double")).as("pred"))
+    evd.filter(col("rel") >= 21 && col("rel") < 28)
+      .join(broadcast(profile), Seq("event_type", "hod"))
+      .withColumn("err_micro",
+        floor(abs(col("c").cast("double") - col("pred")) * 1e6 + lit(0.5)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(col("err_micro")).as("sum_abs_err_micro"),
+        (sum(col("err_micro")).cast("double") / count(lit(1)).cast("double")).as("mae_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** H+: MANIFEST-STATS PRUNED READ — the lakehouse file-skipping loop
     * closed on the [[graft.sources.AtomicDirSink]]: the write is
     * range-repartitioned on user_id (so each of the 8 files carries a

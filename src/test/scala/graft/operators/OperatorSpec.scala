@@ -624,6 +624,17 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == 1000L) // every event in exactly one group
   }
 
+  test("seasonal_forecast_mae: all five types backtested; MAE identity holds exactly") {
+    val rows = EventOps.seasonalForecastMae(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("click", "error", "purchase", "signup", "view"))
+    rows.foreach { r =>
+      val (n, s, mae) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0L && s >= 0L)
+      assert(mae == s.toDouble / n.toDouble) // one exact int/int division
+    }
+  }
+
   test("link_predict_cn: candidates are canonical non-edges with consistent Jaccard") {
     val rows = graft.operators.GraphOps.linkPredictCn(spark, sf0001).collect()
     assert(rows.length == 20)

@@ -483,6 +483,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bm25_topk: query side broadcasts; rank limit pushes into WindowGroupLimit; no cartesian") {
+    val p = plan(graft.operators.TextAnalysisOps.bm25Topk(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q11/q22: the scalar-subquery totals ride 1-row broadcasts, never a shuffle") {
     // the crossJoin(broadcast(1-row agg)) pattern plans as a broadcast
     // nested loop — intentional: the inner side is exactly one row

@@ -165,4 +165,21 @@ class AtomicDirSinkSpec extends AnyFunSuite {
     // row counts unaffected by the stats suffix
     assert(AtomicDirSink.manifest(dir).map(_._2) == Seq(10L, 11L, 1L))
   }
+
+  test("streaming epochs carry file stats too; pruning composes with time travel") {
+    val dir = freshDir()
+    val sw = new AtomicDirStreamingWrite(schema, dir)
+    def epoch(e: Long, ids: Range): Unit = {
+      val w = new AtomicDirStreamingWriterFactory(schema, dir).createWriter(0, 900L + e, e)
+      ids.foreach(i => w.write(row(i.toLong, s"e$e-$i")))
+      sw.commit(e, Array(w.commit()))
+    }
+    epoch(0, 1 to 5)
+    epoch(1, 200 to 210)
+    val entries = AtomicDirSink.manifestEntries(dir)
+    assert(entries.map(_.stats(0)) == Seq((1L, 5L), (200L, 210L)))
+    // a band over epoch 0's range prunes epoch 1's file — file skipping
+    // works identically on epoch-scoped names
+    assert(AtomicDirSink.prunedFiles(dir, 0, 1L, 10L) == Seq("part-e00000-p00000.csv"))
+  }
 }
