@@ -48,6 +48,7 @@ object SparkEntry {
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
     "stream_ewma_user" -> graft.streaming.StreamingEntry.streamEwmaUser _,
+    "stream_sample_users" -> graft.streaming.StreamingEntry.streamSampleUsers _,
     "q14_promo_share" -> Relational.q14PromoShare _,
     "zorder_events_box" -> EventOps.zorderEventsBox _,
     "hilbert_events_box" -> EventOps.hilbertEventsBox _,
@@ -1051,6 +1052,23 @@ object SparkEntry {
         |ORDER BY prev_type, event_type""".stripMargin,
 
     // Continuous top-k == the batch rank-limit window over the slice.
+    // Deterministic streamed reservoir: bottom-8 by md5-hex priority per
+    // user; the batch window over the slice must reproduce it exactly.
+    "stream_sample_users" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |p AS (SELECT user_id, event_id,
+        |        substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS pri FROM e),
+        |r AS (SELECT user_id, event_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY pri, event_id) AS rk,
+        |        count(*) OVER (PARTITION BY user_id) AS n
+        |      FROM p)
+        |SELECT user_id,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS sample_csv,
+        |  CAST(count(*) AS BIGINT) AS n_sample,
+        |  CAST(min(n) AS BIGINT) AS n_seen
+        |FROM r WHERE rk <= 8
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "stream_topk_tws" ->
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
         |r AS (SELECT event_type, event_id,

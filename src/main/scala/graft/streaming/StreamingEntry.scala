@@ -1047,6 +1047,91 @@ object StreamingEntry {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** Emitted sample row: the user's current bounded uniform sample. */
+  case class SampleOut(user_id: Long, sample_csv: String, n_sample: Long, n_seen: Long)
+
+  /** Bounded sampler state: ≤ k (priority, event_id) pairs kept sorted by
+    * (priority, id). Priorities are the md5-hex prefix of the event id —
+    * the engine's deterministic-PRN idiom (`weighted_sample_strata`), so
+    * "uniform at random" is reproducible bit-for-bit in both engines and
+    * across replays.
+    */
+  case class SampleState(pris: Seq[String], ids: Seq[Long])
+
+  /** `transformWithState` processor for CONTINUOUS BOTTOM-k SAMPLING: a
+    * per-user uniform-without-replacement sample of fixed size k
+    * maintained forever at O(k) state — the streaming form of reservoir
+    * sampling, made deterministic (and merge-order-free) by hash
+    * priorities: the bottom-k set of a union is the bottom-k of the
+    * bottom-k's, so batch boundaries and within-batch row order cannot
+    * change the result. Each batch re-emits the user's current sample
+    * with a consumed counter (update mode).
+    */
+  class SampleProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, SampleOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: ValueState[SampleState] = _
+    @transient private var seen: ValueState[Long] = _
+
+    private def pri(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.take(8).map(b => f"$b%02x").mkString // 16 hex chars
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[SampleState]("sample", E.product[SampleState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SampleOut] = {
+      val prev = if (st.exists()) st.get() else SampleState(Nil, Nil)
+      var pairs = prev.pris.zip(prev.ids).toVector
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { e => pairs :+= (pri(e.event_id), e.event_id); n += 1 }
+      val kept = pairs.sortBy(identity).take(k)
+      st.update(SampleState(kept.map(_._1), kept.map(_._2)))
+      seen.update(n)
+      Iterator.single(SampleOut(
+        key, kept.map(_._2).sorted.mkString(","), kept.size.toLong, n))
+    }
+  }
+
+  /** DECLARED continuous per-user sample entry: deterministic reservoir-
+    * style bottom-8 sampling on [[SampleProcessor]]; the declared surface
+    * keeps each user's LAST emission (max consumed). Oracle = the batch
+    * bottom-8-by-md5-priority window over the slice — hash-matching it
+    * proves the streamed bounded state converges to exactly the batch
+    * sample regardless of chunking.
+    */
+  def streamSampleUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = stream.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new SampleProcessor(8), TimeMode.None(), OutputMode.Update())
+          .writeStream.format("memory").queryName("graft_stream_sample")
+          .outputMode("update").start()
+        try feedChunks(stream, q, slice) finally q.stop()
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    spark.table("graft_stream_sample")
+      .withColumn("max_c", max(col("n_seen")).over(w))
+      .filter(col("n_seen") === col("max_c"))
+      .select(col("user_id"), col("sample_csv"), col("n_sample"), col("n_seen"))
+      .orderBy(col("user_id"))
+  }
+
   /** DECLARED continuous top-k entry: per-type top-5 by (cents desc, id
     * asc) maintained across micro-batches on `transformWithState` — the
     * streaming carrier of the SAME mergeable state `group_topk_agg`
