@@ -191,6 +191,7 @@ object SparkEntry {
     "link_predict_cn" -> GraphOps.linkPredictCn _,
     "sink_stats_pruned_read" -> EventOps.sinkStatsPrunedRead _,
     "seasonal_forecast_mae" -> EventOps.seasonalForecastMae _,
+    "quantile_drift_weekly" -> EventOps.quantileDriftWeekly _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
@@ -200,6 +201,7 @@ object SparkEntry {
     "ngram_jaccard" -> TextOps.ngramJaccard _,
     "minhash_containment" -> TextOps.minhashContainment _,
     "minhash_jaccard_audit" -> TextOps.minhashJaccardAudit _,
+    "minhash_pr_eval" -> TextOps.minhashPrEval _,
     "dedup_clusters" -> TextOps.dedupClusters _,
     "dedup_keep_best" -> TextOps.dedupKeepBest _,
     "split_no_leakage" -> TextOps.splitNoLeakage _,
@@ -933,6 +935,26 @@ object SparkEntry {
 
     // The binned plan is provably the plain band join — the oracle IS the
     // plain band (theta) join.
+    // Week-over-week p50/p90 drift per type: exact interpolated
+    // percentiles over cents (quantile_cont ≡ percentile), deltas one
+    // IEEE subtraction each.
+    "quantile_drift_weekly" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |         epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |d0 AS (SELECT min(d) AS d0 FROM e),
+        |wk AS (
+        |  SELECT event_type, (d - (SELECT d0 FROM d0)) // 7 AS week,
+        |         quantile_cont(c, 0.5) AS p50, quantile_cont(c, 0.9) AS p90
+        |  FROM e WHERE (d - (SELECT d0 FROM d0)) // 7 < 4
+        |  GROUP BY 1, 2)
+        |SELECT a.event_type, a.week, a.p50, a.p50 - b.p50 AS d_p50,
+        |       a.p90, a.p90 - b.p90 AS d_p90
+        |FROM wk a JOIN wk b
+        |  ON a.event_type = b.event_type AND a.week = b.week + 1
+        |ORDER BY a.event_type, a.week""".stripMargin,
+
     // Seasonal-mean backtest: profile = class-2 quotient; per-event abs
     // error quantized to micro BIGINT before summing, so MAE sits on the
     // hash with no summation-order exposure.
@@ -2657,6 +2679,52 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // LSH quality gate: same banded-candidate CTE as the dedup oracle,
+    // truth = integer-exact J >= 1/2 over the shared-shingle universe.
+    "minhash_pr_eval" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |shl AS (SELECT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |g AS (SELECT doc_id,
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
+        |  FROM shl GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |shd AS (SELECT DISTINCT doc_id, shingle FROM shl),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        |truth AS (
+        |  SELECT i.doc1, i.doc2
+        |  FROM (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+        |        FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2) i
+        |  JOIN cnt c1 ON i.doc1 = c1.doc_id
+        |  JOIN cnt c2 ON i.doc2 = c2.doc_id
+        |  WHERE i.n_inter * 3 >= c1.n_sh + c2.n_sh),
+        |hit AS (SELECT t.doc1, t.doc2 FROM truth t
+        |  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.doc1 = t.doc1 AND c.doc2 = t.doc2))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+        |  CAST((SELECT count(*) FROM hit) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM cand) AS DOUBLE) AS precision,
+        |  CAST((SELECT count(*) FROM hit) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -1204,6 +1204,39 @@ object EventOps {
       .orderBy(col("cohort_day"), col("week_offset"))
   }
 
+  /** D+: QUANTILE DRIFT MONITOR — week-over-week shift of the p50/p90
+    * value distribution per event type, the order-statistic complement of
+    * [[driftTvDistance]] (TV sees mix changes between categories; this
+    * sees location/tail changes WITHIN one): per (type, week) exact
+    * interpolated percentiles over integer cents (.5-step-exact doubles,
+    * the [[madOutliers]] parity), self-joined on consecutive weeks, the
+    * deltas one IEEE subtraction each. Complete week coverage is
+    * guaranteed by the fixture's 30-day span; weeks are data-anchored
+    * (min-day broadcast) like the forecast backtest. Output is
+    * |types| × 3 consecutive-week rows at any scale.
+    */
+  def quantileDriftWeekly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents.as("c"), expr("ts_us DIV 86400000000").as("d"))
+    val d0 = ev.agg(min(col("d")).as("d0"))
+    val wk = ev.crossJoin(broadcast(d0))
+      .withColumn("week", ((col("d") - col("d0")) / 7).cast("long"))
+      .filter(col("week") < 4)
+      .groupBy(col("event_type"), col("week"))
+      .agg(
+        expr("percentile(c, 0.5)").as("p50"),
+        expr("percentile(c, 0.9)").as("p90"))
+    val prev = wk.select(
+      col("event_type"), (col("week") + 1).as("week"),
+      col("p50").as("p50_prev"), col("p90").as("p90_prev"))
+    wk.join(prev, Seq("event_type", "week"))
+      .select(
+        col("event_type"), col("week"),
+        col("p50"), (col("p50") - col("p50_prev")).as("d_p50"),
+        col("p90"), (col("p90") - col("p90_prev")).as("d_p90"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
   /** D+: SEASONAL BASELINE FORECAST + BACKTEST — the simplest honest
     * forecasting loop a metrics pipeline runs: per (event_type,
     * hour-of-day) mean value learned on the first three weeks, evaluated

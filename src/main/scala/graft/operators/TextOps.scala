@@ -747,6 +747,42 @@ object TextOps {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** V+: LSH QUALITY GATE — precision/recall of the banded-MinHash
+    * candidate generator against exact ground truth, the one-row report
+    * that decides whether the (bands, rows) configuration is right before
+    * a production dedup run. Ground truth = every pair with exact 3-gram
+    * Jaccard ≥ 0.5, enumerable WITHOUT an all-pairs pass: only pairs
+    * sharing ≥ 1 shingle can have J > 0, so the shingle-keyed self-join
+    * (bounded by Σ df² over shingles; at production DF-band the heavy
+    * grams first, the [[tokenCooccurrence]] discipline) generates the
+    * candidate universe and the threshold test is INTEGER-exact
+    * (J ≥ ½ ⇔ 3·|∩| ≥ |A|+|B|). precision = hits/candidates and recall =
+    * hits/truth are class-2 int/int quotients. The oracle recomputes both
+    * sides (the same banded-LSH SQL the dedup oracle uses + the exact
+    * truth set), so the whole evaluation sits on the cross-engine hash.
+    */
+  def minhashPrEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = minhashCandidates(spark, sfDir).select(col("doc1"), col("doc2"))
+    val sh = shingleRows(Tables.documents(spark, sfDir)).distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val truth = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(cnt.select(col("doc_id").as("doc1"), col("n_sh").as("n1")), Seq("doc1"))
+      .join(cnt.select(col("doc_id").as("doc2"), col("n_sh").as("n2")), Seq("doc2"))
+      .filter(col("n_inter") * 3 >= col("n1") + col("n2"))
+      .select(col("doc1"), col("doc2"))
+    val hit = truth.join(cand, Seq("doc1", "doc2"), "left_semi")
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(
+        col("n_cand"), col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision"),
+        (col("n_hit").cast("double") / col("n_truth").cast("double")).as("recall"))
+  }
+
   /** Shared verify-stage kernel for [[ngramJaccard]] / [[minhashContainment]]:
     * per banded candidate pair, the exact shingle-set intersection size and
     * both set sizes — (doc1, doc2, n_inter, n1, n2).

