@@ -230,6 +230,11 @@ object SparkEntry {
     "doc_commonness" -> TextOps.docCommonness _,
     "text_stats_lang" -> TextOps.textStatsLang _,
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
+    "auc_event_scores" -> EvalOps.aucEventScores _,
+    "calibration_bins" -> EvalOps.calibrationBins _,
+    "cohens_kappa_lang" -> EvalOps.cohensKappaLang _,
+    "confusion_prf_lang" -> EvalOps.confusionPrfLang _,
+    "gini_revenue_segments" -> EvalOps.giniRevenueSegments _,
     "fuzzy_name_match" -> TextAnalysisOps.fuzzyNameMatch _,
     "pagerank_docs" -> GraphOps.pagerankDocs _,
     "doc_hop_distance" -> GraphOps.docHopDistance _,
@@ -2875,6 +2880,11 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin,
 
     "lang_id_confusion" -> TextAnalysisOps.Oracle.langIdConfusion,
+    "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
+    "calibration_bins" -> EvalOps.Oracle.calibrationBins,
+    "cohens_kappa_lang" -> EvalOps.Oracle.cohensKappaLang,
+    "confusion_prf_lang" -> EvalOps.Oracle.confusionPrfLang,
+    "gini_revenue_segments" -> EvalOps.Oracle.giniRevenueSegments,
     "from_json_props" ->
       """SELECT event_type,
         |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,

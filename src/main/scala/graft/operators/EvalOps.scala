@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Model/label evaluation operators for the LLM-data-pipeline surface:
+  * the metrics a training pipeline computes over scored or labeled data —
+  * ranking quality (AUC), probability calibration (reliability bins),
+  * inter-annotator agreement (Cohen's kappa), and concentration
+  * (Gini/Lorenz). All follow the repo's engine-portability protocol
+  * (COVERAGE.md determinism classes): every metric is assembled from
+  * exact 64-bit integer aggregates with exactly ONE IEEE division at the
+  * end, so Spark and the DuckDB oracle produce bit-identical doubles with
+  * no rounding step and no libm surface.
+  */
+object EvalOps {
+
+  private val cents: Column = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+
+  /** V+/eval: ROC AUC per class via the Mann–Whitney rank-sum identity —
+    * for each event_type taken as the positive class, the probability that
+    * a uniformly random positive outscores a random negative (ties count
+    * half), with score = integer cents of `value`. The one-vs-rest ranking
+    * quality a pipeline reports for any per-example scorer (quality
+    * classifier, reward model, dedup score).
+    *
+    * Shape: AUC needs only per-distinct-score class counts, never a global
+    * per-row sort. One map-side-combined shuffle builds the
+    * (score, class) histogram — |distinct scores|·|classes| groups — then
+    * two windows (per-class prefix and all-class prefix over the score
+    * axis) and an integer fold:
+    * U·2 = Σ_s n_pos(s)·(2·negBelow(s) + neg(s)); AUC = U·2 / (2·P·N).
+    * The all-scores prefix window is a single-partition pass over the
+    * DISTINCT-SCORE frame only — bounded by the score domain (≤ 49k cents
+    * values here, invariant of row count), the same bounded-domain
+    * argument as `equi_depth_buckets`. Every count is an exact BIGINT
+    * (overflow at ~3·10⁹ rows per class pair — switch the U fold to
+    * DECIMAL(38,0) beyond that); the final AUC is one IEEE division of
+    * exact integers, bit-identical on any engine.
+    */
+  def aucEventScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), cents.as("s"))
+    val byScoreType = ev.groupBy(col("s"), col("event_type")).agg(count(lit(1)).as("n_st"))
+    // distinct-score frame: per-score total + count strictly below
+    val allW = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    val scores = byScoreType.groupBy(col("s")).agg(sum(col("n_st")).as("n_s"))
+      .withColumn("all_below", coalesce(sum(col("n_s")).over(allW), lit(0L)))
+    val typeW = Window.partitionBy(col("event_type")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perType = byScoreType
+      .withColumn("pos_below", coalesce(sum(col("n_st")).over(typeW), lit(0L)))
+      .join(scores, "s")
+      .select(
+        col("event_type"), col("n_st"),
+        (col("n_st") * (lit(2L) * (col("all_below") - col("pos_below")) +
+          (col("n_s") - col("n_st")))).as("u2c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_st")).as("n_pos"), sum(col("u2c")).as("u2"))
+    val total = ev.agg(count(lit(1)).as("n_all"))
+    perType.crossJoin(broadcast(total))
+      .select(
+        col("event_type"), col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
+        (col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * (col("n_all") - col("n_pos"))).cast("double")).as("auc"))
+      .orderBy(col("event_type"))
+  }
+
+  /** V+/eval: probability calibration (reliability diagram) — bucket a
+    * [0,1] model score into 10 equal-width bins and report, per bin, the
+    * mean predicted probability beside the observed positive rate
+    * (positive = 'purchase'). The score is value-cents / 50000 (a
+    * deterministic stand-in for a classifier head; 49 002 is the fixture
+    * max). ONE map-side-combined aggregation over 10 groups; mean_pred =
+    * Σcents / (n·50000) and obs_rate = pos/n are each a single IEEE
+    * division of exact integers — the whole reliability table is
+    * engine-portable with zero rounding.
+    */
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(
+        least(expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 5000"), lit(9L)).as("bin"),
+        cents.as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"), sum(col("c")).as("sum_cents"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        (col("sum_cents").cast("double") / (col("n") * lit(50000L)).cast("double"))
+          .as("mean_pred"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("obs_rate"))
+      .orderBy(col("bin"))
+  }
+
+  /** V+/eval: Cohen's kappa between the stored `lang` label and the
+    * unigram language-ID heuristic ([[TextAnalysisOps.langIdConfusion]]) —
+    * chance-corrected inter-annotator agreement, THE statistic for judging
+    * whether two labelers (human vs heuristic, model vs model) agree
+    * beyond base-rate luck. Computed entirely from the 5×5 confusion
+    * counts: with N = Σn, agree = Σ diagonal, and expected co-agreement
+    * Σ_k rowₖ·colₖ,
+    *   κ = (N·agree − Σ rowₖ·colₖ) / (N² − Σ rowₖ·colₖ)
+    * — the textbook (p_o − p_e)/(1 − p_e) cleared of fractions, so both
+    * operands are exact BIGINTs and κ is ONE IEEE division. Pipeline cost
+    * is the confusion matrix's single shuffle (25 groups); everything
+    * after is constant-size.
+    */
+  def cohensKappaLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val conf = TextAnalysisOps.langIdConfusion(spark, sfDir)
+      .select(col("lang"), col("pred_lang"), col("n_docs"))
+    val totals = conf.agg(
+      sum(col("n_docs")).as("n"),
+      sum(when(col("lang") === col("pred_lang"), col("n_docs")).otherwise(0L)).as("agree"))
+    val rowM = conf.groupBy(col("lang")).agg(sum(col("n_docs")).as("row_n"))
+    val colM = conf.groupBy(col("pred_lang")).agg(sum(col("n_docs")).as("col_n"))
+    val pe = rowM.join(colM, col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("sum_rc"))
+    totals.crossJoin(pe)
+      .select(
+        col("n").as("n_docs"), col("agree").as("n_agree"),
+        ((col("n") * col("agree") - col("sum_rc")).cast("double") /
+          (col("n") * col("n") - col("sum_rc")).cast("double")).as("kappa"))
+  }
+
+  /** V+/eval: per-class precision / recall / F1 for the lang-ID heuristic —
+    * the classification report beside [[cohensKappaLang]]'s single
+    * agreement number. From the confusion matrix alone: per true label k,
+    * tp = n(k,k), n_true = Σ_pred n(k,·), n_pred = Σ_true n(·,k);
+    * precision = tp/n_pred, recall = tp/n_true and F1 = 2tp/(n_true+n_pred)
+    * — the harmonic mean cleared of fractions so each metric stays ONE
+    * IEEE division of exact BIGINTs. A label never predicted has
+    * undefined precision → NULL on both engines (guarded division, since
+    * Spark's non-ANSI x/0 is Infinity while SQL yields NULL). Constant
+    * size after the 25-group confusion shuffle.
+    */
+  def confusionPrfLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val conf = TextAnalysisOps.langIdConfusion(spark, sfDir)
+      .select(col("lang"), col("pred_lang"), col("n_docs"))
+    val tp = conf.filter(col("lang") === col("pred_lang"))
+      .select(col("lang"), col("n_docs").as("tp"))
+    val rowM = conf.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_true"))
+    val colM = conf.groupBy(col("pred_lang")).agg(sum(col("n_docs")).as("n_pred"))
+    rowM.join(colM, col("lang") === col("pred_lang"), "left")
+      .join(tp, Seq("lang"), "left")
+      .select(
+        col("lang"), coalesce(col("tp"), lit(0L)).as("tp"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .select(
+        col("lang"), col("tp"), col("n_true"), col("n_pred"),
+        when(col("n_pred") =!= 0L,
+          col("tp").cast("double") / col("n_pred").cast("double")).as("precision"),
+        (col("tp").cast("double") / col("n_true").cast("double")).as("recall"),
+        when(col("n_true") + col("n_pred") =!= 0L,
+          (lit(2L) * col("tp")).cast("double") /
+            (col("n_true") + col("n_pred")).cast("double")).as("f1"))
+      .orderBy(col("lang"))
+  }
+
+  /** V+/eval: Gini concentration of customer revenue per market segment —
+    * the Lorenz-curve summary a curation pipeline uses to quantify how
+    * concentrated a corpus is on few sources (here: how concentrated
+    * order revenue is on few customers). Rank-sum identity over ascending
+    * per-customer revenue x₁≤…≤x_n:
+    *   G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * Ties are rank-order-invariant (equal x contribute x·Σi over the tied
+    * rank range either way), so row_number with a custkey tie-break is
+    * deterministic AND value-correct. Shape: one groupBy(custkey) revenue
+    * rollup, a broadcast-scale join to the customer dim for the segment,
+    * then the rank window runs PARTITIONED by segment — parallel, no
+    * global sort. All sums exact BIGINT; G is one IEEE division.
+    */
+  def giniRevenueSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("x"))
+      .join(
+        broadcast(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("x"), col("o_custkey"))
+    rev.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("total_cents"),
+        sum(col("i") * col("x")).as("six"))
+      .select(
+        col("c_mktsegment"), col("n_customers"), col("total_cents"),
+        ((lit(2L) * col("six") - (col("n_customers") + lit(1L)) * col("total_cents"))
+          .cast("double") /
+          (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** DuckDB oracle SQL for the eval band — same integer-exact,
+    * one-division construction per metric.
+    */
+  object Oracle {
+    val aucEventScores: String =
+      """WITH ev AS (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS s FROM events),
+        |st AS (SELECT s, event_type, count(*) AS n_st FROM ev GROUP BY 1, 2),
+        |sc AS (SELECT s, CAST(sum(n_st) AS BIGINT) AS n_s,
+        |    CAST(coalesce(sum(sum(n_st)) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS all_below
+        |  FROM st GROUP BY s),
+        |j AS (SELECT st.event_type, st.n_st, sc.n_s, sc.all_below,
+        |    CAST(coalesce(sum(st.n_st) OVER (PARTITION BY st.event_type ORDER BY st.s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos_below
+        |  FROM st JOIN sc USING (s)),
+        |pt AS (SELECT event_type, CAST(sum(n_st) AS BIGINT) AS n_pos,
+        |    CAST(sum(n_st * (2*(all_below - pos_below) + (n_s - n_st))) AS BIGINT) AS u2
+        |  FROM j GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_all FROM ev)
+        |SELECT event_type, n_pos, CAST(n_all - n_pos AS BIGINT) AS n_neg,
+        |  CAST(u2 AS DOUBLE) / CAST(2*n_pos*(n_all - n_pos) AS DOUBLE) AS auc
+        |FROM pt, tot
+        |ORDER BY event_type""".stripMargin
+
+    val calibrationBins: String =
+      """WITH ev AS (SELECT least(CAST(floor(value*100 + 0.5) AS BIGINT) // 5000, 9) AS bin,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(c) AS DOUBLE) / CAST(count(*)*50000 AS DOUBLE) AS mean_pred,
+        |  CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS obs_rate
+        |FROM ev GROUP BY bin
+        |ORDER BY bin""".stripMargin
+
+    val cohensKappaLang: String = {
+      val conf = TextAnalysisOps.Oracle.langIdConfusion
+        .replace("ORDER BY lang, pred_lang", "")
+      s"""WITH conf AS ($conf),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN lang = pred_lang THEN n_docs ELSE 0 END) AS BIGINT) AS agree
+         |  FROM conf),
+         |r AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS row_n FROM conf GROUP BY 1),
+         |c AS (SELECT pred_lang, CAST(sum(n_docs) AS BIGINT) AS col_n FROM conf GROUP BY 1),
+         |pe AS (SELECT CAST(coalesce(sum(row_n * col_n), 0) AS BIGINT) AS sum_rc
+         |  FROM r JOIN c ON r.lang = c.pred_lang)
+         |SELECT n AS n_docs, agree AS n_agree,
+         |  CAST(n*agree - sum_rc AS DOUBLE) / CAST(n*n - sum_rc AS DOUBLE) AS kappa
+         |FROM t, pe""".stripMargin
+    }
+
+    val confusionPrfLang: String = {
+      val conf = TextAnalysisOps.Oracle.langIdConfusion
+        .replace("ORDER BY lang, pred_lang", "")
+      s"""WITH conf AS ($conf),
+         |r AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+         |c AS (SELECT pred_lang, CAST(sum(n_docs) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+         |d AS (SELECT lang, CAST(n_docs AS BIGINT) AS tp FROM conf WHERE lang = pred_lang)
+         |SELECT r.lang, coalesce(d.tp, 0) AS tp, r.n_true,
+         |  coalesce(c.n_pred, 0) AS n_pred,
+         |  CASE WHEN coalesce(c.n_pred, 0) <> 0
+         |    THEN CAST(coalesce(d.tp, 0) AS DOUBLE) / CAST(c.n_pred AS DOUBLE) END AS precision,
+         |  CAST(coalesce(d.tp, 0) AS DOUBLE) / CAST(r.n_true AS DOUBLE) AS recall,
+         |  CASE WHEN r.n_true + coalesce(c.n_pred, 0) <> 0
+         |    THEN CAST(2*coalesce(d.tp, 0) AS DOUBLE)
+         |      / CAST(r.n_true + coalesce(c.n_pred, 0) AS DOUBLE) END AS f1
+         |FROM r LEFT JOIN c ON r.lang = c.pred_lang
+         |  LEFT JOIN d ON r.lang = d.lang
+         |ORDER BY r.lang""".stripMargin
+    }
+
+    val giniRevenueSegments: String =
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |seg AS (SELECT c_mktsegment, o_custkey, x,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY x, o_custkey) AS BIGINT) AS i
+        |  FROM rev JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(x) AS BIGINT) AS total_cents,
+        |  CAST(2*sum(i*x) - (count(*) + 1)*sum(x) AS DOUBLE)
+        |    / CAST(count(*)*sum(x) AS DOUBLE) AS gini
+        |FROM seg GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+  }
+}
