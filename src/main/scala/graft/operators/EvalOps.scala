@@ -32,34 +32,40 @@ object EvalOps {
     * two windows (per-class prefix and all-class prefix over the score
     * axis) and an integer fold:
     * U·2 = Σ_s n_pos(s)·(2·negBelow(s) + neg(s)); AUC = U·2 / (2·P·N).
-    * The all-scores prefix window is a single-partition pass over the
-    * DISTINCT-SCORE frame only — bounded by the score domain (≤ 49k cents
-    * values here, invariant of row count), the same bounded-domain
-    * argument as `equi_depth_buckets`. Every count is an exact BIGINT
+    * The all-scores RANGE windows are a single-partition pass over the
+    * HISTOGRAM frame only — bounded by score domain × classes (≤ 49k·5
+    * rows here, invariant of row count), the same bounded-domain argument
+    * as `equi_depth_buckets`. Every count is an exact BIGINT
     * (overflow at ~3·10⁹ rows per class pair — switch the U fold to
     * DECIMAL(38,0) beyond that); the final AUC is one IEEE division of
     * exact integers, bit-identical on any engine.
     */
   def aucEventScores(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).select(col("event_type"), cents.as("s"))
-    val byScoreType = ev.groupBy(col("s"), col("event_type")).agg(count(lit(1)).as("n_st"))
-    // distinct-score frame: per-score total + count strictly below
-    val allW = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
-    val scores = byScoreType.groupBy(col("s")).agg(sum(col("n_st")).as("n_s"))
-      .withColumn("all_below", coalesce(sum(col("n_s")).over(allW), lit(0L)))
+    // ONE aggregation builds the (score, class) histogram; every other
+    // quantity is a window over it, so the base scan+shuffle runs once and
+    // there are NO joins. RANGE frames keyed on the score value give the
+    // all-class prefix (strictly-below) and same-score totals off a single
+    // global sort; n_all rides the same single-partition stage as a
+    // whole-frame sum. The per-class prefix window then re-partitions by
+    // class, and the final aggregate reuses that partitioning — zero
+    // additional exchanges after the histogram.
+    val hist = ev.groupBy(col("s"), col("event_type")).agg(count(lit(1)).as("n_st"))
+    val allBelowW = Window.orderBy(col("s")).rangeBetween(Window.unboundedPreceding, -1)
+    val atScoreW = Window.orderBy(col("s")).rangeBetween(Window.currentRow, Window.currentRow)
     val typeW = Window.partitionBy(col("event_type")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val perType = byScoreType
+    hist
+      .withColumn("all_below", coalesce(sum(col("n_st")).over(allBelowW), lit(0L)))
+      .withColumn("n_s", sum(col("n_st")).over(atScoreW))
+      .withColumn("n_all", sum(col("n_st")).over(Window.partitionBy()))
       .withColumn("pos_below", coalesce(sum(col("n_st")).over(typeW), lit(0L)))
-      .join(scores, "s")
       .select(
-        col("event_type"), col("n_st"),
+        col("event_type"), col("n_st"), col("n_all"),
         (col("n_st") * (lit(2L) * (col("all_below") - col("pos_below")) +
           (col("n_s") - col("n_st")))).as("u2c"))
       .groupBy(col("event_type"))
-      .agg(sum(col("n_st")).as("n_pos"), sum(col("u2c")).as("u2"))
-    val total = ev.agg(count(lit(1)).as("n_all"))
-    perType.crossJoin(broadcast(total))
+      .agg(sum(col("n_st")).as("n_pos"), sum(col("u2c")).as("u2"), max(col("n_all")).as("n_all"))
       .select(
         col("event_type"), col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
         (col("u2").cast("double") /
