@@ -490,6 +490,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("auc_event_scores: pure window formulation — one histogram pass, zero joins") {
+    val p = plan(graft.operators.EvalOps.aucEventScores(spark, sf0001))
+    assert(!p.contains("Join"), p) // every quantity is a window over ONE aggregate
+    assert(p.contains("Window"), p)
+    // exactly one data shuffle (the histogram) + the bounded single-partition
+    // window stage + the final ordering — never a per-row global sort of events
+    val exchanges = "Exchange (hash|range|Single)".r.findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+  }
+
+  test("gini_revenue_segments: dim broadcast; rank window partitioned by segment") {
+    val p = plan(graft.operators.EvalOps.giniRevenueSegments(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the row_number spec must carry the segment partition key — a global
+    // (unpartitioned) rank would serialize the whole customer set
+    assert(p.contains("windowspecdefinition(c_mktsegment"), p)
+  }
+
   test("q11/q22: the scalar-subquery totals ride 1-row broadcasts, never a shuffle") {
     // the crossJoin(broadcast(1-row agg)) pattern plans as a broadcast
     // nested loop — intentional: the inner side is exactly one row
