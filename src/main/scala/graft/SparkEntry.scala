@@ -232,6 +232,7 @@ object SparkEntry {
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
+    "calibration_ece" -> EvalOps.calibrationEce _,
     "cohens_kappa_lang" -> EvalOps.cohensKappaLang _,
     "confusion_prf_lang" -> EvalOps.confusionPrfLang _,
     "gini_revenue_segments" -> EvalOps.giniRevenueSegments _,
@@ -2882,6 +2883,7 @@ object SparkEntry {
     "lang_id_confusion" -> TextAnalysisOps.Oracle.langIdConfusion,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
+    "calibration_ece" -> EvalOps.Oracle.calibrationEce,
     "cohens_kappa_lang" -> EvalOps.Oracle.cohensKappaLang,
     "confusion_prf_lang" -> EvalOps.Oracle.confusionPrfLang,
     "gini_revenue_segments" -> EvalOps.Oracle.giniRevenueSegments,

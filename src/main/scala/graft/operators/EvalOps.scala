@@ -129,6 +129,38 @@ object EvalOps {
           (col("n") * col("n") - col("sum_rc")).cast("double")).as("kappa"))
   }
 
+  /** V+/eval: expected + maximum calibration error over the
+    * [[calibrationBins]] table, collapsed to one row — the two summary
+    * numbers a model card reports. ECE = Σ_b (n_b/N)·|obs_b − pred_b|
+    * telescopes to (Σ_b |50000·pos_b − Σcents_b|) / (50000·N): the
+    * per-bin numerators are exact BIGINTs, their sum is exact, and the
+    * whole statistic is ONE IEEE division — no order-dependent float
+    * accumulation anywhere. MCE is the max over per-bin |obs−pred|, each
+    * itself one exact-int division, and max over exact doubles is
+    * order-free — so both engines agree bit-for-bit. Two constant-size
+    * aggregations after the 10-group bin shuffle.
+    */
+  def calibrationEce(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = Tables.events(spark, sfDir)
+      .select(
+        least(expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 5000"), lit(9L)).as("bin"),
+        cents.as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"), sum(col("c")).as("sum_c"))
+    val dev = abs(lit(50000L) * col("n_pos") - col("sum_c"))
+    bins.agg(
+      sum(col("n")).as("n_events"),
+      count(lit(1)).as("n_bins"),
+      sum(dev).as("dev_sum"),
+      max(dev.cast("double") / (col("n") * lit(50000L)).cast("double")).as("mce"))
+      .select(
+        col("n_events"), col("n_bins"),
+        (col("dev_sum").cast("double") / (lit(50000L) * col("n_events")).cast("double"))
+          .as("ece"),
+        col("mce"))
+  }
+
   /** V+/eval: per-class precision / recall / F1 for the lang-ID heuristic —
     * the classification report beside [[cohensKappaLang]]'s single
     * agreement number. From the confusion matrix alone: per true label k,
@@ -248,6 +280,20 @@ object EvalOps {
          |  CAST(n*agree - sum_rc AS DOUBLE) / CAST(n*n - sum_rc AS DOUBLE) AS kappa
          |FROM t, pe""".stripMargin
     }
+
+    val calibrationEce: String =
+      """WITH ev AS (SELECT least(CAST(floor(value*100 + 0.5) AS BIGINT) // 5000, 9) AS bin,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(c) AS BIGINT) AS sum_c
+        |  FROM ev GROUP BY bin)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_events, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(abs(50000*n_pos - sum_c)) AS DOUBLE)
+        |    / CAST(50000*sum(n) AS DOUBLE) AS ece,
+        |  max(CAST(abs(50000*n_pos - sum_c) AS DOUBLE) / CAST(n*50000 AS DOUBLE)) AS mce
+        |FROM b""".stripMargin
 
     val confusionPrfLang: String = {
       val conf = TextAnalysisOps.Oracle.langIdConfusion

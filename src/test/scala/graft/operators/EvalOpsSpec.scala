@@ -69,6 +69,26 @@ class EvalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kappa <= 1.0 && kappa >= -1.0)
   }
 
+  test("calibration_ece: telescoped sum equals the per-bin weighted brute force; ece <= mce") {
+    val bins = EvalOps.calibrationBins(spark, sf0001).collect()
+    val out = EvalOps.calibrationEce(spark, sf0001).collect()
+    assert(out.length == 1)
+    val n = bins.map(_.getLong(1)).sum
+    assert(out(0).getLong(0) == n && out(0).getLong(1) == bins.length.toLong)
+    // recompute the exact-integer numerator from the (independently
+    // verified) bins table: Σ|50000·pos_b − Σcents_b|
+    val devs = bins.map { b =>
+      // sum_c is not surfaced by calibration_bins; recover it exactly from
+      // mean_pred = sum_c / (n_b·50000), which is a lossless division here
+      // (sum_c ≤ 2^53) — multiply back and round to kill the one ulp
+      val sumC = math.round(b.getDouble(3) * b.getLong(1) * 50000L)
+      math.abs(50000L * b.getLong(2) - sumC)
+    }
+    assert(out(0).getDouble(2) == devs.sum.toDouble / (50000L * n).toDouble)
+    assert(out(0).getDouble(3) >= out(0).getDouble(2)) // max ≥ weighted mean
+    assert(out(0).getDouble(2) >= 0.0 && out(0).getDouble(3) <= 1.0)
+  }
+
   test("confusion_prf_lang: exact per-class report consistent with the confusion matrix") {
     val conf = TextAnalysisOps.langIdConfusion(spark, sf0001).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
