@@ -265,6 +265,7 @@ object SparkEntry {
     "remote_clique_div" -> DiversityOps.remoteCliqueDiv _,
     "remote_star_div" -> DiversityOps.remoteStarDiv _,
     "remote_tree_div" -> DiversityOps.remoteTreeDiv _,
+    "remote_bipartition_cycle_div" -> DiversityOps.remoteBipartitionCycleDiv _,
     "coreset_stream" -> DiversityOps.coresetStream _
   )
 

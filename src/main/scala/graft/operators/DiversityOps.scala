@@ -202,6 +202,24 @@ object DiversityOps {
     }.toDF("k", "remote_tree")
   }
 
+  /** W: the R4 bipartition (greedy max-cut heuristic) and cycle
+    * (nearest-neighbor TSP approximation) evaluators declared directly —
+    * same prefix k-sweep as [[remoteStarDiv]]. With these two, every R4
+    * evaluator in Diversity.scala is a driver-checked query (edge/clique/
+    * star/tree exact, bipartition/cycle the documented heuristics); their
+    * values also ride [[remoteCliqueDiv]]'s k=32 row, which pins
+    * cross-entry consistency through the specs.
+    */
+  def remoteBipartitionCycleDiv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sel32 = selectDiverse(spark, sfDir, 32)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    Seq(8, 16, 32).map { k =>
+      val sel = sel32.take(k)
+      (k.toLong, r6(Diversity.remoteBipartitionGreedy(sel)), r6(Diversity.remoteCycleApprox(sel)))
+    }.toDF("k", "remote_bipartition", "remote_cycle")
+  }
+
   /** W: remote-clique objectives — GMM set vs matching-heuristic set vs
     * local-search set, plus heuristic bipartition/cycle values.
     *

@@ -42,6 +42,26 @@ class DiversityOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(tree(8L) <= tree(16L) && tree(16L) <= tree(32L))
   }
 
+  test("remote_bipartition_cycle_div: declared values equal the evaluators; heuristic bounds hold") {
+    val sel32 = DiversityOps.selectDiverse(spark, sf0001, 32)
+    val rows = DiversityOps.remoteBipartitionCycleDiv(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L))
+    Seq(8, 16, 32).foreach { k =>
+      val sel = sel32.take(k)
+      val (bip, cyc) = rows(k.toLong)
+      assert(bip == r6(Diversity.remoteBipartitionGreedy(sel)),
+        s"declared remote_bipartition at k=$k must match the evaluator")
+      assert(cyc == r6(Diversity.remoteCycleApprox(sel)),
+        s"declared remote_cycle at k=$k must match the evaluator")
+      // cross-cut is a subset of the clique's pairs; the preorder tour is
+      // sandwiched by the MST it walks (standard 2-approx bounds)
+      assert(bip <= Diversity.remoteClique(sel) + 1e-6)
+      val mst = Diversity.remoteTree(sel)
+      assert(cyc >= mst - 1e-6 && cyc <= 2 * mst + 1e-6)
+    }
+  }
+
   test("remote_star_div and remote_edge_div agree at k=32") {
     val edgeRow = DiversityOps.remoteEdgeDiv(spark, sf0001).collect()(0)
     val star32 = DiversityOps.remoteStarDiv(spark, sf0001).collect()
