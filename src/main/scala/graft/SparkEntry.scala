@@ -192,6 +192,9 @@ object SparkEntry {
     "sink_stats_pruned_read" -> EventOps.sinkStatsPrunedRead _,
     "seasonal_forecast_mae" -> EventOps.seasonalForecastMae _,
     "quantile_drift_weekly" -> EventOps.quantileDriftWeekly _,
+    "cusum_changepoint" -> EventOps.cusumChangepoint _,
+    "acf_daily_events" -> EventOps.acfDailyEvents _,
+    "sliding_distinct_users" -> EventOps.slidingDistinctUsers _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
@@ -236,6 +239,7 @@ object SparkEntry {
     "cohens_kappa_lang" -> EvalOps.cohensKappaLang _,
     "confusion_prf_lang" -> EvalOps.confusionPrfLang _,
     "gini_revenue_segments" -> EvalOps.giniRevenueSegments _,
+    "rank_eval_bm25" -> EvalOps.rankEvalBm25 _,
     "fuzzy_name_match" -> TextAnalysisOps.fuzzyNameMatch _,
     "pagerank_docs" -> GraphOps.pagerankDocs _,
     "doc_hop_distance" -> GraphOps.docHopDistance _,
@@ -961,6 +965,78 @@ object SparkEntry {
         |FROM wk a JOIN wk b
         |  ON a.event_type = b.event_type AND a.week = b.week + 1
         |ORDER BY a.event_type, a.week""".stripMargin,
+
+    // Fraction-free CUSUM: n·S_d = n·prefix − d·T stays in exact BIGINTs;
+    // the surfaced statistic is its one class-2 division by n.
+    "cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, d,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS i,
+        |    CAST(sum(day_cents) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS prefix,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+        |    CAST(sum(day_cents) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM daily),
+        |sc AS (SELECT *, n_days * prefix - i * total AS s_scaled FROM s),
+        |pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(s_scaled) DESC, d) AS rk FROM sc)
+        |SELECT event_type, n_days, total AS total_cents, d AS peak_day,
+        |  s_scaled AS peak_cusum_scaled,
+        |  CAST(s_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) AS peak_cusum_cents
+        |FROM pick WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // Fraction-free ACF: X_t = n·x_t − T clears the mean, the n² factors
+    // cancel in r_k = num_k/den — exact BIGINTs, one division per lag.
+    "acf_daily_events" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |dev AS (
+        |  SELECT event_type, d,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x -
+        |      CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS xc,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM daily),
+        |led AS (
+        |  SELECT event_type, n, xc,
+        |    lead(xc, 1) OVER (PARTITION BY event_type ORDER BY d) AS xc1,
+        |    lead(xc, 2) OVER (PARTITION BY event_type ORDER BY d) AS xc2,
+        |    lead(xc, 3) OVER (PARTITION BY event_type ORDER BY d) AS xc3
+        |  FROM dev),
+        |agg AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |    CAST(sum(xc * xc) AS BIGINT) AS den,
+        |    CAST(sum(xc * xc1) AS BIGINT) AS num1,
+        |    CAST(sum(xc * xc2) AS BIGINT) AS num2,
+        |    CAST(sum(xc * xc3) AS BIGINT) AS num3
+        |  FROM led GROUP BY 1)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_days, num_scaled,
+        |  CASE WHEN den <> 0 THEN CAST(num_scaled AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
+        |FROM (
+        |  SELECT event_type, n_days, den, 1 AS lag, num1 AS num_scaled FROM agg
+        |  UNION ALL
+        |  SELECT event_type, n_days, den, 2 AS lag, num2 AS num_scaled FROM agg
+        |  UNION ALL
+        |  SELECT event_type, n_days, den, 3 AS lag, num3 AS num_scaled FROM agg)
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // Dedupe-first, then ≤7× fan-out against the distinct-day spine; the
+    // trailing window COUNT(DISTINCT) no window function expresses.
+    "sliding_distinct_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d, user_id
+        |  FROM events),
+        |sp AS (SELECT DISTINCT d AS wday FROM du)
+        |SELECT event_type, wday, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+        |FROM du JOIN sp ON wday >= d AND wday <= d + 6
+        |GROUP BY 1, 2
+        |ORDER BY event_type, wday""".stripMargin,
 
     // Seasonal-mean backtest: profile = class-2 quotient; per-event abs
     // error quantized to micro BIGINT before summing, so MAE sits on the
@@ -2888,6 +2964,7 @@ object SparkEntry {
     "cohens_kappa_lang" -> EvalOps.Oracle.cohensKappaLang,
     "confusion_prf_lang" -> EvalOps.Oracle.confusionPrfLang,
     "gini_revenue_segments" -> EvalOps.Oracle.giniRevenueSegments,
+    "rank_eval_bm25" -> EvalOps.Oracle.rankEvalBm25,
     "from_json_props" ->
       """SELECT event_type,
         |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,

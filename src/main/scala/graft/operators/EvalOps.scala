@@ -230,6 +230,76 @@ object EvalOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** V+/eval: RANKING-RETRIEVAL QUALITY — MRR@10, hits/recall@10 and
+    * NDCG@10 for the [[TextAnalysisOps.bm25Topk]] ranked lists, the metric
+    * row a retrieval pipeline reports next to its index build. Graded
+    * relevance is derived deterministically from the corpus itself: rel(q,
+    * d) = number of DISTINCT q-terms present in d (1..3; binary-relevant
+    * means rel ≥ 2), so both engines label identically with no external
+    * qrels file. Discount weights are INTEGER CONSTANTS w_i =
+    * round(10⁶/log₂(i+1)) baked into the query text — log₂ never executes
+    * at query time (the house no-libm rule), DCG/IDCG become exact BIGINT
+    * dot products, and NDCG / MRR / recall are each ONE IEEE division of
+    * exact integers. IDCG ranks the FULL relevant set by (rel desc,
+    * doc_id) — a per-query window whose rank ≤ 10 filter Spark pushes into
+    * the sort via WindowGroupLimit, so the ideal ranking never
+    * materializes beyond the top slice per query. Scale: the ranked side
+    * is the bm25 plan (token-keyed joins, broadcast query table); the
+    * relevance side is one distinct (doc, term) projection joined to the
+    * 9-row broadcast — everything downstream of the corpus scans is
+    * bounded by |queries|·10.
+    */
+  def rankEvalBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = TextAnalysisOps.bm25Topk(spark, sfDir)
+      .select(col("qid"), col("rank").as("rnk"), col("doc_id"))
+    val queries = Seq(
+      (1L, "scan"), (1L, "filter"), (1L, "fast"),
+      (2L, "join"), (2L, "key"), (2L, "merge"),
+      (3L, "stream"), (3L, "window"), (3L, "batch")).toDF("qid", "q_term")
+    val wts = Seq(
+      (1L, 1000000L), (2L, 630930L), (3L, 500000L), (4L, 430677L),
+      (5L, 386853L), (6L, 356207L), (7L, 333333L), (8L, 315465L),
+      (9L, 301030L), (10L, 289065L)).toDF("rnk", "wt")
+    val docTerms = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("term"))
+      .distinct()
+    val rel = docTerms.join(broadcast(queries), col("term") === col("q_term"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("rel"))
+    val dcg = ranked
+      .join(rel, Seq("qid", "doc_id"), "left")
+      .select(col("qid"), col("rnk"), coalesce(col("rel"), lit(0L)).as("rel"))
+      .join(broadcast(wts), Seq("rnk"))
+      .groupBy(col("qid"))
+      .agg(
+        sum(col("rel") * col("wt")).as("dcg_micro"),
+        sum(when(col("rel") >= 2L, 1L).otherwise(0L)).as("hits_at_10"),
+        min(when(col("rel") >= 2L, col("rnk"))).as("first_rel"))
+    val iw = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("doc_id"))
+    val ideal = rel
+      .withColumn("rnk", row_number().over(iw).cast("long"))
+      .filter(col("rnk") <= 10)
+      .join(broadcast(wts), Seq("rnk"))
+      .groupBy(col("qid")).agg(sum(col("rel") * col("wt")).as("idcg_micro"))
+    val nrel = rel.filter(col("rel") >= 2L)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_relevant"))
+    dcg.join(ideal, Seq("qid")).join(nrel, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        col("hits_at_10"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        when(col("first_rel").isNotNull,
+          lit(1.0) / col("first_rel").cast("double")).otherwise(lit(0.0)).as("mrr_at_10"),
+        when(coalesce(col("n_relevant"), lit(0L)) =!= 0L,
+          col("hits_at_10").cast("double") / col("n_relevant").cast("double")).as("recall_at_10"),
+        col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") =!= 0L,
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double")).as("ndcg_at_10"))
+      .orderBy(col("qid"))
+  }
+
   /** DuckDB oracle SQL for the eval band — same integer-exact,
     * one-division construction per metric.
     */
@@ -314,6 +384,70 @@ object EvalOps {
          |  LEFT JOIN d ON r.lang = d.lang
          |ORDER BY r.lang""".stripMargin
     }
+
+    val rankEvalBm25: String =
+      """WITH q(qid, q_term) AS (VALUES (1, 'scan'), (1, 'filter'), (1, 'fast'),
+        |  (2, 'join'), (2, 'key'), (2, 'merge'),
+        |  (3, 'stream'), (3, 'window'), (3, 'batch')),
+        |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |      FROM documents WHERE lang = 'en'),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |sc AS (
+        |  SELECT qid, tfc.doc_id,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) +
+        |      1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) * 1000000 + 0.5) AS BIGINT)
+        |      AS score_micro
+        |  FROM tfc JOIN q ON term = q_term JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = tfc.doc_id CROSS JOIN st),
+        |qd AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, sum(score_micro) AS score_micro
+        |       FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT qid, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id)
+        |           AS BIGINT) AS rnk
+        |       FROM qd),
+        |w(rnk, wt) AS (VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677),
+        |  (5, 386853), (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)),
+        |dt AS (SELECT DISTINCT doc_id, term
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM d)),
+        |rel AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(count(*) AS BIGINT) AS rel
+        |        FROM dt JOIN q ON term = q_term GROUP BY 1, 2),
+        |dcg AS (
+        |  SELECT rk.qid,
+        |    CAST(sum(coalesce(rel.rel, 0) * CAST(w.wt AS BIGINT)) AS BIGINT) AS dcg_micro,
+        |    CAST(sum(CASE WHEN coalesce(rel.rel, 0) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hits_at_10,
+        |    min(CASE WHEN coalesce(rel.rel, 0) >= 2 THEN rk.rnk END) AS first_rel
+        |  FROM rk JOIN w ON rk.rnk = w.rnk
+        |  LEFT JOIN rel ON rk.qid = rel.qid AND rk.doc_id = rel.doc_id
+        |  WHERE rk.rnk <= 10 GROUP BY 1),
+        |irk AS (SELECT qid, rel,
+        |          CAST(row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id)
+        |            AS BIGINT) AS rnk
+        |        FROM rel),
+        |ideal AS (
+        |  SELECT qid, CAST(sum(rel * CAST(wt AS BIGINT)) AS BIGINT) AS idcg_micro
+        |  FROM irk JOIN w ON irk.rnk = w.rnk WHERE irk.rnk <= 10 GROUP BY 1),
+        |nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant
+        |         FROM rel WHERE rel >= 2 GROUP BY 1)
+        |SELECT dcg.qid, dcg.hits_at_10, coalesce(nrel.n_relevant, 0) AS n_relevant,
+        |  CASE WHEN dcg.first_rel IS NOT NULL
+        |    THEN CAST(1 AS DOUBLE) / CAST(dcg.first_rel AS DOUBLE) ELSE 0.0 END AS mrr_at_10,
+        |  CASE WHEN coalesce(nrel.n_relevant, 0) <> 0
+        |    THEN CAST(dcg.hits_at_10 AS DOUBLE) / CAST(nrel.n_relevant AS DOUBLE) END
+        |    AS recall_at_10,
+        |  dcg.dcg_micro, ideal.idcg_micro,
+        |  CASE WHEN ideal.idcg_micro <> 0
+        |    THEN CAST(dcg.dcg_micro AS DOUBLE) / CAST(ideal.idcg_micro AS DOUBLE) END
+        |    AS ndcg_at_10
+        |FROM dcg JOIN ideal ON dcg.qid = ideal.qid
+        |LEFT JOIN nrel ON dcg.qid = nrel.qid
+        |ORDER BY dcg.qid""".stripMargin
 
     val giniRevenueSegments: String =
       """WITH rev AS (SELECT o_custkey,

@@ -1357,6 +1357,114 @@ object EventOps {
     * count) with `value_quantiles_sketch` as the unbounded-cardinality
     * escape.
     */
+  /** T+: CUSUM CHANGEPOINT SCREEN — per event type, the classic
+    * cumulative-sum statistic over the daily revenue series: S_d =
+    * Σ_{i≤d}(x_i − x̄), whose peak |S| marks the most likely level-shift
+    * day. Computed FRACTION-FREE: with n days and total T, n·S_d =
+    * n·prefix_d − d·T is an exact BIGINT, so the argmax day and the peak
+    * value are bit-deterministic on every engine and partitioning; the
+    * surfaced `peak_cusum_cents` = n·S_peak / n is the statistic's one
+    * IEEE division (class 2). Peak ties break to the earliest day. Shape:
+    * one map-side-combined daily rollup (|types|·|days| groups), then
+    * windows PARTITIONED by type over that bounded table — the row-scale
+    * scan never sorts globally, and the series windows cost |days| per
+    * type regardless of fact size. BIGINT headroom: n·prefix ≤ days² ·
+    * max-daily-cents ≈ 10¹⁸ at ~10 B rows/day·30 d — switch the fold to
+    * DECIMAL(38,0) beyond that.
+    */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_us DIV 86400000000").as("d"), cents.as("c"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("c")).as("day_cents"))
+    val full = Window.partitionBy(col("event_type"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val s = daily
+      .withColumn("i", row_number().over(byDay).cast("long"))
+      .withColumn("prefix", sum(col("day_cents")).over(byDay))
+      .withColumn("n_days", count(lit(1)).over(full))
+      .withColumn("total", sum(col("day_cents")).over(full))
+      .withColumn("s_scaled", col("n_days") * col("prefix") - col("i") * col("total"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s_scaled")).desc, col("d"))
+    s.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"), col("n_days"), col("total").as("total_cents"),
+        col("d").as("peak_day"), col("s_scaled").as("peak_cusum_scaled"),
+        (col("s_scaled").cast("double") / col("n_days").cast("double"))
+          .as("peak_cusum_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** T+: AUTOCORRELATION (lags 1–3) of the daily event-count series per
+    * type — the seasonality detector behind [[seasonalForecastMae]]'s
+    * profile choice. The estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * is cleared of fractions by X_t = n·x_t − T (so num and den pick up
+    * the same n² factor and cancel): every product and sum is an exact
+    * BIGINT and each r_k is ONE IEEE division — bit-identical across
+    * engines with no mean ever materialized as a float. Shape: the daily
+    * rollup is the only fact-scale exchange; the lead() windows and the
+    * final per-type fold run on the |types|·|days| series table. The three
+    * lags unpivot through one `stack` generator, so the series is scanned
+    * once for all lags.
+    */
+  def acfDailyEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_us DIV 86400000000").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("x"))
+    val full = Window.partitionBy(col("event_type"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("t", sum(col("x")).over(full))
+      .withColumn("xc", col("n") * col("x") - col("t"))
+      .withColumn("xc1", lead(col("xc"), 1).over(byDay))
+      .withColumn("xc2", lead(col("xc"), 2).over(byDay))
+      .withColumn("xc3", lead(col("xc"), 3).over(byDay))
+    dev.groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_days"),
+        sum(col("xc") * col("xc")).as("den"),
+        sum(col("xc") * col("xc1")).as("num1"),
+        sum(col("xc") * col("xc2")).as("num2"),
+        sum(col("xc") * col("xc3")).as("num3"))
+      .select(col("event_type"), col("n_days"), col("den"),
+        expr("stack(3, CAST(1 AS BIGINT), num1, CAST(2 AS BIGINT), num2, " +
+          "CAST(3 AS BIGINT), num3) AS (lag, num_scaled)"))
+      .select(
+        col("event_type"), col("lag"), col("n_days"), col("num_scaled"),
+        when(col("den") =!= 0L,
+          col("num_scaled").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** T+: TRAILING 7-DAY DISTINCT USERS per event type — the rolling-MAU
+    * panel no window function expresses (COUNT(DISTINCT) OVER RANGE isn't
+    * in Spark): dedupe to (type, day, user) FIRST, then a broadcast join
+    * against the tiny distinct-day spine fans each active-day out to the
+    * ≤7 windows it belongs to, and an exact two-level distinct count
+    * finishes per (type, window-day). Shape: the fact-scale work is the
+    * initial dedupe shuffle; the fan-out multiplies the DEDUPED table by
+    * ≤7 against a broadcast spine (never a row-scale range join), and the
+    * count-distinct Expand runs on (type, day, user) cardinality. At
+    * 100 TB swap the exact distinct for the HLL/bitmap escapes
+    * (`agg_distinct_users_approx`/`bitmap_distinct_users`) — same plan,
+    * sketch-mergeable counters.
+    */
+  def slidingDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_us DIV 86400000000").as("d"), col("user_id"))
+      .distinct()
+    val spine = du.select(col("d").as("wday")).distinct()
+    du.join(broadcast(spine),
+        col("wday") >= col("d") && col("wday") <= col("d") + lit(6L))
+      .groupBy(col("event_type"), col("wday"))
+      .agg(count_distinct(col("user_id")).as("n_users_7d"))
+      .orderBy(col("event_type"), col("wday"))
+  }
+
   def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), cents.as("cents"))

@@ -107,6 +107,45 @@ class EvalOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rank_eval_bm25 matches a collected-corpus brute force of MRR/recall/NDCG") {
+    val terms = Map(
+      1L -> Set("scan", "filter", "fast"),
+      2L -> Set("join", "key", "merge"),
+      3L -> Set("stream", "window", "batch"))
+    val wts = Map(1L -> 1000000L, 2L -> 630930L, 3L -> 500000L, 4L -> 430677L,
+      5L -> 386853L, 6L -> 356207L, 7L -> 333333L, 8L -> 315465L,
+      9L -> 301030L, 10L -> 289065L)
+    val docs = Tables.documents(spark, sf0001).filter(col("lang") === "en")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSet))
+    // ranked lists come from bm25Topk, which is independently oracled
+    val ranked = TextAnalysisOps.bm25Topk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = EvalOps.rankEvalBm25(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    out.foreach { r =>
+      val qid = r.getLong(0)
+      val rel = docs.map { case (id, toks) => id -> terms(qid).count(toks).toLong }
+        .filter(_._2 > 0L).toMap
+      val top = ranked.filter(_._1 == qid).sortBy(_._2).map(_._3)
+      assert(top.length == 10)
+      val hits = top.count(d => rel.getOrElse(d, 0L) >= 2L).toLong
+      val nRel = rel.count(_._2 >= 2L).toLong
+      val firstRel = top.zipWithIndex.collectFirst {
+        case (d, i) if rel.getOrElse(d, 0L) >= 2L => i + 1L }
+      val dcg = top.zipWithIndex.map { case (d, i) =>
+        rel.getOrElse(d, 0L) * wts(i + 1L) }.sum
+      val idcg = rel.toSeq.sortBy { case (id, g) => (-g, id) }.take(10)
+        .zipWithIndex.map { case ((_, g), i) => g * wts(i + 1L) }.sum
+      assert(r.getLong(1) == hits && r.getLong(2) == nRel)
+      assert(r.getDouble(3) == firstRel.map(1.0 / _.toDouble).getOrElse(0.0))
+      assert(r.getDouble(4) == hits.toDouble / nRel.toDouble)
+      assert(r.getLong(5) == dcg && r.getLong(6) == idcg)
+      assert(r.getDouble(7) == dcg.toDouble / idcg.toDouble)
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+    }
+  }
+
   test("gini_revenue_segments equals the mean-absolute-difference identity") {
     // independent identity: G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx) — no ranks involved
     val rev = Tables.orders(spark, sf0001)

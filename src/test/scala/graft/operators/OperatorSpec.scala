@@ -658,6 +658,73 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cusum_changepoint: fraction-free peak equals the collected brute force") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("ts_us DIV 86400000000"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = EventOps.cusumChangepoint(spark, sf0001).collect()
+    assert(out.map(_.getString(0)).toSeq == ev.map(_._1).distinct.sorted.toSeq)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val daily = ev.filter(_._1 == t).groupBy(_._2).map { case (d, g) =>
+        (d, g.map(_._3).sum) }.toSeq.sortBy(_._1)
+      val n = daily.length.toLong
+      val total = daily.map(_._2).sum
+      var prefix = 0L
+      val s = daily.zipWithIndex.map { case ((d, c), i) =>
+        prefix += c; (d, n * prefix - (i + 1L) * total) }
+      val peak = s.minBy { case (d, v) => (-math.abs(v), d) }
+      assert(r.getLong(1) == n && r.getLong(2) == total)
+      assert(r.getLong(3) == peak._1 && r.getLong(4) == peak._2)
+      assert(r.getDouble(5) == peak._2.toDouble / n.toDouble)
+      // the CUSUM telescopes to zero at the last day: S_n = n·T − n·T
+      assert(s.last._2 == 0L)
+    }
+  }
+
+  test("acf_daily_events: cleared-fraction lags equal the textbook estimator") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("ts_us DIV 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val out = EventOps.acfDailyEvents(spark, sf0001).collect()
+    assert(out.length == ev.map(_._1).distinct.length * 3)
+    out.foreach { r =>
+      val (t, k) = (r.getString(0), r.getLong(1).toInt)
+      val xs = ev.filter(_._1 == t).groupBy(_._2).map { case (d, g) =>
+        (d, g.length.toLong) }.toSeq.sortBy(_._1).map(_._2)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val xc = xs.map(x => n * x - tot)
+      val den = xc.map(v => v * v).sum
+      val num = xc.dropRight(k).zip(xc.drop(k)).map { case (a, b) => a * b }.sum
+      assert(r.getLong(2) == n && r.getLong(3) == num)
+      assert(r.getDouble(4) == num.toDouble / den.toDouble)
+      assert(math.abs(r.getDouble(4)) <= 1.0) // Cauchy–Schwarz bound
+    }
+  }
+
+  test("sliding_distinct_users: trailing 7-day panel equals the brute-force window") {
+    val du = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("ts_us DIV 86400000000"), col("user_id"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val days = du.map(_._2).distinct.sorted
+    val out = EventOps.slidingDistinctUsers(spark, sf0001).collect()
+    assert(out.length == du.map(_._1).distinct.length * days.length)
+    out.foreach { r =>
+      val (t, w) = (r.getString(0), r.getLong(1))
+      val expected = du.filter(e => e._1 == t && e._2 >= w - 6 && e._2 <= w)
+        .map(_._3).distinct.length.toLong
+      assert(r.getLong(2) == expected)
+    }
+    // the trailing window is a superset of the single day's actives
+    val daily = du.groupBy(e => (e._1, e._2)).map { case (k, g) =>
+      k -> g.map(_._3).distinct.length.toLong }
+    out.foreach { r =>
+      assert(r.getLong(2) >= daily.getOrElse((r.getString(0), r.getLong(1)), 0L))
+    }
+  }
+
   test("link_predict_cn: candidates are canonical non-edges with consistent Jaccard") {
     val rows = graft.operators.GraphOps.linkPredictCn(spark, sf0001).collect()
     assert(rows.length == 20)
