@@ -44,6 +44,7 @@ object SparkEntry {
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
+    "stream_observe_metrics" -> graft.streaming.StreamingEntry.streamObserveMetrics _,
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
@@ -98,6 +99,7 @@ object SparkEntry {
     "drift_tv_distance" -> EventOps.driftTvDistance _,
     "ewma_user_value" -> EventOps.ewmaUserValue _,
     "image_color_near_dup" -> MultimodalOps.imageColorNearDup _,
+    "image_ahash_near_dup" -> MultimodalOps.imageAhashNearDup _,
     "retention_cohorts" -> EventOps.retentionCohorts _,
     "skyline_parts" -> Relational.skylineParts _,
     // D: aggregations
@@ -512,6 +514,45 @@ object SparkEntry {
         |  a.r_int - b.r_int AS dr
         |FROM img a JOIN img b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         |  AND abs(a.r_int - b.r_int) <= 4
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    // aHash near-dup: the oracle re-derives every PIXEL of the fixture
+    // images from the md5 closed form (the engine round-trips the same
+    // pixels through real PNG encode/decode) and runs the same 4×16-bit
+    // band LSH + hamming ≤ 8 verification.
+    "image_ahash_near_dup" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_img
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |img AS (SELECT doc_id,
+        |    doc_id % greatest(n_img // 8, 1) AS g,
+        |    (doc_id * 2654435761) % 64 AS p
+        |  FROM documents, n WHERE doc_id % 3 = 0),
+        |gs AS (SELECT DISTINCT g FROM img),
+        |px AS (SELECT g, x, y,
+        |    ('0x' || substring(md5('px:' || g || ':' || x || ':' || y), 1, 8))::BIGINT % 128 AS v
+        |  FROM gs, range(16) tx(x), range(16) ty(y)),
+        |bs AS (SELECT g, (y // 2) * 8 + (x // 2) AS k, CAST(sum(v) AS BIGINT) AS s
+        |       FROM px GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(s) AS BIGINT) AS total FROM bs GROUP BY 1),
+        |bits AS (SELECT img.doc_id, bs.k,
+        |    CASE WHEN 64 * (bs.s + CASE WHEN bs.k = img.p THEN 384 ELSE 0 END)
+        |              > tot.total + 384 THEN 1 ELSE 0 END AS bit
+        |  FROM img JOIN bs USING (g) JOIN tot USING (g)),
+        |bands AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN k < 16 THEN bit * (1 << k) ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN bit * (1 << (k - 16)) ELSE 0 END)
+        |      AS BIGINT) AS b1,
+        |    CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN bit * (1 << (k - 32)) ELSE 0 END)
+        |      AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN k >= 48 THEN bit * (1 << (k - 48)) ELSE 0 END) AS BIGINT) AS b3
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |       bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+        |FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+        |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+        |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 8
         |ORDER BY doc1, doc2""".stripMargin,
 
     "q4_priority_exists" ->
@@ -1184,6 +1225,22 @@ object SparkEntry {
         |SELECT event_type, CAST(rn AS BIGINT) AS rnk, event_id, value_cents
         |FROM r WHERE rn <= 5
         |ORDER BY event_type, rnk""".stripMargin,
+
+    // observe() metrics per micro-batch: the harness chunks the 5000-event
+    // slice into ⌈n/3⌉-sized batches, so the per-batch counts/sums are a
+    // deterministic partition of the slice — recomputed here in plain SQL.
+    "stream_observe_metrics" ->
+      """WITH sl AS (SELECT event_id, value, event_type
+        |            FROM events ORDER BY event_id LIMIT 5000),
+        |cz AS (SELECT greatest((count(*) + 2) // 3, 1) AS sz FROM sl),
+        |s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, event_type,
+        |        CAST((row_number() OVER (ORDER BY event_id) - 1) // sz AS BIGINT) AS batch_seq
+        |      FROM sl, cz)
+        |SELECT batch_seq, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM s GROUP BY 1
+        |ORDER BY batch_seq""".stripMargin,
 
     // Inverted index over the same tokenization + DF band as
     // token_cooccurrence; postings surfaced as a ','-joined sorted string

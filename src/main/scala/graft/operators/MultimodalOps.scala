@@ -488,6 +488,123 @@ object MultimodalOps {
     * ((doc_id·7) mod 256 — constant-fill images), so the WHOLE decode
     * path sits under the cross-engine hash.
     */
+  // ---- perceptual average-hash (aHash) family ----
+
+  /** Red value of the aHash fixture pixel: first 8 hex chars of
+    * md5("px:g:x:y") mod 128 — the same construction the oracle evaluates
+    * in SQL (`('0x' || substring(md5(...), 1, 8))::BIGINT % 128`), so the
+    * encoded image is reproducible engine-side from (g, x, y) alone.
+    */
+  def ahashPixel(md: java.security.MessageDigest, g: Long, x: Int, y: Int): Int = {
+    val hex = md.digest(s"px:$g:$x:$y".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 128L).toInt
+  }
+
+  /** Encode the deterministic 16×16 aHash fixture image as REAL PNG bytes:
+    * md5-random base pattern keyed by group g, plus one brightened 2×2
+    * block p (+96 red) — the "same photo, small edit" shape an aHash
+    * dedup exists to catch. Base ≤ 127 and perturbation +96 keep the
+    * channel in [0, 223]: no wraparound, so pixel sums are exact.
+    */
+  def encodeAhashPng(g: Long, p: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val block = 8 * (y / 2) + (x / 2)
+        val r = ahashPixel(md, g, x, y) + (if (block == p) 96 else 0)
+        img.setRGB(x, y, r << 16)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** aHash of a decoded 16×16 image, split into its 4 16-bit LSH bands:
+    * bit k (block row-major) = [64·blocksum_k > total] — the integer-exact
+    * form of "block mean above image mean" (256 pixels, 64 blocks), no
+    * float mean anywhere. Runs the REAL `javax.imageio` decoder.
+    */
+  def ahashBands(png: Array[Byte]): (Long, Long, Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    require(img != null && img.getWidth == 16 && img.getHeight == 16, "bad aHash fixture image")
+    val bs = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val r = (img.getRGB(x, y) >> 16) & 0xff
+        bs(8 * (y / 2) + (x / 2)) += r
+        total += r
+        x += 1
+      }
+      y += 1
+    }
+    val bands = new Array[Long](4)
+    var k = 0
+    while (k < 64) {
+      if (64L * bs(k) > total) bands(k / 16) |= 1L << (k % 16)
+      k += 1
+    }
+    (bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** M+: PERCEPTUAL AVERAGE-HASH NEAR-DUP — the image analogue of the
+    * MinHash text family: every image-typed doc (doc_id % 3 = 0) is
+    * encoded as a REAL PNG (md5-random base keyed by duplicate-group g =
+    * doc_id mod G, one brightened block as the per-copy edit), decoded
+    * with the REAL JDK codec, aHashed (64 block-vs-image-mean bits, exact
+    * integer compares), and near-dups are found by the house LSH
+    * discipline: the 64-bit hash splits into 4×16-bit bands, candidates
+    * share ≥1 exact band (4 equi self-joins — never images²), and
+    * survivors satisfy full hamming ≤ 8 via bit_count over the band XORs.
+    * G scales with the corpus (G = n_img/8, derived from a broadcast
+    * 1-row aggregate, no driver action), so duplicate clusters stay ~8
+    * wide and output grows LINEARLY in n at every SF — the same
+    * size-adaptive argument as `embedding_near_dup`. The oracle re-derives
+    * every pixel from the md5 closed form in SQL and runs the same band
+    * join — the hash proves the entire encode→decode→hash→LSH pipeline
+    * end-to-end through production codecs.
+    */
+  def imageAhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgIds = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val nImg = imgIds.agg(count(lit(1)).as("n_img"))
+    val bands = imgIds.crossJoin(broadcast(nImg))
+      .select(
+        col("doc_id"),
+        (col("doc_id") % greatest(expr("n_img DIV 8"), lit(1L))).as("g"),
+        ((col("doc_id") * lit(2654435761L)) % 64).as("p"))
+      .as[(Long, Long, Long)]
+      .map { case (id, g, p) =>
+        val (b0, b1, b2, b3) = ahashBands(encodeAhashPng(g, p.toInt))
+        (id, b0, b1, b2, b3)
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    val l = bands.toDF("d1", "x0", "x1", "x2", "x3")
+    val r = bands.toDF("d2", "y0", "y1", "y2", "y3")
+    val cands = (0 to 3).map { m =>
+      l.join(r, col(s"x$m") === col(s"y$m") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          col("x0"), col("x1"), col("x2"), col("x3"),
+          col("y0"), col("y1"), col("y2"), col("y3"))
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .select(col("d1").as("doc1"), col("d2").as("doc2"),
+        expr("CAST(bit_count(x0 ^ y0) + bit_count(x1 ^ y1) + " +
+          "bit_count(x2 ^ y2) + bit_count(x3 ^ y3) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   def imageColorNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val imgs = decodeFeatures(spark, sfDir)

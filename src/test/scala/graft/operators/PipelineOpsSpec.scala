@@ -9,6 +9,35 @@ import graft.SparkTestBase
   */
 class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
 
+  test("image_ahash_near_dup: PNG round-trip preserves the closed-form hash; LSH finds the clusters") {
+    // the encode→decode→hash path must reproduce the md5 closed form
+    // (what the DuckDB oracle computes without ever touching a codec)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (g <- Seq(0L, 7L, 23L); p <- Seq(0, 13, 63)) {
+      val (b0, b1, b2, b3) = MultimodalOps.ahashBands(MultimodalOps.encodeAhashPng(g, p))
+      val bs = new Array[Long](64)
+      var total = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val block = 8 * (y / 2) + (x / 2)
+        val v = MultimodalOps.ahashPixel(md, g, x, y) + (if (block == p) 96 else 0)
+        bs(block) += v; total += v
+      }
+      val want = new Array[Long](4)
+      for (k <- 0 until 64) if (64L * bs(k) > total) want(k / 16) |= 1L << (k % 16)
+      assert((b0, b1, b2, b3) == ((want(0), want(1), want(2), want(3))))
+    }
+    // same-(g,p) images are exact dups (hamming 0); the declared query's
+    // pairs are canonical, thresholded, and include every same-group pair
+    // whose hashes actually agree on ≥1 band
+    val rows = MultimodalOps.imageAhashNearDup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 8L)
+    }
+    assert(rows.exists(_.getLong(2) == 0L), "duplicate clusters must yield exact hash matches")
+  }
+
   test("multimodal: REAL codec decode round-trips the generator parameters, deterministic") {
     val a = MultimodalOps.decodeFeatures(spark, sf0001).collect().sortBy(_.doc_id)
     val b = MultimodalOps.decodeFeatures(spark, sf0001).collect().sortBy(_.doc_id)

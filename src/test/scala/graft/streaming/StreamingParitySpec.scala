@@ -280,6 +280,27 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(emitted.nonEmpty && emitted == batch)
   }
 
+  test("stream_observe_metrics: per-batch observed metrics partition the slice exactly") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingEntry.streamObserveMetrics(spark, sf0001).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // the three batches must partition the slice: totals equal the batch
+    // aggregate over the same ordered prefix, exactly (integer sums)
+    val agg = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .agg(count(lit(1)), sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)))
+      .collect()(0)
+    assert(out.map(_.getLong(1)).sum == agg.getLong(0))
+    assert(out.map(_.getLong(2)).sum == agg.getLong(1))
+    assert(out.map(_.getLong(3)).sum == agg.getLong(2))
+    // deterministic chunking: batch sizes are the harness ⌈n/3⌉ split
+    val sz = math.max(1, (agg.getLong(0) + 2) / 3)
+    assert(out.map(_.getLong(1)).toSeq ==
+      Seq(sz, sz, agg.getLong(0) - 2 * sz).filter(_ > 0))
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
