@@ -45,6 +45,7 @@ object SparkEntry {
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
     "stream_observe_metrics" -> graft.streaming.StreamingEntry.streamObserveMetrics _,
+    "stream_chained_agg" -> graft.streaming.StreamingEntry.streamChainedAgg _,
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
@@ -2112,6 +2113,24 @@ object SparkEntry {
         |FROM a, m
         |WHERE wb + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    // Chained hour→day cascade: finalized daily rows are complete (every
+    // hour of a closed day is itself closed), so the batch two-level
+    // rollup over days ending before the final watermark is the oracle.
+    "stream_chained_agg" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |m AS (SELECT max(ts) AS mx FROM e),
+        |h AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hb, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1, 2),
+        |d AS (SELECT time_bucket(INTERVAL 1 DAY, hb) AS db, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_hours, CAST(max(n) AS BIGINT) AS max_hourly_n,
+        |    CAST(sum(n) AS BIGINT) AS n_events, CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+        |  FROM h GROUP BY 1, 2)
+        |SELECT epoch_us(db) AS day_us, event_type, n_hours, max_hourly_n, n_events, sum_cents
+        |FROM d, m WHERE db + INTERVAL 1 DAY <= mx - INTERVAL 1 HOUR
+        |ORDER BY day_us, event_type""".stripMargin,
 
     // FileStreamSource over the staged slice: same full-slice tumbling
     // aggregate as stream_tumbling_events (complete mode, order-free).

@@ -1139,6 +1139,53 @@ object StreamingEntry {
     * batch and stream provably converge on identical rankings). Oracle =
     * the batch rank-limit window over the slice.
     */
+  /** S+: CHAINED STATEFUL AGGREGATIONS — two event-time window aggregates
+    * in ONE streaming query (hourly tumbling per type → daily rollup of
+    * the hourly rows), the multi-stateful-operator pipeline Spark supports
+    * since 3.4 via `window_time()`: stage 2 windows over the event-time
+    * of stage 1's FINALIZED windows, both stages sharing one watermark.
+    * This is the production pre-aggregation cascade (raw → minutely →
+    * hourly → daily) expressed as a single query with a single state
+    * lineage — no intermediate sink, no re-read, exactly-once end to end.
+    * Emission is append-mode: a daily row appears only when the watermark
+    * passes the day's end, by which point every hour of that day has
+    * already flowed through stage 1 (hour end ≤ day end ≤ watermark) — so
+    * finalized daily rows are COMPLETE, which is exactly what the oracle's
+    * batch hour→day cascade over the finalized-day set hash-checks. The
+    * max-ts replay trick ([[streamAppendFinalized]]) forces the final
+    * watermark pass deterministically. Scale: state is O(open windows ×
+    * types) per stage, GC'd by the shared watermark; the daily stage's
+    * input is |hours|·|types| rows per batch, not events.
+    */
+  def streamChainedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      val src = withTs(stream.toDF()).withWatermark("ts_utc", "1 hour")
+      val hourly = src
+        .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_cents"))
+      val daily = hourly
+        .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), max(col("n")).as("max_hourly_n"),
+          sum(col("n")).as("n_events"), sum(col("sum_cents")).as("sum_cents"))
+        .select(
+          unix_micros(col("window.start")).as("day_us"), col("event_type"),
+          col("n_hours"), col("max_hourly_n"), col("n_events"), col("sum_cents"))
+      val q = daily.writeStream.format("memory").queryName("graft_stream_chained")
+        .outputMode("append").start()
+      try {
+        feedChunks(stream, q, slice)
+        stream.addData(Seq(slice.last))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.table("graft_stream_chained")
+      .orderBy(col("day_us"), col("event_type"))
+  }
+
   /** S+: STREAMING PIPELINE OBSERVABILITY — `Dataset.observe()` on a live
     * micro-batch stream: per-batch row count, exact cents mass, and
     * purchase count ride the query's own execution as accumulator-backed

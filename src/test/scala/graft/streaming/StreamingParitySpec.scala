@@ -280,6 +280,42 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(emitted.nonEmpty && emitted == batch)
   }
 
+  test("stream_chained_agg: finalized daily rows equal the batch hour→day cascade") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingEntry.streamChainedAgg(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // batch twin: the same two-level rollup over the slice, restricted to
+    // days ending at or before the final watermark (max ts − 1 hour)
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .select(col("ts_us"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+    val hourUs = 3600L * 1000000L; val dayUs = 24L * hourUs
+    val mx = slice.agg(max(col("ts_us"))).collect()(0).getLong(0)
+    val expect = slice
+      .withColumn("hb", expr(s"(ts_us DIV $hourUs) * $hourUs"))
+      .groupBy(col("hb"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      .withColumn("db", expr(s"(hb DIV $dayUs) * $dayUs"))
+      .groupBy(col("db"), col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), max(col("n")).as("max_hourly_n"),
+        sum(col("n")).as("n_events"), sum(col("sc")).as("sum_cents"))
+      .filter(col("db") + dayUs <= mx - hourUs)
+      .orderBy(col("db"), col("event_type"))
+      .collect()
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (a, b) =>
+      assert((a.getLong(0), a.getString(1), a.getLong(2), a.getLong(3), a.getLong(4),
+        a.getLong(5)) ==
+        ((b.getLong(0), b.getString(1), b.getLong(2), b.getLong(3), b.getLong(4),
+          b.getLong(5))))
+    }
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 24L) // hours per day
+      assert(r.getLong(4) >= r.getLong(3)) // day total ≥ its max hour
+    }
+  }
+
   test("stream_observe_metrics: per-batch observed metrics partition the slice exactly") {
     import org.apache.spark.sql.functions._
     val out = graft.streaming.StreamingEntry.streamObserveMetrics(spark, sf0001).collect()
