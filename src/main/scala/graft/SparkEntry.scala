@@ -196,6 +196,7 @@ object SparkEntry {
     "seasonal_forecast_mae" -> EventOps.seasonalForecastMae _,
     "quantile_drift_weekly" -> EventOps.quantileDriftWeekly _,
     "cusum_changepoint" -> EventOps.cusumChangepoint _,
+    "target_encode_oof" -> EventOps.targetEncodeOof _,
     "acf_daily_events" -> EventOps.acfDailyEvents _,
     "sliding_distinct_users" -> EventOps.slidingDistinctUsers _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
@@ -247,6 +248,7 @@ object SparkEntry {
     "pagerank_docs" -> GraphOps.pagerankDocs _,
     "doc_hop_distance" -> GraphOps.docHopDistance _,
     "triangle_count_docs" -> GraphOps.triangleCountDocs _,
+    "graph_assortativity" -> GraphOps.graphAssortativity _,
     "regex_clean_stats" -> TextAnalysisOps.regexCleanStats _,
     "hash_sample_stratified" -> TextAnalysisOps.hashSampleStratified _,
     "text_quality" -> TextAnalysisOps.textQuality _,
@@ -1007,6 +1009,23 @@ object SparkEntry {
         |FROM wk a JOIN wk b
         |  ON a.event_type = b.event_type AND a.week = b.week + 1
         |ORDER BY a.event_type, a.week""".stripMargin,
+
+    // Out-of-fold target encoding: complement identity (S_cat − S_fold) /
+    // (N_cat − N_fold) — one aggregate + window, one class-2 division.
+    "target_encode_oof" ->
+      """WITH per AS (
+        |  SELECT event_type, event_id % 5 AS fold,
+        |    CAST(count(*) AS BIGINT) AS n_fold,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s_fold
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(fold AS BIGINT) AS fold, n_fold, s_fold,
+        |  CASE WHEN CAST(sum(n_fold) OVER (PARTITION BY event_type) AS BIGINT) - n_fold <> 0
+        |    THEN CAST(CAST(sum(s_fold) OVER (PARTITION BY event_type) AS BIGINT) - s_fold
+        |           AS DOUBLE)
+        |       / CAST(CAST(sum(n_fold) OVER (PARTITION BY event_type) AS BIGINT) - n_fold
+        |           AS DOUBLE) END AS enc_cents
+        |FROM per
+        |ORDER BY event_type, fold""".stripMargin,
 
     // Fraction-free CUSUM: n·S_d = n·prefix − d·T stays in exact BIGINTs;
     // the surfaced statistic is its one class-2 division by n.
@@ -2743,6 +2762,30 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
         |  CAST(3 * (SELECT count(*) FROM tri) AS DOUBLE)
         |    / CAST((SELECT count(*) FROM wedges) AS DOUBLE) AS clustering""".stripMargin,
+
+    // Stub symmetry (Σx = Σy, Σx² = Σy²) collapses Pearson to a sqrt-free
+    // rational — exact BIGINTs, one class-2 division.
+    "graph_assortativity" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |directed AS (
+        |  SELECT doc_id AS src, n_chars % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (n_chars * 31 + doc_id) % (SELECT n FROM nn) FROM documents),
+        |edges AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM directed WHERE src <> dst),
+        |und AS (SELECT a AS node, b AS nbr FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+        |st AS (SELECT du.deg AS x, dv.deg AS y
+        |       FROM und JOIN d du ON und.node = du.node JOIN d dv ON und.nbr = dv.node),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS m_stubs, CAST(sum(x) AS BIGINT) AS sum_deg,
+        |         CAST(sum(x * y) AS BIGINT) AS sum_xy, CAST(sum(x * x) AS BIGINT) AS sum_x2
+        |       FROM st)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        |  m_stubs, sum_deg, sum_xy, sum_x2,
+        |  CAST(m_stubs * sum_xy - sum_deg * sum_deg AS DOUBLE)
+        |    / CAST(m_stubs * sum_x2 - sum_deg * sum_deg AS DOUBLE) AS assortativity
+        |FROM ag""".stripMargin,
 
     "pagerank_docs" ->
       """WITH RECURSIVE

@@ -1357,6 +1357,36 @@ object EventOps {
     * count) with `value_quantiles_sketch` as the unbounded-cardinality
     * escape.
     */
+  /** F+: LEAKAGE-FREE TARGET ENCODING (out-of-fold) — the categorical
+    * feature a training pipeline derives from a label WITHOUT letting a
+    * row see its own target: rows are split into 5 deterministic hash
+    * folds (event_id % 5) and the encoding a fold RECEIVES is the target
+    * mean of the OTHER folds, enc = (S_cat − S_fold)/(N_cat − N_fold) —
+    * the complement trick means one 25-group aggregate plus a window over
+    * it replaces 5 training/holdout scans. Exact: fold sums are BIGINT
+    * cents, category totals are window sums over the 25-row table, and
+    * each encoding is ONE class-2 division. Scale: one map-side-combined
+    * shuffle of (category, fold) groups; everything after is constant
+    * size — the same "aggregate once, re-slice algebraically" shape as
+    * [[seasonalForecastMae]]'s profile.
+    */
+  def targetEncodeOof(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .select(col("event_type"), (col("event_id") % 5).as("fold"), cents.as("c"))
+      .groupBy(col("event_type"), col("fold"))
+      .agg(count(lit(1)).as("n_fold"), sum(col("c")).as("s_fold"))
+    val full = Window.partitionBy(col("event_type"))
+    per
+      .withColumn("n_cat", sum(col("n_fold")).over(full))
+      .withColumn("s_cat", sum(col("s_fold")).over(full))
+      .select(
+        col("event_type"), col("fold"), col("n_fold"), col("s_fold"),
+        when(col("n_cat") - col("n_fold") =!= 0L,
+          (col("s_cat") - col("s_fold")).cast("double") /
+            (col("n_cat") - col("n_fold")).cast("double")).as("enc_cents"))
+      .orderBy(col("event_type"), col("fold"))
+  }
+
   /** T+: CUSUM CHANGEPOINT SCREEN — per event type, the classic
     * cumulative-sum statistic over the daily revenue series: S_d =
     * Σ_{i≤d}(x_i − x̄), whose peak |S| marks the most likely level-shift

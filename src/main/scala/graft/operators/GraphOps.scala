@@ -140,6 +140,48 @@ object GraphOps {
       .limit(20)
   }
 
+  /** V+/graph: DEGREE ASSORTATIVITY (Newman's r) over the closed-form doc
+    * graph — do high-degree nodes link to high-degree nodes? The fifth
+    * graph kernel (rank / structure / distance / prediction / mixing).
+    * Over the M directed stubs (each undirected edge both ways) with
+    * x = deg(u), y = deg(v), stub symmetry gives Σx = Σy and Σx² = Σy²,
+    * so Pearson's r collapses to a SQRT-FREE rational:
+    *   r = (M·Σxy − S²) / (M·Σx² − S²),  S = Σx
+    * — every operand an exact BIGINT (degrees are counts) and r is ONE
+    * IEEE division (class 2): the correlation coefficient, normally a
+    * class-3 rounded statistic, is hash-exact here because symmetry
+    * eliminates the irrational norm. Shape: degree table = one groupBy of
+    * the adjacency; stub join = two key-partitioned joins of (node, nbr)
+    * against it (never broadcast-dependent); one partial-agg'd fold.
+    * BIGINT headroom: M·Σxy ≲ M²·d̄² — exact to ~10⁹ edges at this degree
+    * scale, DECIMAL(38,0) beyond.
+    */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val n = Tables.rowCount(spark, sfDir, "documents")
+    val directed = docs.select(col("doc_id").as("src"), (col("n_chars") % n).as("dst"))
+      .unionByName(docs.select(
+        col("doc_id").as("src"), ((col("n_chars") * 31 + col("doc_id")) % n).as("dst")))
+    val edges = directed
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = und.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val stubs = und
+      .join(deg.select(col("node"), col("deg").as("x")), Seq("node"))
+      .join(deg.select(col("node").as("nbr"), col("deg").as("y")), Seq("nbr"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(stubs.agg(
+        count(lit(1)).as("m_stubs"), sum(col("x")).as("sum_deg"),
+        sum(col("x") * col("y")).as("sum_xy"), sum(col("x") * col("x")).as("sum_x2")))
+      .select(col("n_edges"), col("m_stubs"), col("sum_deg"), col("sum_xy"), col("sum_x2"),
+        ((col("m_stubs") * col("sum_xy") - col("sum_deg") * col("sum_deg")).cast("double") /
+          (col("m_stubs") * col("sum_x2") - col("sum_deg") * col("sum_deg")).cast("double"))
+          .as("assortativity"))
+  }
+
   /** V+/graph: BFS HOP DISTANCE from node 0 over the undirected closed-form
     * doc graph, capped at 6 hops — the shortest-path kernel that completes
     * the graph family (rank: pagerank, structure: triangles, components:

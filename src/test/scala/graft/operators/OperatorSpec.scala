@@ -658,6 +658,29 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("target_encode_oof: encoding excludes exactly the receiving fold") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id") % 5,
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = EventOps.targetEncodeOof(spark, sf0001).collect()
+    assert(out.length == ev.map(e => (e._1, e._2)).distinct.length)
+    out.foreach { r =>
+      val (t, f) = (r.getString(0), r.getLong(1))
+      val mine = ev.filter(e => e._1 == t && e._2 == f)
+      val others = ev.filter(e => e._1 == t && e._2 != f)
+      assert(r.getLong(2) == mine.length.toLong && r.getLong(3) == mine.map(_._3).sum)
+      assert(r.getDouble(4) ==
+        others.map(_._3).sum.toDouble / others.length.toDouble)
+      // leakage check: the encoding is NOT the plain category mean unless
+      // the fold happens to sit exactly on it
+      val all = ev.filter(_._1 == t)
+      val allMean = all.map(_._3).sum.toDouble / all.length.toDouble
+      if (mine.map(_._3).sum * others.length != others.map(_._3).sum * mine.length)
+        assert(r.getDouble(4) != allMean)
+    }
+  }
+
   test("cusum_changepoint: fraction-free peak equals the collected brute force") {
     val ev = graft.sources.Tables.events(spark, sf0001)
       .select(col("event_type"), expr("ts_us DIV 86400000000"),
@@ -723,6 +746,34 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     out.foreach { r =>
       assert(r.getLong(2) >= daily.getOrElse((r.getString(0), r.getLong(1)), 0L))
     }
+  }
+
+  test("graph_assortativity: sqrt-free rational equals the textbook Pearson over stubs") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val edges = docs.flatMap { case (id, nc) => Seq((id, nc % n), (id, (nc * 31 + id) % n)) }
+      .filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val stubs = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .map { case (u, v) => (deg(u), deg(v)) }
+    val m = stubs.length.toLong
+    val s = stubs.map(_._1).sum
+    val sxy = stubs.map { case (x, y) => x * y }.sum
+    val sx2 = stubs.map { case (x, _) => x * x }.sum
+    val r = GraphOps.graphAssortativity(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == edges.length.toLong && r.getLong(1) == m)
+    assert(r.getLong(2) == s && r.getLong(3) == sxy && r.getLong(4) == sx2)
+    assert(r.getDouble(5) == (m * sxy - s * s).toDouble / (m * sx2 - s * s).toDouble)
+    // symmetric stubs make the rational form EXACTLY textbook Pearson
+    val xs = stubs.map(_._1.toDouble); val ys = stubs.map(_._2.toDouble)
+    val mx = xs.sum / m
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - mx) }.sum
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(r.getDouble(5) - cov / vx) < 1e-9)
+    assert(math.abs(r.getDouble(5)) <= 1.0)
   }
 
   test("link_predict_cn: candidates are canonical non-edges with consistent Jaccard") {
