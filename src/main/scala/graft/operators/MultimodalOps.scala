@@ -589,19 +589,30 @@ object MultimodalOps {
         (id, b0, b1, b2, b3)
       }
       .toDF("doc_id", "b0", "b1", "b2", "b3")
-    val l = bands.toDF("d1", "x0", "x1", "x2", "x3")
-    val r = bands.toDF("d2", "y0", "y1", "y2", "y3")
-    val cands = (0 to 3).map { m =>
-      l.join(r, col(s"x$m") === col(s"y$m") && col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
-          col("x0"), col("x1"), col("x2"), col("x3"),
-          col("y0"), col("y1"), col("y2"), col("y3"))
-    }.reduce(_ unionByName _).distinct()
-    cands
-      .select(col("d1").as("doc1"), col("d2").as("doc2"),
-        expr("CAST(bit_count(x0 ^ y0) + bit_count(x1 ^ y1) + " +
-          "bit_count(x2 ^ y2) + bit_count(x3 ^ y3) AS BIGINT)").as("hamming"))
+    // ONE pass computes every hash (the codec map runs exactly once — the
+    // embedding_near_dup restructure, r10): explode each image into its 4
+    // (band, key) rows CARRYING the full hash, generate candidate pairs
+    // inside each bucket with both hashes in hand, and verify hamming
+    // without ever re-joining to (and re-executing) the codec subtree.
+    val keys = bands
+      .select(col("doc_id"),
+        struct(col("b0"), col("b1"), col("b2"), col("b3")).as("h"),
+        explode(array((0 to 3).map(m =>
+          struct(lit(m).as("band"), col(s"b$m").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    keys
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("h")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(xs, (x, i) -> " +
+          "transform(slice(xs, i + 2, size(xs)), y -> struct(x AS l, y AS r))))")).as("p"))
+      .select(col("p.l.doc_id").as("doc1"), col("p.r.doc_id").as("doc2"),
+        expr("CAST(bit_count(p.l.h.b0 ^ p.r.h.b0) + bit_count(p.l.h.b1 ^ p.r.h.b1) + " +
+          "bit_count(p.l.h.b2 ^ p.r.h.b2) + bit_count(p.l.h.b3 ^ p.r.h.b3) AS BIGINT)")
+          .as("hamming"))
       .filter(col("hamming") <= 8)
+      .distinct()
       .orderBy(col("doc1"), col("doc2"))
   }
 

@@ -509,6 +509,58 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("windowspecdefinition(c_mktsegment"), p)
   }
 
+  test("rank_eval_bm25: broadcast qrels/weights; ideal ranking top-10 via WindowGroupLimit") {
+    val p = plan(graft.operators.EvalOps.rankEvalBm25(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the rnk <= 10 filter over the per-query ideal window must push into
+    // the sort — the ideal ranking never materializes beyond the top slice
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cusum_changepoint: peak pick is a WindowGroupLimit, series windows per type") {
+    val p = plan(EventOps.cusumChangepoint(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    assert(!p.contains("Join"), p) // one rollup + windows, join-free
+  }
+
+  test("acf_daily_events: join-free — one daily rollup, per-type windows, stack unpivot") {
+    val p = plan(EventOps.acfDailyEvents(spark, sf0001))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the stack() unpivot
+    assert(p.contains("windowspecdefinition(event_type"), p)
+  }
+
+  test("sliding_distinct_users: fan-out joins only the broadcast day spine") {
+    val p = plan(EventOps.slidingDistinctUsers(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the range condition against the tiny spine is the ONLY nested loop,
+    // and it must be the broadcast side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // exact distinct = two-level aggregate (partial keys, then count) —
+    // a single-distinct groupBy plans without Expand, as two HashAggregate
+    // pairs over (type, wday, user)
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 4, s"$aggs HashAggregates:\n$p")
+  }
+
+  test("image_ahash_near_dup: the codec map runs ONCE; candidates from grouped buckets, no self-join") {
+    val p = plan(graft.operators.MultimodalOps.imageAhashNearDup(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // one MapElements = one encode→decode pass over the images; the
+    // banded pair generation must not re-execute the codec subtree
+    val codecPasses = "MapElements".r.findAllIn(p).size
+    assert(codecPasses == 1, s"$codecPasses codec passes:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("target_encode_oof: one fold aggregate, complement via window — join-free") {
+    val p = plan(EventOps.targetEncodeOof(spark, sf0001))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("windowspecdefinition(event_type"), p)
+  }
+
   test("q11/q22: the scalar-subquery totals ride 1-row broadcasts, never a shuffle") {
     // the crossJoin(broadcast(1-row agg)) pattern plans as a broadcast
     // nested loop — intentional: the inner side is exactly one row
