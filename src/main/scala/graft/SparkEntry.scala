@@ -46,6 +46,7 @@ object SparkEntry {
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
     "stream_observe_metrics" -> graft.streaming.StreamingEntry.streamObserveMetrics _,
     "stream_chained_agg" -> graft.streaming.StreamingEntry.streamChainedAgg _,
+    "stream_state_reader" -> graft.streaming.StreamingEntry.streamStateReader _,
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
@@ -2131,6 +2132,25 @@ object SparkEntry {
         |SELECT epoch_us(wb) AS ws_us, event_type, n, sum_cents
         |FROM a, m
         |WHERE wb + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        |ORDER BY ws_us, event_type""".stripMargin,
+
+    // State-store read-back: state after the feed = windows NOT yet
+    // evicted. Eviction in micro-batch k uses the watermark CAPTURED AT
+    // BATCH START (computed from batches 1..k−1) — with no-data batches
+    // off, the final commit's eviction threshold is max ts of the first
+    // TWO chunks minus the 1 h delay, which this oracle re-derives.
+    "stream_state_reader" ->
+      """WITH e0 AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |cz AS (SELECT greatest((count(*) + 2) // 3, 1) AS sz FROM e0),
+        |e AS (SELECT *, row_number() OVER (ORDER BY event_id) AS rn FROM e0),
+        |m AS (SELECT max(ts) AS mx FROM e, cz WHERE rn <= 2 * sz),
+        |a AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wb, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT epoch_us(wb) AS ws_us, event_type, n, sum_cents
+        |FROM a, m
+        |WHERE wb + INTERVAL 1 HOUR > mx - INTERVAL 1 HOUR
         |ORDER BY ws_us, event_type""".stripMargin,
 
     // Chained hour→day cascade: finalized daily rows are complete (every

@@ -1139,6 +1139,46 @@ object StreamingEntry {
     * batch and stream provably converge on identical rankings). Oracle =
     * the batch rank-limit window over the slice.
     */
+  /** S+: STATE STORE AS A TABLE — Spark 4's state data source
+    * (`spark.read.format("statestore")`) pointed at a live checkpoint: the
+    * tumbling aggregate's internal state reads back as a batch DataFrame
+    * (key = (window, event_type), value = the agg buffer), the ops
+    * capability behind streaming debugging, state audits, and offline
+    * state repair. Semantics hash-proven by this query: after the feed,
+    * state holds EXACTLY the windows the last commit had not yet evicted.
+    * Append mode evicts (and emits) a window in the commit whose eviction
+    * watermark passes its end — and that watermark is the one CAPTURED AT
+    * BATCH START, i.e. computed from the batches before it (no-data
+    * batches are off in this harness), so the final snapshot's threshold
+    * is max ts of the first two chunks − 1 h. The oracle re-derives that
+    * exact boundary with batch SQL over the slice — hash-proving the
+    * store's eviction bookkeeping, watermark lag included, not just the
+    * happy-path aggregate. Scale: the reader enumerates state
+    * per shuffle partition — O(open state), never the stream's history;
+    * the checkpoint is the same one the query commits anyway (zero extra
+    * write cost; the noop sink isolates state cost from sink cost).
+    */
+  def streamStateReader(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    val ckpt = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_state_reader_ckpt")
+    wipeDir(ckpt)
+    withStatePartitions(spark, 4) {
+      val q = StreamingQueries.tumblingStream(withTs(stream.toDF()))
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+    spark.read.format("statestore").load(ckpt.getAbsolutePath)
+      .select(
+        unix_micros(col("key.window.start")).as("ws_us"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n"), col("value.sum").as("sum_cents"))
+      .orderBy(col("ws_us"), col("event_type"))
+  }
+
   /** S+: CHAINED STATEFUL AGGREGATIONS — two event-time window aggregates
     * in ONE streaming query (hourly tumbling per type → daily rollup of
     * the hourly rows), the multi-stateful-operator pipeline Spark supports

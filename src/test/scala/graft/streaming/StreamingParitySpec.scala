@@ -280,6 +280,31 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(emitted.nonEmpty && emitted == batch)
   }
 
+  test("stream_state_reader: store snapshot = windows past the batch-start watermark") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingEntry.streamStateReader(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .select(col("event_id"), col("ts_us"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val hourUs = 3600L * 1000000L
+    // eviction threshold of the LAST commit: watermark captured at batch
+    // start = max event time of the first two chunks − 1 h delay
+    val sz = math.max(1, (slice.length + 2) / 3)
+    val wm = slice.sortBy(_._1).take(2 * sz).map(_._2).max - hourUs
+    val expect = slice
+      .groupBy(e => ((e._2 / hourUs) * hourUs, e._3))
+      .map { case ((ws, t), g) => (ws, t, g.length.toLong, g.map(_._4).sum) }
+      .filter { case (ws, _, _, _) => ws + hourUs > wm }
+      .toSeq.sortBy(e => (e._1, e._2))
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (a, b) =>
+      assert((a.getLong(0), a.getString(1), a.getLong(2), a.getLong(3)) == b)
+    }
+  }
+
   test("stream_chained_agg: finalized daily rows equal the batch hour→day cascade") {
     import org.apache.spark.sql.functions._
     val out = graft.streaming.StreamingEntry.streamChainedAgg(spark, sf0001).collect()
