@@ -205,6 +205,7 @@ object SparkEntry {
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
     "dedup_docs_exact" -> TextOps.dedupDocsExact _,
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
+    "jaccard_join_exact" -> TextOps.jaccardJoinExact _,
     "dedup_docs_simhash" -> TextAnalysisOps.dedupDocsSimhash _,
     "ngram_jaccard" -> TextOps.ngramJaccard _,
     "minhash_containment" -> TextOps.minhashContainment _,
@@ -2332,6 +2333,30 @@ object SparkEntry {
         |  CAST(sum(survivor) AS BIGINT) AS survivor_id_sum,
         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
         |FROM g""".stripMargin,
+
+    // PPJoin-style exact similarity join: prefix lemma makes the rare-token
+    // candidate join lossless; the J >= 0.5 gate is the integer compare
+    // 3·inter >= n1+n2, the surfaced jaccard one class-2 division.
+    "jaccard_join_exact" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |    FROM documents WHERE lang = 'en' AND doc_id % 10 = 0)),
+        |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
+        |rk AS (SELECT doc_id, tok,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS BIGINT) AS pos,
+        |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |  FROM tk JOIN dfc USING (tok)),
+        |pre AS (SELECT * FROM rk WHERE pos <= n - (n + 1) // 2 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2
+        |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |itr AS (SELECT c.d1, c.d2, c.n1, c.n2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c JOIN tk x ON x.doc_id = c.d1
+        |  JOIN tk y ON y.doc_id = c.d2 AND y.tok = x.tok
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d1 AS doc1, d2 AS doc2, inter, n1, n2,
+        |  CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jaccard
+        |FROM itr WHERE 3 * inter >= n1 + n2
+        |ORDER BY doc1, doc2""".stripMargin,
 
     "dedup_docs_minhash" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -761,6 +761,62 @@ object TextOps {
     * sides (the same banded-LSH SQL the dedup oracle uses + the exact
     * truth set), so the whole evaluation sits on the cross-engine hash.
     */
+  /** V+: EXACT set-similarity self-join by PREFIX FILTERING (the
+    * PPJoin/AllPairs family, Bayardo et al. WWW'07 / Chaudhuri et al.
+    * ICDE'06) — every English doc pair whose DISTINCT-token Jaccard is
+    * ≥ 0.5, with a LOSSLESS candidate set: unlike the MinHash band
+    * ([[dedupDocsMinhash]], probabilistic recall), prefix filtering is
+    * complete by the prefix lemma — order tokens globally by (df asc,
+    * token), keep each doc's first n − ⌈t·n⌉ + 1 tokens, and any pair
+    * with J ≥ t MUST collide on ≥ 1 prefix token. Candidates therefore
+    * come from an equi join keyed on the RAREST tokens (Σ df_prefix²
+    * pairs, not corpus² and not stopword df²), then exact verification
+    * joins the full token sets only for candidates. Determinism: the
+    * J ≥ 0.5 gate is the INTEGER comparison 3·|∩| ≥ n1+n2 (no float in
+    * the filter); the surfaced jaccard is one class-2 division. Scale:
+    * df ranking and prefix extraction are token-keyed shuffles of the
+    * deduped (doc, token) table; the verify join touches candidate pairs
+    * only — the standard exact-join economics at corpus scale. The
+    * declared query runs on the doc_id % 10 audit slice (the
+    * [[minhashPrEval]] framing): this fixture corpus is ~90% near-dup by
+    * construction, so FULL-corpus J ≥ 0.5 pair enumeration is truly
+    * cluster-quadratic (measured 15.2 M pairs at sf1) — production runs
+    * the lossless join per sample/shard for audits and uses
+    * `dedup_clusters` (components, linear output) for corpus-wide dedup.
+    */
+  def jaccardJoinExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("tok"))
+      .distinct()
+    val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val ranked = toks.join(df_, Seq("tok"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // prefix length for t = 0.5: n − ⌈n/2⌉ + 1 (integer DIV, not float /)
+    val prefix = ranked.filter(col("pos") <= expr("n - (n + 1) DIV 2 + 1"))
+    val cand = prefix.select(col("tok"), col("doc_id").as("d1"), col("n").as("n1"))
+      .join(prefix.select(col("tok"), col("doc_id").as("d2"), col("n").as("n2")), Seq("tok"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("n1"), col("n2"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("d1"), col("tok")), Seq("d1"))
+      .join(toks.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter(lit(3L) * col("inter") >= col("n1") + col("n2"))
+      .select(col("d1").as("doc1"), col("d2").as("doc2"),
+        col("inter"), col("n1"), col("n2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   def minhashPrEval(spark: SparkSession, sfDir: String): DataFrame = {
     val cand = minhashCandidates(spark, sfDir).select(col("doc1"), col("doc2"))
     val sh = shingleRows(Tables.documents(spark, sfDir)).distinct()

@@ -748,6 +748,31 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("jaccard_join_exact: prefix filtering is LOSSLESS — equals the all-pairs brute force") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSet))
+    val expect = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      (d1, t1) = docs(i); (d2, t2) = docs(j)
+      inter = (t1 & t2).size
+      if 3L * inter >= (t1.size + t2.size) // J >= 0.5 as the integer gate
+    } yield {
+      val (a, b) = if (d1 < d2) (d1, d2) else (d2, d1)
+      val (ta, tb) = if (d1 < d2) (t1, t2) else (t2, t1)
+      (a, b, inter.toLong, ta.size.toLong, tb.size.toLong)
+    }).toVector.sortBy(e => (e._1, e._2))
+    val out = TextOps.jaccardJoinExact(spark, sf0001).collect()
+    assert(out.length == expect.length) // no candidate missed, none invented
+    out.zip(expect).foreach { case (r, e) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == e)
+      assert(r.getDouble(5) == e._3.toDouble / (e._4 + e._5 - e._3).toDouble)
+      assert(r.getDouble(5) >= 0.5)
+    }
+  }
+
   test("graph_assortativity: sqrt-free rational equals the textbook Pearson over stubs") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
