@@ -47,6 +47,7 @@ object SparkEntry {
     "stream_observe_metrics" -> graft.streaming.StreamingEntry.streamObserveMetrics _,
     "stream_chained_agg" -> graft.streaming.StreamingEntry.streamChainedAgg _,
     "stream_state_reader" -> graft.streaming.StreamingEntry.streamStateReader _,
+    "stream_initial_state" -> graft.streaming.StreamingEntry.streamInitialState _,
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
@@ -2134,6 +2135,15 @@ object SparkEntry {
         |FROM a, m
         |WHERE wb + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    // Warm start: batch backfill + streamed remainder must equal ONE
+    // batch aggregate over the whole slice — the seam is the check.
+    "stream_initial_state" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // State-store read-back: state after the feed = windows NOT yet
     // evicted. Eviction in micro-batch k uses the watermark CAPTURED AT

@@ -985,6 +985,93 @@ object StreamingEntry {
     }
   }
 
+  case class WarmTotals(event_type: String, n: Long, sum_cents: Long)
+
+  /** Per-type running totals warm-started from a BATCH initial state —
+    * `StatefulProcessorWithInitialState`: `handleInitialState` seeds each
+    * key's ValueState from the batch side before any stream row arrives,
+    * then `handleInputRows` folds increments on top.
+    */
+  class WarmStartProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, StreamEvent, WarmTotals, (Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        E.tuple(E.scalaLong, E.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: String,
+        initial: (Long, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      st.update(initial)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[WarmTotals] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { e =>
+        n += 1
+        s += math.floor(e.value * 100 + 0.5).toLong
+      }
+      st.update((n, s))
+      Iterator.single(WarmTotals(key, n, s))
+    }
+  }
+
+  /** S+: BATCH→STREAM WARM START — `transformWithState` seeded with an
+    * INITIAL STATE (`StatefulProcessorWithInitialState`): the first half
+    * of the slice is aggregated as a batch backfill, handed to the
+    * streaming query as its initial per-key state, and the second half
+    * streams on top. This is the production handoff every migration and
+    * backfill needs — yesterday's batch totals become the live job's
+    * opening state with no replay of history — and the correctness
+    * contract is exactly what the oracle hash-checks: backfill + stream
+    * must be INDISTINGUISHABLE from one batch aggregate over everything
+    * (a seam — double count, dropped key, late initialization — shifts
+    * n or cents and fails the hash). Scale: initial state distributes by
+    * grouping key like any shuffle (O(keys), once, at query start);
+    * per-key state afterwards is the same O(1) pair as the cold path.
+    */
+  def streamInitialState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val (warm, live) = slice.splitAt(slice.length / 2)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val initial = spark.createDataset(warm)
+          .groupByKey(_.event_type)
+          .mapGroups { (t, es) =>
+            var n = 0L; var s = 0L
+            es.foreach { e => n += 1; s += math.floor(e.value * 100 + 0.5).toLong }
+            (t, n, s)
+          }
+          .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        val q = stream.toDS()
+          .groupByKey(_.event_type)
+          .transformWithState(new WarmStartProcessor, TimeMode.None(),
+            OutputMode.Update(), initial)
+          .writeStream.format("memory").queryName("graft_stream_warm")
+          .outputMode("update").start()
+        try feedChunks(stream, q, live) finally q.stop()
+      }
+    }
+    // final emission per type = the row with the max running n (monotonic)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("n").desc)
+    spark.table("graft_stream_warm")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** DECLARED streaming EWMA: the batch `ewma_user_value` recurrence
     * carried live — O(1) state per user (count + smoothed cents),
     * cross-batch carry exact because the state IS the recurrence value.

@@ -280,6 +280,26 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(emitted.nonEmpty && emitted == batch)
   }
 
+  test("stream_initial_state: warm start is seam-free — equals one batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingEntry.streamInitialState(spark, sf0001).collect()
+    val expect = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("s"))
+      .orderBy(col("event_type")).collect()
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (a, b) =>
+      assert((a.getString(0), a.getLong(1), a.getLong(2)) ==
+        ((b.getString(0), b.getLong(1), b.getLong(2))))
+    }
+    // the warm half is strictly positive — the initial state genuinely
+    // contributes (a processor ignoring it would report ~half the counts)
+    assert(out.map(_.getLong(1)).sum == math.min(5000,
+      graft.sources.Tables.events(spark, sf0001).count()))
+  }
+
   test("stream_state_reader: store snapshot = windows past the batch-start watermark") {
     import org.apache.spark.sql.functions._
     val out = graft.streaming.StreamingEntry.streamStateReader(spark, sf0001).collect()
