@@ -48,6 +48,8 @@ object SparkEntry {
     "stream_chained_agg" -> graft.streaming.StreamingEntry.streamChainedAgg _,
     "stream_state_reader" -> graft.streaming.StreamingEntry.streamStateReader _,
     "stream_initial_state" -> graft.streaming.StreamingEntry.streamInitialState _,
+    "stream_distinct_users_tws" -> graft.streaming.StreamingEntry.streamDistinctUsersTws _,
+    "stream_recent_events_tws" -> graft.streaming.StreamingEntry.streamRecentEventsTws _,
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
@@ -2135,6 +2137,28 @@ object SparkEntry {
         |FROM a, m
         |WHERE wb + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    // MapState exact distinct: running per-type distinct users across
+    // batches must equal the batch COUNT(DISTINCT) over the slice.
+    "stream_distinct_users_tws" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+        |SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // ListState last-3 buffer: arrival = event_id order (the feed is
+    // event_id-chunked), so the oracle is the rank <= 3 window, ascending
+    // ids comma-joined.
+    "stream_recent_events_tws" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |r AS (SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS recent_ids
+        |FROM r WHERE rn <= 3 GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // Warm start: batch backfill + streamed remainder must equal ONE
     // batch aggregate over the whole slice — the seam is the check.

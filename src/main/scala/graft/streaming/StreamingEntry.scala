@@ -985,6 +985,146 @@ object StreamingEntry {
     }
   }
 
+  case class DistinctOut(event_type: String, n_users: Long, n_events: Long)
+
+  /** Streaming exact distinct-users per type on MAP STATE — the state type
+    * whose point is that a micro-batch touches only the entries it probes
+    * (RocksDB keys them individually), unlike a ValueState[Map] which
+    * round-trips the whole map per batch: the correct shape for
+    * unbounded-key dedup state. A ValueState counter tracks cardinality so
+    * emission never iterates the map.
+    */
+  class DistinctUsersProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, DistinctOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var users: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var card: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      users = getHandle.getMapState[Long, Long]("users", E.scalaLong, E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      card = getHandle.getValueState[(Long, Long)]("card",
+        E.tuple(E.scalaLong, E.scalaLong), org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DistinctOut] = {
+      var (nUsers, nEvents) = if (card.exists()) card.get() else (0L, 0L)
+      rows.foreach { e =>
+        if (!users.containsKey(e.user_id)) { users.updateValue(e.user_id, 1L); nUsers += 1 }
+        else users.updateValue(e.user_id, users.getValue(e.user_id) + 1L)
+        nEvents += 1
+      }
+      card.update((nUsers, nEvents))
+      Iterator.single(DistinctOut(key, nUsers, nEvents))
+    }
+  }
+
+  /** S+: EXACT STREAMING DISTINCT COUNT on transformWithState MAP STATE —
+    * per event type, the running number of distinct users and events,
+    * carried across micro-batches in a MapState keyed per user. This is
+    * the state-shape answer to "exact distinct over an unbounded stream":
+    * per batch the store reads/writes ONLY the probed user entries
+    * (MapState's contract — a ValueState[Map] would round-trip the whole
+    * set every batch), so batch cost is O(batch), state is O(distinct
+    * users), and the cardinality rides a ValueState counter so emission
+    * never scans the map. Oracle: the batch COUNT(DISTINCT) over the
+    * slice — a dropped cross-batch entry or double-counted repeat shifts
+    * n_users and fails the hash. The approximate escape at 100 TB state
+    * is the HLL/bitmap family; THIS is the exact path and its honest
+    * price (O(users) keyed state, RocksDB-backed).
+    */
+  def streamDistinctUsersTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = stream.toDS()
+          .groupByKey(_.event_type)
+          .transformWithState(new DistinctUsersProcessor, TimeMode.None(), OutputMode.Update())
+          .writeStream.format("memory").queryName("graft_stream_distinct")
+          .outputMode("update").start()
+        try feedChunks(stream, q, slice) finally q.stop()
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("n_events").desc)
+    spark.table("graft_stream_distinct")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_users"), col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  case class RecentOut(user_id: Long, recent_ids: String)
+
+  /** Last-3 events per user on LIST STATE — appendValue is an O(1) write
+    * per row (no read-modify-write of the whole list on the hot path);
+    * the trim to 3 rewrites the list only when it overflows.
+    */
+  class RecentEventsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, RecentOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent", E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RecentOut] = {
+      rows.toArray.sortBy(_.event_id).foreach(e => recent.appendValue(e.event_id))
+      val all = recent.get().toArray
+      if (all.length > 3) recent.put(all.takeRight(3))
+      Iterator.single(RecentOut(key, recent.get().mkString(",")))
+    }
+  }
+
+  /** S+: PER-USER RECENT-EVENTS BUFFER on transformWithState LIST STATE —
+    * each user's last 3 event ids in arrival order, the "recent activity"
+    * feature a serving layer reads. ListState's contract is the point:
+    * `appendValue` is a pure write (no read of the existing list on the
+    * hot path — RocksDB merges appends), and the buffer trim rewrites
+    * only on overflow, so per-row cost is O(1) and state is O(users · k).
+    * Feed order is event_id-chunked, so "arrival" = event_id order and
+    * the oracle is the rank ≤ 3 window over the slice (ids ascending,
+    * comma-joined) — a lost append, a mis-trimmed buffer, or cross-batch
+    * reordering changes the string and fails the hash.
+    */
+  def streamRecentEventsTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = stream.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new RecentEventsProcessor, TimeMode.None(), OutputMode.Update())
+          .writeStream.format("memory").queryName("graft_stream_recent")
+          .outputMode("update").start()
+        try feedChunks(stream, q, slice) finally q.stop()
+      }
+    }
+    // final emission per user = longest recent_ids string wins is wrong —
+    // take the emission from the LAST batch the user appeared in: the max
+    // last id inside the string is monotone with arrival, so rank on it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(expr("CAST(element_at(split(recent_ids, ','), -1) AS BIGINT)").desc)
+    spark.table("graft_stream_recent")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("recent_ids"))
+      .orderBy(col("user_id"))
+  }
+
   case class WarmTotals(event_type: String, n: Long, sum_cents: Long)
 
   /** Per-type running totals warm-started from a BATCH initial state —

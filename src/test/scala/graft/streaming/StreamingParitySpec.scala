@@ -280,6 +280,35 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(emitted.nonEmpty && emitted == batch)
   }
 
+  test("stream_distinct_users_tws: MapState dedup equals batch COUNT(DISTINCT)") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingEntry.streamDistinctUsersTws(spark, sf0001).collect()
+    val expect = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+      .orderBy(col("event_type")).collect()
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (a, b) =>
+      assert((a.getString(0), a.getLong(1), a.getLong(2)) ==
+        ((b.getString(0), b.getLong(1), b.getLong(2))))
+    }
+  }
+
+  test("stream_recent_events_tws: ListState buffer holds exactly the last 3 arrivals") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingEntry.streamRecentEventsTws(spark, sf0001).collect()
+    val byUser = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, g) => u -> g.map(_._2).sorted.takeRight(3) }
+    assert(out.length == byUser.size)
+    out.foreach { r =>
+      assert(r.getString(1) == byUser(r.getLong(0)).mkString(","))
+    }
+  }
+
   test("stream_initial_state: warm start is seam-free — equals one batch aggregate") {
     import org.apache.spark.sql.functions._
     val out = graft.streaming.StreamingEntry.streamInitialState(spark, sf0001).collect()
