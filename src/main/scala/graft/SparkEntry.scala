@@ -88,6 +88,7 @@ object SparkEntry {
     "q22_dormant_customers" -> TpchOps.q22DormantCustomers _,
     "table_profile_lineitem" -> Relational.tableProfileLineitem _,
     "k_anonymity_customers" -> Relational.kAnonymityCustomers _,
+    "l_diversity_customers" -> Relational.lDiversityCustomers _,
     "source_overlap_matrix" -> TextOps.sourceOverlapMatrix _,
     "ivm_join_view" -> Relational.ivmJoinView _,
     "semi_anti_customers" -> Relational.semiAntiCustomers _,
@@ -381,6 +382,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
         |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
         |  CAST(min(n) AS BIGINT) AS min_class_size
+        |FROM cls GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "l_diversity_customers" ->
+      """WITH cls AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(count(DISTINCT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000)
+        |      AS BIGINT) AS ldiv,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_l,
+        |  CAST(sum(CASE WHEN ldiv < 3 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(min(ldiv) AS BIGINT) AS min_diversity
         |FROM cls GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 

@@ -1212,6 +1212,34 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** D+/privacy: DISTINCT l-DIVERSITY GATE — the companion check to
+    * [[kAnonymityCustomers]]: k-anonymity bounds re-identification but a
+    * class can still leak if everyone in it SHARES the sensitive value;
+    * distinct l-diversity requires ≥ l distinct sensitive values per
+    * quasi-identifier class. Quasi-identifiers = (segment, nation);
+    * sensitive attribute = the account-balance band, derived
+    * integer-exactly (cents DIV 100 000 — never a float bucket boundary).
+    * Per segment: class count, classes below l = 3, rows in those classes,
+    * and the worst class's diversity. Shape: two map-side-combined
+    * aggregations, |classes| groups — the release gate runs at scan cost
+    * whatever the table size.
+    */
+  def lDiversityCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = 3L
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) DIV 100000").as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count_distinct(col("bal_band")).as("ldiv"), count(lit(1)).as("n"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("ldiv") < l, 1L).otherwise(0L)).as("n_below_l"),
+        sum(when(col("ldiv") < l, col("n")).otherwise(lit(0L))).as("n_rows_at_risk"),
+        min(col("ldiv")).as("min_diversity"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** D+/profiling: TABLE PROFILE — per-column (non-null count, exact NDV,
     * min, max) for lineitem, the dataset-profiling report every platform
     * materializes before planning layouts and join strategies. ONE scan:

@@ -748,6 +748,24 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("l_diversity_customers: class diversity equals the collected brute force") {
+    val rows = graft.sources.Tables.customer(spark, sf0001)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) DIV 100000"))
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue, r.getLong(2)))
+    val out = Relational.lDiversityCustomers(spark, sf0001).collect()
+    assert(out.map(_.getString(0)).toSeq == rows.map(_._1).distinct.sorted.toSeq)
+    out.foreach { r =>
+      val seg = r.getString(0)
+      val classes = rows.filter(_._1 == seg).groupBy(_._2).toSeq
+        .map { case (_, g) => (g.map(_._3).distinct.length.toLong, g.length.toLong) }
+      assert(r.getLong(1) == classes.size.toLong)
+      assert(r.getLong(2) == classes.count(_._1 < 3L).toLong)
+      assert(r.getLong(3) == classes.filter(_._1 < 3L).map(_._2).sum)
+      assert(r.getLong(4) == classes.map(_._1).min)
+    }
+  }
+
   test("jaccard_join_exact: prefix filtering is LOSSLESS — equals the all-pairs brute force") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
