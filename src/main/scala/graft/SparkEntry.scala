@@ -202,6 +202,7 @@ object SparkEntry {
     "quantile_drift_weekly" -> EventOps.quantileDriftWeekly _,
     "cusum_changepoint" -> EventOps.cusumChangepoint _,
     "target_encode_oof" -> EventOps.targetEncodeOof _,
+    "bootstrap_ci_daily" -> EventOps.bootstrapCiDaily _,
     "acf_daily_events" -> EventOps.acfDailyEvents _,
     "sliding_distinct_users" -> EventOps.slidingDistinctUsers _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
@@ -1047,6 +1048,39 @@ object SparkEntry {
         |           AS DOUBLE) END AS enc_cents
         |FROM per
         |ORDER BY event_type, fold""".stripMargin,
+
+    // Poisson bootstrap: md5-derived integer inverse-CDF weights against
+    // precomputed thresholds (no exp() at query time); replica means are
+    // class-2 divisions; CI percentiles round(·,6) on both sides.
+    "bootstrap_ci_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ex AS (SELECT event_type, d, x, b,
+        |    ('0x' || substring(md5('bs:' || event_type || ':' || d || ':' || b), 1, 8))::BIGINT
+        |      % 1000000 AS m
+        |  FROM daily, range(200) t(b)),
+        |reps AS (SELECT event_type, b,
+        |    CAST(sum(CASE WHEN m < 367879 THEN 0 WHEN m < 735759 THEN 1
+        |      WHEN m < 919699 THEN 2 WHEN m < 981012 THEN 3 WHEN m < 996340 THEN 4
+        |      WHEN m < 999406 THEN 5 ELSE 6 END * x) AS BIGINT) AS wx,
+        |    CAST(sum(CASE WHEN m < 367879 THEN 0 WHEN m < 735759 THEN 1
+        |      WHEN m < 919699 THEN 2 WHEN m < 981012 THEN 3 WHEN m < 996340 THEN 4
+        |      WHEN m < 999406 THEN 5 ELSE 6 END) AS BIGINT) AS sw
+        |  FROM ex GROUP BY 1, 2),
+        |rm AS (SELECT event_type, CAST(wx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b
+        |  FROM reps WHERE sw > 0),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_daily_cents
+        |  FROM daily GROUP BY 1)
+        |SELECT rm.event_type, base.n_days, base.mean_daily_cents,
+        |  CAST(count(*) AS BIGINT) AS n_replicas,
+        |  round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+        |FROM rm JOIN base USING (event_type)
+        |GROUP BY 1, 2, 3
+        |ORDER BY rm.event_type""".stripMargin,
 
     // Fraction-free CUSUM: n·S_d = n·prefix − d·T stays in exact BIGINTs;
     // the surfaced statistic is its one class-2 division by n.

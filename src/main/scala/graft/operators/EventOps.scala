@@ -1357,6 +1357,59 @@ object EventOps {
     * count) with `value_quantiles_sketch` as the unbounded-cardinality
     * escape.
     */
+  /** T+: POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the mean daily revenue
+    * per type — THE distributed bootstrap: instead of resampling rows
+    * (a shuffle per replica), every observation gets an independent
+    * Poisson(1) weight per replica, so all 200 replicas compute in ONE
+    * grouped aggregation over the (observation × replica) expansion
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    * Google 2012). Deterministic: the Poisson draw is inverse-CDF over an
+    * md5-derived integer in [0, 10⁶) against PRECOMPUTED integer
+    * thresholds (e⁻¹-CDF × 10⁶ — no exp() at query time), identical in
+    * both engines; each replica mean is one class-2 division; the CI
+    * bounds are percentiles over the 200 replica means, round(·, 6) on
+    * both sides (class 3 — interpolation op-order is the one engine
+    * surface here). Scale: the fact-scale work is the daily rollup;
+    * bootstrap expansion happens on the BOUNDED series table
+    * (|types|·|days|·B rows), so the uncertainty estimate is free at any
+    * corpus size — the whole point of bootstrapping the aggregate, not
+    * the rows.
+    */
+  def bootstrapCiDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_us DIV 86400000000").as("d"), cents.as("c"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("c")).as("x"))
+    val reps = daily
+      .select(col("event_type"), col("d"), col("x"),
+        explode(expr("sequence(0, 199)")).as("b"))
+      .withColumn("m", expr(
+        "CAST(conv(substring(md5(concat('bs:', event_type, ':', d, ':', b)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 1000000"))
+      .withColumn("w", expr(
+        "CASE WHEN m < 367879 THEN 0L WHEN m < 735759 THEN 1L WHEN m < 919699 THEN 2L " +
+          "WHEN m < 981012 THEN 3L WHEN m < 996340 THEN 4L WHEN m < 999406 THEN 5L " +
+          "ELSE 6L END"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("x")).as("wx"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0L)
+      .select(col("event_type"),
+        (col("wx").cast("double") / col("sw").cast("double")).as("mean_b"))
+    val base = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"))
+      .select(col("event_type"), col("n_days"),
+        (col("total").cast("double") / col("n_days").cast("double")).as("mean_daily_cents"))
+    reps.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_replicas"),
+        round(expr("percentile(mean_b, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.975)"), 6).as("ci_hi"))
+      .join(base, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("mean_daily_cents"),
+        col("n_replicas"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
   /** F+: LEAKAGE-FREE TARGET ENCODING (out-of-fold) — the categorical
     * feature a training pipeline derives from a label WITHOUT letting a
     * row see its own target: rows are split into 5 deterministic hash

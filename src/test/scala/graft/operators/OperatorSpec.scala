@@ -748,6 +748,47 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bootstrap_ci_daily: replica weights replay exactly; CI bounds bracket the replicas") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(t: String, d: Long, b: Int): Long = {
+      val hex = md.digest(s"bs:$t:$d:$b".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val thr = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    def w(mm: Long): Long = thr.indexWhere(mm < _) match {
+      case -1 => 6L; case i => i.toLong
+    }
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("ts_us DIV 86400000000"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((t, d), g) => (t, d, g.map(_._3).sum) }
+    val out = EventOps.bootstrapCiDaily(spark, sf0001).collect()
+    out.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t)
+      assert(r.getLong(1) == series.length.toLong)
+      assert(r.getDouble(2) ==
+        series.map(_._3).sum.toDouble / series.length.toDouble)
+      val means = (0 until 200).flatMap { b =>
+        val ws = series.map { case (_, d, x) => (w(m(t, d, b)), x) }
+        val sw = ws.map(_._1).sum
+        if (sw > 0) Some(ws.map { case (wt, x) => wt * x }.sum.toDouble / sw.toDouble)
+        else None
+      }
+      assert(r.getLong(3) == means.length.toLong)
+      val (lo, hi) = (r.getDouble(4), r.getDouble(5))
+      assert(lo <= hi)
+      // bounds must bracket within the replica range (round-6 tolerance)
+      assert(lo >= means.min - 1e-6 && hi <= means.max + 1e-6)
+      // 95% of replicas lie inside the CI by construction
+      val inside = means.count(x => x >= lo - 1e-6 && x <= hi + 1e-6)
+      assert(inside >= (means.length * 0.94).toInt)
+    }
+  }
+
   test("l_diversity_customers: class diversity equals the collected brute force") {
     val rows = graft.sources.Tables.customer(spark, sf0001)
       .select(col("c_mktsegment"), col("c_nationkey"),
