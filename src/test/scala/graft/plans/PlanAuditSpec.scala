@@ -561,6 +561,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("windowspecdefinition(event_type"), p)
   }
 
+  test("jaccard_join_exact: candidate and verify joins are hash/merge equi joins, no nested loop") {
+    val p = plan(graft.operators.TextOps.jaccardJoinExact(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bootstrap_ci_daily: expansion happens AFTER the daily rollup, never on the fact scan") {
+    val df = EventOps.bootstrapCiDaily(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the Generate (sequence explode) must sit ABOVE a HashAggregate —
+    // replicas expand the bounded series table, not raw events
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, p)
+    assert(p.indexOf("HashAggregate", gen) >= 0, p) // rollup below the explode
+  }
+
   test("q11/q22: the scalar-subquery totals ride 1-row broadcasts, never a shuffle") {
     // the crossJoin(broadcast(1-row agg)) pattern plans as a broadcast
     // nested loop — intentional: the inner side is exactly one row
