@@ -244,6 +244,12 @@ object SparkEntry {
     "doc_commonness" -> TextOps.docCommonness _,
     "text_stats_lang" -> TextOps.textStatsLang _,
     "lang_id_confusion" -> TextAnalysisOps.langIdConfusion _,
+    "assoc_rules_brands" -> MiningOps.assocRulesBrands _,
+    "ols_trend_user" -> MiningOps.olsTrendUser _,
+    "cosine_tf_pairs" -> MiningOps.cosineTfPairs _,
+    "chi2_event_dow" -> MiningOps.chi2EventDow _,
+    "forget_user_cascade" -> MiningOps.forgetUserCascade _,
+    "temporal_split_embargo" -> MiningOps.temporalSplitEmbargo _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
     "calibration_ece" -> EvalOps.calibrationEce _,
@@ -3206,6 +3212,12 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin,
 
     "lang_id_confusion" -> TextAnalysisOps.Oracle.langIdConfusion,
+    "assoc_rules_brands" -> MiningOps.Oracle.assocRulesBrands,
+    "ols_trend_user" -> MiningOps.Oracle.olsTrendUser,
+    "cosine_tf_pairs" -> MiningOps.Oracle.cosineTfPairs,
+    "chi2_event_dow" -> MiningOps.Oracle.chi2EventDow,
+    "forget_user_cascade" -> MiningOps.Oracle.forgetUserCascade,
+    "temporal_split_embargo" -> MiningOps.Oracle.temporalSplitEmbargo,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
     "calibration_ece" -> EvalOps.Oracle.calibrationEce,

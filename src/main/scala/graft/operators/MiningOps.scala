@@ -1,0 +1,458 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-mining / dataset-governance operators for the pipeline surface:
+  * association rules (market basket), exact per-group OLS trend, blocked
+  * TF-cosine similarity join, chi-square independence cells, GDPR-style
+  * deletion cascade, and temporal train/test split with an embargo gap.
+  *
+  * Determinism protocol (see COVERAGE.md): every declared output is BIGINT
+  * counts/sums plus ratios produced by exactly ONE IEEE-754 division of two
+  * exactly-representable BIGINT operands, rounded to 6 dp — bit-identical
+  * between Spark and the DuckDB oracle regardless of partitioning.
+  */
+object MiningOps {
+
+  /** events.value quantized to integer cents (the repo-wide money
+    * convention — EventOps.scala:22 uses the identical expression).
+    */
+  private val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+
+  /** Association-rule mining over (order → part-brand) baskets: pairwise
+    * co-occurrence support, confidence and lift. The brand dimension is
+    * joined in by BROADCAST (part is a dim table), baskets are the
+    * distinct (order, brand) pairs, and the candidate pairs are emitted
+    * MAP-SIDE from each order's sorted brand set (`transform`/`slice`
+    * combination expansion — same discipline as token_cooccurrence), so
+    * the only shuffles are the per-order set build and the pair count.
+    * Per-item counts (≤ #brands rows) and the basket total (1 row) come
+    * back as broadcasts for the confidence/lift arithmetic.
+    *
+    * 100 TB posture: pair fan-out per basket is C(distinct items, 2) with
+    * items bounded by the brand-dimension cardinality (25 here) — never
+    * corpus²; the heavy shuffle keys are (brand_a, brand_b) with at most
+    * #brands² groups, so the final aggregate is tiny regardless of fact
+    * size. lift = support·N / (cnt_a·cnt_b) — the numerator and
+    * denominator are exact BIGINT products, then one division.
+    */
+  def assocRulesBrands(spark: SparkSession, sfDir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .distinct()
+    val itemCnt = baskets.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("c"))
+    val totals = baskets.agg(
+      count_distinct(col("l_orderkey")).as("n_orders"))
+    val pairs = baskets
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+      .select(explode(expr(
+        """flatten(transform(brands, (a, i) ->
+          |  transform(slice(brands, i + 2, size(brands)), b ->
+          |    struct(a AS brand_a, b AS brand_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.brand_a"), col("p.brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .join(broadcast(itemCnt.select(col("p_brand").as("brand_a"),
+        col("c").as("cnt_a"))), Seq("brand_a"))
+      .join(broadcast(itemCnt.select(col("p_brand").as("brand_b"),
+        col("c").as("cnt_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(totals))
+      .filter(col("support") >= 50)
+      .select(
+        col("brand_a"), col("brand_b"), col("support"),
+        col("cnt_a"), col("cnt_b"), col("n_orders"),
+        round(col("support").cast("double") / col("cnt_a").cast("double"), 6)
+          .as("confidence"),
+        round((col("support") * col("n_orders")).cast("double")
+          / (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
+  }
+
+  /** Exact per-user OLS trend of event value over arrival order: slope of
+    * the least-squares line through (rank, value_cents), computed from the
+    * closed form (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) where x is the 1-based
+    * event rank within the user (ts then event_id tie-break) and y is
+    * integer cents. Every sum is an exact BIGINT, so the slope is one
+    * IEEE division of two exact integers — the feature-engineering
+    * "per-entity trend" primitive with zero floating-point accumulation.
+    *
+    * 100 TB posture: one shuffle on user_id serves both the rank window
+    * and the groupBy (same key, exchange reused); per-user state is five
+    * integers. Ranks are bounded by per-user event counts, keeping the
+    * BIGINT products far from overflow for any realistic entity history
+    * (n·Σxy < 2^63 up to ~40M events/user at max cents).
+    */
+  def olsTrendUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents.as("y"))
+      .withColumn("x", row_number().over(w).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"))
+      .filter(col("n_events") >= 20)
+      .select(
+        col("user_id"), col("n_events"),
+        (col("n_events") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .as("slope_num"),
+        (col("n_events") * col("sum_xx") - col("sum_x") * col("sum_x"))
+          .as("slope_den"),
+        round((col("n_events") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .cast("double")
+          / (col("n_events") * col("sum_xx") - col("sum_x") * col("sum_x"))
+            .cast("double"), 6).as("slope_cents_per_rank"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Blocked exact TF-cosine similarity join over documents: candidate
+    * pairs come from a (lang, token-length band) blocking key — the
+    * standard near-dup blocking discipline (near-identical docs share
+    * language and length) — then the EXACT squared cosine over full
+    * term-frequency vectors decides. cos² = dot² / (‖a‖²·‖b‖²) with dot
+    * and both squared norms exact BIGINTs (integer TFs), so the declared
+    * ratio is one IEEE division; squaring sidesteps the non-deterministic
+    * sqrt. Threshold 0.81 ≡ cosine ≥ 0.9.
+    *
+    * 100 TB posture: the self-join runs INSIDE blocks only (never
+    * corpus²) and block population is operator-controlled via the band
+    * width; the dot product re-joins candidate pairs to the tf table on
+    * (doc, token) — fan-out bounded by pairs × tokens-per-doc, both
+    * bounded. Same candidates-then-verify shape as jaccard_join_exact.
+    */
+  def cosineTfPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val blk = tf.groupBy(col("doc_id"), col("lang"))
+      .agg(
+        sum(col("tf") * col("tf")).as("n2"),
+        sum(col("tf")).as("ntok"))
+      .select(col("doc_id"), col("lang"), col("n2"),
+        expr("ntok DIV 8").as("band"))
+    val pairs = blk.as("a").join(blk.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n2").as("n2a"), col("b.n2").as("n2b"))
+    pairs
+      .join(tf.select(col("doc_id"), col("tok"), col("tf")).as("x"),
+        col("doc_a") === col("x.doc_id"))
+      .join(tf.select(col("doc_id"), col("tok"), col("tf")).as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.tok") === col("y.tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n2a"), col("n2b"))
+      .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
+      .filter((col("dot") * col("dot")).cast("double")
+        / (col("n2a") * col("n2b")).cast("double") >= 0.81)
+      .select(
+        col("doc_a"), col("doc_b"), col("dot"), col("n2a"), col("n2b"),
+        round((col("dot") * col("dot")).cast("double")
+          / (col("n2a") * col("n2b")).cast("double"), 6).as("cos2"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Chi-square independence cells for event_type × day-of-week: the
+    * contingency table with, per cell, the observed BIGINT count and the
+    * exact-integer chi-square contribution (O·N − R·C)² / (N·R·C) as one
+    * division. Emitting per-CELL contributions (instead of the summed
+    * statistic) keeps the output deterministic — a cross-engine Σ of 35
+    * doubles would depend on accumulation order — and is what a drift
+    * dashboard plots anyway. Day-of-week is derived from epoch-µs integer
+    * arithmetic ((day + 4) mod 7, 0 = Monday) because Spark and DuckDB
+    * disagree on native dow numbering.
+    *
+    * 100 TB posture: one pass, one shuffle with ≤ types×7 groups;
+    * marginals are broadcast back. The BIGINT products stay below 2^63
+    * for cell counts up to ~3G rows per cell at 10G total.
+    */
+  def chi2EventDow(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(ts_us DIV 86400000000 + 4) % 7").as("dow"))
+    val cells = e.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = e.groupBy(col("event_type")).agg(count(lit(1)).as("r_tot"))
+    val colTot = e.groupBy(col("dow")).agg(count(lit(1)).as("c_tot"))
+    val total = e.agg(count(lit(1)).as("n_total"))
+    cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("event_type"), col("dow"), col("observed"),
+        col("r_tot"), col("c_tot"), col("n_total"),
+        (col("observed") * col("n_total") - col("r_tot") * col("c_tot"))
+          .as("dev_scaled"),
+        round(((col("observed") * col("n_total")
+            - col("r_tot") * col("c_tot"))
+          * (col("observed") * col("n_total")
+            - col("r_tot") * col("c_tot"))).cast("double")
+          / (col("n_total") * col("r_tot") * col("c_tot")).cast("double"), 6)
+          .as("chi2_cell"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** GDPR-style deletion cascade: given a deletion request list (the
+    * distinct event users with user_id ≡ 0 mod 23 — a stand-in for an
+    * erasure queue), report per table how many rows the cascade removes:
+    * events and customer directly by user key, orders through the
+    * customer FK, lineitem through the order FK (two-hop fan-out). One
+    * summary row per table — the audit artifact a right-to-be-forgotten
+    * job must produce before committing the delete.
+    *
+    * 100 TB posture: the request list is broadcast to every fact scan
+    * (erasure queues are small by nature); the lineitem hop semi-joins
+    * against the DELETED orders only — also broadcast-sized, bounded by
+    * requests × orders-per-customer — so no fact-to-fact shuffle exists
+    * anywhere in the cascade.
+    */
+  def forgetUserCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val del = events.filter(col("user_id") % 23 === 0)
+      .select(col("user_id")).distinct()
+    val eventsRow = events
+      .join(broadcast(del), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_deleted"))
+      .crossJoin(events.agg(count(lit(1)).as("n_total")))
+      .select(lit("events").as("table_name"), col("n_total"), col("n_deleted"))
+    val customer = Tables.customer(spark, sfDir)
+    val custRow = customer
+      .join(broadcast(del), col("c_custkey") === col("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_deleted"))
+      .crossJoin(customer.agg(count(lit(1)).as("n_total")))
+      .select(lit("customer").as("table_name"), col("n_total"),
+        col("n_deleted"))
+    val orders = Tables.orders(spark, sfDir)
+    val delOrders = orders
+      .join(broadcast(del), col("o_custkey") === col("user_id"), "left_semi")
+      .select(col("o_orderkey"))
+    val ordersRow = delOrders.agg(count(lit(1)).as("n_deleted"))
+      .crossJoin(orders.agg(count(lit(1)).as("n_total")))
+      .select(lit("orders").as("table_name"), col("n_total"), col("n_deleted"))
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val lineRow = lineitem
+      .join(broadcast(delOrders), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_deleted"))
+      .crossJoin(lineitem.agg(count(lit(1)).as("n_total")))
+      .select(lit("lineitem").as("table_name"), col("n_total"),
+        col("n_deleted"))
+    eventsRow.unionByName(custRow).unionByName(ordersRow).unionByName(lineRow)
+      .select(col("table_name"), col("n_total"), col("n_deleted"),
+        (col("n_total") - col("n_deleted")).as("n_surviving"))
+      .orderBy(col("table_name"))
+  }
+
+  /** Temporal train/test split with an embargo gap: the train window ends
+    * at 70% of the event time range (pure integer µs arithmetic on
+    * min/max — no quantile estimation, so the boundary is scale-free and
+    * engine-exact), a 1-day embargo absorbs label lookahead, and the rest
+    * is test. Per split: row count, distinct users, and how many of those
+    * users also appear in train — the entity-leakage number that decides
+    * whether a temporal split is honest for per-user features.
+    *
+    * 100 TB posture: min/max is a cheap full-scan aggregate (or free from
+    * parquet footer stats); the train-user set for the leakage join is a
+    * distinct-key aggregate, broadcast when small and a plain shuffled
+    * semi-flag join otherwise. Everything else is one pass over events.
+    */
+  def temporalSplitEmbargo(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 86400000000L
+    val e = Tables.events(spark, sfDir)
+      .select(col("ts_us").as("us"), col("user_id"))
+    val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val tagged = e.crossJoin(broadcast(bounds))
+      .withColumn("train_end",
+        expr("lo + CAST(((hi - lo) * 7) DIV 10 AS BIGINT)"))
+      .withColumn("split",
+        when(col("us") <= col("train_end"), "train")
+          .when(col("us") <= col("train_end") + gapUs, "embargo")
+          .otherwise("test"))
+    val trainUsers = tagged.filter(col("split") === "train")
+      .select(col("user_id").as("t_user")).distinct()
+    tagged
+      .join(broadcast(trainUsers), col("user_id") === col("t_user"), "left")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(when(col("t_user").isNotNull, col("user_id")))
+          .as("n_users_in_train"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB oracle twins (dialect: epoch_us, `//` integer division,
+    * string_split / list lambdas).
+    */
+  object Oracle {
+
+    val assocRulesBrands: String =
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |cnt AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+        |pr AS (
+        |  SELECT x.p_brand AS brand_a, y.p_brand AS brand_b
+        |  FROM b x JOIN b y
+        |    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand),
+        |s AS (SELECT brand_a, brand_b, CAST(count(*) AS BIGINT) AS support
+        |      FROM pr GROUP BY 1, 2)
+        |SELECT s.brand_a, s.brand_b, s.support,
+        |  ca.c AS cnt_a, cb.c AS cnt_b, tot.n_orders,
+        |  round(CAST(s.support AS DOUBLE) / CAST(ca.c AS DOUBLE), 6) AS confidence,
+        |  round(CAST(s.support * tot.n_orders AS DOUBLE)
+        |    / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+        |FROM s
+        |JOIN cnt ca ON ca.p_brand = s.brand_a
+        |JOIN cnt cb ON cb.p_brand = s.brand_b
+        |CROSS JOIN tot
+        |WHERE s.support >= 50
+        |ORDER BY s.support DESC, s.brand_a, s.brand_b""".stripMargin
+
+    val olsTrendUser: String =
+      """WITH r AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    sum(x) AS sum_x, sum(y) AS sum_y,
+        |    sum(x * y) AS sum_xy, sum(x * x) AS sum_xx
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  n_events * sum_xy - sum_x * sum_y AS slope_num,
+        |  n_events * sum_xx - sum_x * sum_x AS slope_den,
+        |  round(CAST(n_events * sum_xy - sum_x * sum_y AS DOUBLE)
+        |    / CAST(n_events * sum_xx - sum_x * sum_x AS DOUBLE), 6)
+        |    AS slope_cents_per_rank
+        |FROM s
+        |WHERE n_events >= 20
+        |ORDER BY user_id""".stripMargin
+
+    val cosineTfPairs: String =
+      """WITH tk0 AS (
+        |  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk0 WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+        |blk AS (
+        |  SELECT doc_id, lang, sum(tf * tf) AS n2, sum(tf) // 8 AS band
+        |  FROM tf GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n2 AS n2a, b.n2 AS n2b
+        |  FROM blk a JOIN blk b
+        |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+        |dots AS (
+        |  SELECT p.doc_a, p.doc_b, p.n2a, p.n2b, sum(x.tf * y.tf) AS dot
+        |  FROM pairs p
+        |  JOIN tf x ON x.doc_id = p.doc_a
+        |  JOIN tf y ON y.doc_id = p.doc_b AND y.tok = x.tok
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, dot, n2a, n2b,
+        |  round(CAST(dot * dot AS DOUBLE) / CAST(n2a * n2b AS DOUBLE), 6) AS cos2
+        |FROM dots
+        |WHERE CAST(dot * dot AS DOUBLE) / CAST(n2a * n2b AS DOUBLE) >= 0.81
+        |ORDER BY doc_a, doc_b""".stripMargin
+
+    val chi2EventDow: String =
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+        |  FROM events),
+        |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS observed
+        |          FROM e GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r_tot FROM e GROUP BY 1),
+        |ct AS (SELECT dow, CAST(count(*) AS BIGINT) AS c_tot FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+        |SELECT cells.event_type, cells.dow, cells.observed,
+        |  rt.r_tot, ct.c_tot, tot.n_total,
+        |  cells.observed * tot.n_total - rt.r_tot * ct.c_tot AS dev_scaled,
+        |  round(CAST((cells.observed * tot.n_total - rt.r_tot * ct.c_tot)
+        |      * (cells.observed * tot.n_total - rt.r_tot * ct.c_tot) AS DOUBLE)
+        |    / CAST(tot.n_total * rt.r_tot * ct.c_tot AS DOUBLE), 6) AS chi2_cell
+        |FROM cells
+        |JOIN rt ON rt.event_type = cells.event_type
+        |JOIN ct ON ct.dow = cells.dow
+        |CROSS JOIN tot
+        |ORDER BY cells.event_type, cells.dow""".stripMargin
+
+    val forgetUserCascade: String =
+      """WITH del AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 23 = 0),
+        |del_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT user_id FROM del)),
+        |t AS (
+        |  SELECT 'events' AS table_name,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(count(*) FILTER (user_id IN (SELECT user_id FROM del))
+        |      AS BIGINT) AS n_deleted
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'customer',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(count(*) FILTER (c_custkey IN (SELECT user_id FROM del))
+        |      AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(count(*) FILTER (o_custkey IN (SELECT user_id FROM del))
+        |      AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(count(*) FILTER (l_orderkey IN
+        |      (SELECT o_orderkey FROM del_orders)) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT table_name, n_total, n_deleted,
+        |  n_total - n_deleted AS n_surviving
+        |FROM t
+        |ORDER BY table_name""".stripMargin
+
+    val temporalSplitEmbargo: String =
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+        |b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+        |tagged AS (
+        |  SELECT e.us, e.user_id,
+        |    CASE
+        |      WHEN e.us <= b.lo + ((b.hi - b.lo) * 7) // 10 THEN 'train'
+        |      WHEN e.us <= b.lo + ((b.hi - b.lo) * 7) // 10 + 86400000000
+        |        THEN 'embargo'
+        |      ELSE 'test' END AS split
+        |  FROM e CROSS JOIN b),
+        |tu AS (SELECT DISTINCT user_id FROM tagged WHERE split = 'train')
+        |SELECT split,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT user_id)
+        |    FILTER (user_id IN (SELECT user_id FROM tu)) AS BIGINT)
+        |    AS n_users_in_train
+        |FROM tagged
+        |GROUP BY split
+        |ORDER BY split""".stripMargin
+  }
+}

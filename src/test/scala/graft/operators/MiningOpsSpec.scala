@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Specs for the mining/governance band: every operator is re-derived by an
+  * independent in-memory brute force over the collected sf0.001 fixture and
+  * must match EXACTLY (the declared ratios are one IEEE division of exact
+  * integers on both sides, so == on doubles is the right assertion).
+  */
+class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val eventRows: Array[(Long, Long, Long, Long)] =
+    Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("assoc_rules_brands matches the brute-force basket counts") {
+    val baskets = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemCnt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = byOrder.size.toLong
+    val support = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, bs) <- byOrder; a <- bs; b <- bs if a < b)
+      support((a, b)) = support.getOrElse((a, b), 0L) + 1L
+    val expect = support.toSeq.filter(_._2 >= 50).map { case ((a, b), s) =>
+      (a, b, s, itemCnt(a), itemCnt(b), n,
+        round6(s.toDouble / itemCnt(a).toDouble),
+        round6((s * n).toDouble / (itemCnt(a) * itemCnt(b)).toDouble))
+    }.sortBy(t => (-t._3, t._1, t._2))
+    val got = MiningOps.assocRulesBrands(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got == expect)
+    // the un-thresholded pair grid must be dense enough to be meaningful
+    assert(support.size > 100)
+  }
+
+  test("ols_trend_user slope equals the closed-form least squares per user") {
+    val got = MiningOps.olsTrendUser(spark, sf0001).collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val byUser = eventRows.groupBy(_._1)
+    var checked = 0
+    for ((u, rows) <- byUser if rows.length >= 20) {
+      val ys = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val xs = (1 to ys.length).map(_.toLong)
+      val nn = ys.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val (num, den) = (nn * sxy - sx * sy, nn * sxx - sx * sx)
+      val (gn, gnum, gden, gslope) = got(u)
+      assert(gn == nn && gnum == num && gden == den)
+      assert(gslope == round6(num.toDouble / den.toDouble))
+      checked += 1
+    }
+    assert(checked == got.size && checked > 0)
+  }
+
+  test("cosine_tf_pairs equals the brute-force blocked TF cosine") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tf = docs.map { case (id, lang, text) =>
+      val m = text.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      (id, lang, m)
+    }
+    val blk = tf.map { case (id, lang, m) =>
+      (id, lang, m.values.map(v => v * v).sum, m.values.sum / 8, m)
+    }
+    val expect = (for {
+      (ia, la, n2a, ba, ma) <- blk
+      (ib, lb, n2b, bb, mb) <- blk
+      if la == lb && ba == bb && ia < ib
+      dot = ma.keysIterator.map(k => ma(k) * mb.getOrElse(k, 0L)).sum
+      if dot * dot.toDouble / (n2a * n2b).toDouble >= 0.81
+    } yield (ia, ib, dot, n2a, n2b,
+      round6((dot * dot).toDouble / (n2a * n2b).toDouble)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val got = MiningOps.cosineTfPairs(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("chi2_event_dow cells: marginals consistent, contributions exact") {
+    val types = Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("(ts_us DIV 86400000000 + 4) % 7"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nTot = types.length.toLong
+    val got = MiningOps.chi2EventDow(spark, sf0001).collect()
+    assert(got.map(_.getLong(2)).sum == nTot) // cells partition the table
+    got.foreach { r =>
+      val (t, d, o) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(o == types.count(x => x._1 == t && x._2 == d).toLong)
+      val rTot = types.count(_._1 == t).toLong
+      val cTot = types.count(_._2 == d).toLong
+      assert(r.getLong(3) == rTot && r.getLong(4) == cTot && r.getLong(5) == nTot)
+      val dev = o * nTot - rTot * cTot
+      assert(r.getLong(6) == dev)
+      assert(r.getDouble(7) ==
+        round6((dev * dev).toDouble / (nTot * rTot * cTot).toDouble))
+    }
+    assert(got.map(_.getLong(6)).sum == 0L) // deviations cancel by identity
+  }
+
+  test("forget_user_cascade counts match the brute-force two-hop fan-out") {
+    val del = eventRows.map(_._1).filter(_ % 23 == 0).toSet
+    val custs = Tables.customer(spark, sf0001).select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+    val ords = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val delOrders = ords.filter(o => del.contains(o._2)).map(_._1).toSet
+    val lines = Tables.lineitem(spark, sf0001).select(col("l_orderkey"))
+      .collect().map(_.getLong(0))
+    val got = MiningOps.forgetUserCascade(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("events") == ((eventRows.length.toLong,
+      eventRows.count(e => del.contains(e._1)).toLong,
+      eventRows.count(e => !del.contains(e._1)).toLong)))
+    assert(got("customer") == ((custs.length.toLong,
+      custs.count(del.contains).toLong,
+      custs.count(c => !del.contains(c)).toLong)))
+    assert(got("orders") == ((ords.length.toLong, delOrders.size.toLong,
+      ords.length.toLong - delOrders.size)))
+    assert(got("lineitem") == ((lines.length.toLong,
+      lines.count(delOrders.contains).toLong,
+      lines.count(l => !delOrders.contains(l)).toLong)))
+  }
+
+  test("temporal_split_embargo partitions rows; test users leak-checked") {
+    val lo = eventRows.map(_._2).min
+    val hi = eventRows.map(_._2).max
+    val trainEnd = lo + ((hi - lo) * 7) / 10
+    val gap = 86400000000L
+    def split(us: Long): String =
+      if (us <= trainEnd) "train"
+      else if (us <= trainEnd + gap) "embargo" else "test"
+    val trainUsers = eventRows.filter(e => split(e._2) == "train")
+      .map(_._1).toSet
+    val got = MiningOps.temporalSplitEmbargo(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.values.map(_._1).sum == eventRows.length.toLong)
+    for ((name, (nRows, nUsers, nInTrain)) <- got) {
+      val members = eventRows.filter(e => split(e._2) == name)
+      assert(nRows == members.length.toLong)
+      assert(nUsers == members.map(_._1).distinct.length.toLong)
+      assert(nInTrain ==
+        members.map(_._1).distinct.count(trainUsers.contains).toLong)
+    }
+    // train must strictly precede test in time with the embargo between
+    assert(got("train")._1 > 0 && got("test")._1 > 0)
+  }
+}
