@@ -250,6 +250,10 @@ object SparkEntry {
     "chi2_event_dow" -> MiningOps.chi2EventDow _,
     "forget_user_cascade" -> MiningOps.forgetUserCascade _,
     "temporal_split_embargo" -> MiningOps.temporalSplitEmbargo _,
+    "percentile_bands_value" -> MiningOps.percentileBandsValue _,
+    "width_bucket_hist" -> MiningOps.widthBucketHist _,
+    "time_weighted_avg_user" -> MiningOps.timeWeightedAvgUser _,
+    "table_checksum_diff" -> MiningOps.tableChecksumDiff _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
     "calibration_ece" -> EvalOps.calibrationEce _,
@@ -3218,6 +3222,10 @@ object SparkEntry {
     "chi2_event_dow" -> MiningOps.Oracle.chi2EventDow,
     "forget_user_cascade" -> MiningOps.Oracle.forgetUserCascade,
     "temporal_split_embargo" -> MiningOps.Oracle.temporalSplitEmbargo,
+    "percentile_bands_value" -> MiningOps.Oracle.percentileBandsValue,
+    "width_bucket_hist" -> MiningOps.Oracle.widthBucketHist,
+    "time_weighted_avg_user" -> MiningOps.Oracle.timeWeightedAvgUser,
+    "table_checksum_diff" -> MiningOps.Oracle.tableChecksumDiff,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
     "calibration_ece" -> EvalOps.Oracle.calibrationEce,

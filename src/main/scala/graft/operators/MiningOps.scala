@@ -298,6 +298,129 @@ object MiningOps {
       .orderBy(col("split"))
   }
 
+  /** Exact type-1 quantile IQR outlier gate over the daily revenue series:
+    * daily cents sums, Q1/Q3 picked by an EXPLICIT discrete rule (the
+    * value at row ⌈p·n⌉ of the (cents, day)-ordered series — spelled out
+    * because Spark's percentile_disc and DuckDB's quantile_disc disagree
+    * on index rounding), and the Tukey 1.5·IQR fence evaluated in pure
+    * integer arithmetic (the whole inequality ×2, so the 3/2 factor never
+    * leaves ℤ). Per-day verdicts — the anomaly gate a daily-partition
+    * quality monitor runs before admitting a partition to training.
+    *
+    * 100 TB posture: the quantile runs over the DAILY aggregate (one row
+    * per partition-day — thousands, not billions), so the sort is trivial
+    * regardless of fact size; the single fact-side pass is the daily sum.
+    */
+  def percentileBandsValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("ts_us DIV 86400000000").as("day"))
+      .agg(sum(cents).as("day_cents"))
+    val ranked = daily.withColumn("rn",
+        row_number().over(Window.orderBy(col("day_cents"), col("day"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val q = ranked
+      .select(col("day_cents"), col("rn"),
+        expr("(25 * n + 99) DIV 100").as("rn_q1"),
+        expr("(75 * n + 99) DIV 100").as("rn_q3"))
+      .agg(
+        max(when(col("rn") === col("rn_q1"), col("day_cents"))).as("q1_cents"),
+        max(when(col("rn") === col("rn_q3"), col("day_cents"))).as("q3_cents"))
+    daily.crossJoin(broadcast(q))
+      .select(
+        col("day"), col("day_cents"), col("q1_cents"), col("q3_cents"),
+        (col("day_cents") * 2 < col("q1_cents") * 2
+          - (col("q3_cents") - col("q1_cents")) * 3
+          || col("day_cents") * 2 > col("q3_cents") * 2
+          + (col("q3_cents") - col("q1_cents")) * 3).as("is_outlier"))
+      .orderBy(col("day"))
+  }
+
+  /** Fixed-width histogram of event cents via the SQL-standard
+    * width_bucket — 20 buckets over [0, 50000), integer bucket bounds
+    * recomputed from the bucket id so the output carries no
+    * floating-point. The one-pass profile a feature store materializes
+    * per column per partition.
+    *
+    * 100 TB posture: map-side partial aggregation into ≤ n_buckets + 2
+    * groups — the shuffle is constant-size no matter the fact rows.
+    */
+  def widthBucketHist(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(cents.as("c"))
+      .groupBy(expr("CAST(width_bucket(c, 0, 50000, 20) AS BIGINT)")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        ((col("bucket") - 1) * 2500).as("lo_cents"),
+        (col("bucket") * 2500).as("hi_cents"),
+        col("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Time-weighted average event value per user: each event's cents held
+    * until the next event (lead over the per-user timeline), weighted by
+    * the gap in WHOLE SECONDS (µs DIV 1e6 — integer, and it keeps
+    * Σ cents·gap < 2^63 for decade-long histories), one division at the
+    * end. The duration-weighted mean is the correct aggregate for
+    * state-like signals (a value that persists between observations) —
+    * the plain mean over-weights bursts.
+    *
+    * 100 TB posture: one shuffle on user_id reused by the lead window and
+    * the groupBy; per-user state is three integers.
+    */
+  def timeWeightedAvgUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents.as("y"))
+      .withColumn("gap_s",
+        expr("(lead(ts_us) OVER (PARTITION BY user_id "
+          + "ORDER BY ts_us, event_id) - ts_us) DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_holds"),
+        sum(col("y") * col("gap_s")).as("twa_num"),
+        sum(col("gap_s")).as("twa_den"))
+      .filter(col("twa_den") > 0)
+      .select(col("user_id"), col("n_holds"), col("twa_num"), col("twa_den"),
+        round(col("twa_num").cast("double") / col("twa_den").cast("double"), 6)
+          .as("twa_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Constant-size table-integrity diff: per-day bit_xor fingerprint of a
+    * canonical 60-bit row hash, computed for the events table AND for a
+    * deliberately perturbed replica (purchase values doubled on one day)
+    * — the output says exactly which daily partitions drifted without
+    * moving any rows. The replication/backfill audit that normally powers
+    * a Merkle-style comparison: one BIGINT per partition per side.
+    *
+    * 100 TB posture: each side is a single map-side-combinable xor
+    * aggregate (xor is commutative/associative — partitioning-proof);
+    * comparing replicas exchanges ≤ one row per partition-day. The
+    * perturbed side here stands in for "the other cluster's copy".
+    */
+  def tableChecksumDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .select(expr("ts_us DIV 86400000000").as("day"), col("event_id"),
+        col("event_type"), cents.as("c"))
+    val perturbed = base.withColumn("c",
+      when(col("event_type") === "purchase" && col("day") % 7 === 3,
+        col("c") * 2).otherwise(col("c")))
+    def fp(df: DataFrame, name: String) = df
+      .withColumn("h", expr("CAST(conv(substr(md5(concat(CAST(event_id AS "
+        + "STRING), ':', event_type, ':', CAST(c AS STRING))), 1, 15), 16, "
+        + "10) AS BIGINT)"))
+      .groupBy(col("day"))
+      .agg(expr("bit_xor(h)").as(name), count(lit(1)).as(s"n_$name"))
+    fp(base, "fp_a").join(fp(perturbed, "fp_b"), Seq("day"))
+      .select(col("day"), col("fp_a"), col("fp_b"),
+        col("n_fp_a").as("n_rows"),
+        (col("fp_a") === col("fp_b")).as("matches"))
+      .orderBy(col("day"))
+  }
+
   /** DuckDB oracle twins (dialect: epoch_us, `//` integer division,
     * string_split / list lambdas).
     */
@@ -432,6 +555,96 @@ object MiningOps {
         |  n_total - n_deleted AS n_surviving
         |FROM t
         |ORDER BY table_name""".stripMargin
+
+    val percentileBandsValue: String =
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_cents
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT day_cents,
+        |    row_number() OVER (ORDER BY day_cents, day) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM daily),
+        |q AS (
+        |  SELECT
+        |    max(CASE WHEN rn = (25 * n + 99) // 100 THEN day_cents END) AS q1_cents,
+        |    max(CASE WHEN rn = (75 * n + 99) // 100 THEN day_cents END) AS q3_cents
+        |  FROM r)
+        |SELECT d.day, d.day_cents, q.q1_cents, q.q3_cents,
+        |  (d.day_cents * 2 < q.q1_cents * 2 - (q.q3_cents - q.q1_cents) * 3
+        |   OR d.day_cents * 2 > q.q3_cents * 2 + (q.q3_cents - q.q1_cents) * 3)
+        |   AS is_outlier
+        |FROM daily d CROSS JOIN q
+        |ORDER BY d.day""".stripMargin
+
+    /** DuckDB has no width_bucket; for cents ≥ 0 the SQL-standard bucket
+      * is exactly least(c // 2500, 20) + 1 (values ≥ hi clamp into the
+      * overflow bucket n+1) — an independent formulation that
+      * cross-checks Spark's width_bucket arithmetic, including the
+      * overflow clamp that scaled fixtures exercise.
+      */
+    val widthBucketHist: String =
+      """WITH c AS (
+        |  SELECT least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500, 20)
+        |    + 1 AS bucket
+        |  FROM events)
+        |SELECT bucket,
+        |  (bucket - 1) * 2500 AS lo_cents,
+        |  bucket * 2500 AS hi_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM c
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin
+
+    val timeWeightedAvgUser: String =
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, y,
+        |    (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      - ts_us) // 1000000 AS gap_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+        |    sum(y * gap_s) AS twa_num, sum(gap_s) AS twa_den
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_holds, twa_num, twa_den,
+        |  round(CAST(twa_num AS DOUBLE) / CAST(twa_den AS DOUBLE), 6)
+        |    AS twa_cents
+        |FROM s
+        |WHERE twa_den > 0
+        |ORDER BY user_id""".stripMargin
+
+    val tableChecksumDiff: String =
+      """WITH base AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |pert AS (
+        |  SELECT day, event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' AND day % 7 = 3
+        |      THEN c * 2 ELSE c END AS c
+        |  FROM base),
+        |fa AS (
+        |  SELECT day,
+        |    bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+        |      || event_type || ':' || CAST(c AS VARCHAR)), 1, 15))::BIGINT)
+        |      AS fp_a,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM base GROUP BY 1),
+        |fb AS (
+        |  SELECT day,
+        |    bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+        |      || event_type || ':' || CAST(c AS VARCHAR)), 1, 15))::BIGINT)
+        |      AS fp_b
+        |  FROM pert GROUP BY 1)
+        |SELECT fa.day, fa.fp_a, fb.fp_b, fa.n_rows,
+        |  fa.fp_a = fb.fp_b AS matches
+        |FROM fa JOIN fb ON fa.day = fb.day
+        |ORDER BY fa.day""".stripMargin
 
     val temporalSplitEmbargo: String =
       """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),

@@ -141,6 +141,88 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
       lines.count(l => !delOrders.contains(l)).toLong)))
   }
 
+  test("percentile_bands_value: explicit type-1 quantiles and integer Tukey fence") {
+    val daily = eventRows.groupBy(_._2 / 86400000000L).view
+      .mapValues(_.map(_._4).sum).toSeq.sortBy(_._1)
+    val sorted = daily.sortBy(d => (d._2, d._1)).map(_._2)
+    val n = sorted.length
+    val q1 = sorted((25 * n + 99) / 100 - 1)
+    val q3 = sorted((75 * n + 99) / 100 - 1)
+    val got = MiningOps.percentileBandsValue(spark, sf0001).collect()
+    assert(got.length == n)
+    got.foreach { r =>
+      val (day, dc) = (r.getLong(0), r.getLong(1))
+      assert(dc == daily.toMap.apply(day))
+      assert(r.getLong(2) == q1 && r.getLong(3) == q3)
+      assert(r.getBoolean(4) ==
+        (dc * 2 < q1 * 2 - (q3 - q1) * 3 || dc * 2 > q3 * 2 + (q3 - q1) * 3))
+    }
+  }
+
+  test("width_bucket_hist: counts partition the table, bounds match the id") {
+    val cs = eventRows.map(_._4)
+    val got = MiningOps.widthBucketHist(spark, sf0001).collect()
+    assert(got.map(_.getLong(3)).sum == cs.length.toLong)
+    got.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) == (b - 1) * 2500 && r.getLong(2) == b * 2500)
+      assert(r.getLong(3) ==
+        cs.count(c => math.min(c / 2500, 20L) + 1 == b).toLong)
+    }
+  }
+
+  test("time_weighted_avg_user equals the brute-force duration-weighted mean") {
+    val got = MiningOps.timeWeightedAvgUser(spark, sf0001).collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    var checked = 0
+    for ((u, rows) <- eventRows.groupBy(_._1)) {
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val holds = ordered.zip(ordered.tail).map { case (a, b) =>
+        (a._4, (b._2 - a._2) / 1000000L)
+      }
+      val (num, den) = (holds.map(h => h._1 * h._2).sum, holds.map(_._2).sum)
+      if (holds.nonEmpty && den > 0) {
+        val (gn, gnum, gden, gtwa) = got(u)
+        assert(gn == holds.length.toLong && gnum == num && gden == den)
+        assert(gtwa == round6(num.toDouble / den.toDouble))
+        checked += 1
+      }
+    }
+    assert(checked == got.size && checked > 0)
+  }
+
+  test("table_checksum_diff: xor fingerprints flag exactly the perturbed days") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long, t: String, c: Long): Long = {
+      val hex = md.digest(s"$id:$t:$c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val types = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = eventRows.map { case (_, us, id, c) =>
+      (us / 86400000000L, id, types(id), c)
+    }
+    val got = MiningOps.tableChecksumDiff(spark, sf0001).collect()
+    assert(got.map(_.getLong(3)).sum == rows.length.toLong)
+    got.foreach { r =>
+      val day = r.getLong(0)
+      val members = rows.filter(_._1 == day)
+      val fpA = members.map(m => h(m._2, m._3, m._4)).reduce(_ ^ _)
+      val fpB = members.map { m =>
+        val c = if (m._3 == "purchase" && day % 7 == 3) m._4 * 2 else m._4
+        h(m._2, m._3, c)
+      }.reduce(_ ^ _)
+      assert(r.getLong(1) == fpA && r.getLong(2) == fpB)
+      assert(r.getBoolean(4) == (fpA == fpB))
+      // a day drifts iff it is a perturbed day containing a purchase
+      assert(r.getBoolean(4) !=
+        (day % 7 == 3 && members.exists(_._3 == "purchase")))
+    }
+  }
+
   test("temporal_split_embargo partitions rows; test users leak-checked") {
     val lo = eventRows.map(_._2).min
     val hi = eventRows.map(_._2).max

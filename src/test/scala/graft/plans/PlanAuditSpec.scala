@@ -588,4 +588,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p22.contains("LeftAnti"), p22)
     assert(!p22.contains("CartesianProduct"), p22)
   }
+
+  test("assoc_rules_brands: dim join broadcasts, pair fan-out is map-side (no cartesian)") {
+    val p = plan(graft.operators.MiningOps.assocRulesBrands(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair expansion is a Generate over the per-order set, not a join
+    assert(p.contains("Generate"), p)
+  }
+
+  test("cosine_tf_pairs: blocked self-join and dot re-join are equi joins, never all-pairs") {
+    val p = plan(graft.operators.MiningOps.cosineTfPairs(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("forget_user_cascade: every cascade hop is a broadcast semi join") {
+    val p = plan(graft.operators.MiningOps.forgetUserCascade(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no fact-to-fact shuffle join anywhere in the cascade: the only
+    // joins are broadcast (id lists / 1-row totals)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("ols_trend_user / time_weighted_avg_user: one user_id exchange reused by window+agg") {
+    for (df <- Seq(graft.operators.MiningOps.olsTrendUser(spark, sf0001),
+        graft.operators.MiningOps.timeWeightedAvgUser(spark, sf0001))) {
+      val p = plan(df)
+      // hashpartitioning(user_id) appears for the window; the groupBy on
+      // the same key must NOT introduce a second user_id exchange
+      val hits = "hashpartitioning\\(user_id".r.findAllIn(p).length
+      assert(hits == 1, s"expected 1 user_id exchange, got $hits:\n$p")
+    }
+  }
+
+  test("width_bucket_hist / chi2_event_dow: partial+final hash aggregate (map-side combine)") {
+    for (df <- Seq(graft.operators.MiningOps.widthBucketHist(spark, sf0001),
+        graft.operators.MiningOps.chi2EventDow(spark, sf0001))) {
+      val p = plan(df)
+      assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
 }
