@@ -10,10 +10,13 @@ import graft.sources.Tables
   * TF-cosine similarity join, chi-square independence cells, GDPR-style
   * deletion cascade, and temporal train/test split with an embargo gap.
   *
-  * Determinism protocol (see COVERAGE.md): every declared output is BIGINT
-  * counts/sums plus ratios produced by exactly ONE IEEE-754 division of two
-  * exactly-representable BIGINT operands, rounded to 6 dp — bit-identical
-  * between Spark and the DuckDB oracle regardless of partitioning.
+  * Determinism protocol (see COVERAGE.md "Oracle-parity convention"):
+  * every declared output is BIGINT counts/sums plus class-2 ratios —
+  * exactly ONE IEEE-754 division of two exactly-representable BIGINT
+  * operands, emitted UNROUNDED (int/int quotients are precisely the
+  * values that can land on reachable 6-dp rounding ties, so round() is
+  * banned here) — bit-identical between Spark and the DuckDB oracle
+  * regardless of partitioning.
   */
 object MiningOps {
 
@@ -70,10 +73,10 @@ object MiningOps {
       .select(
         col("brand_a"), col("brand_b"), col("support"),
         col("cnt_a"), col("cnt_b"), col("n_orders"),
-        round(col("support").cast("double") / col("cnt_a").cast("double"), 6)
+        (col("support").cast("double") / col("cnt_a").cast("double"))
           .as("confidence"),
-        round((col("support") * col("n_orders")).cast("double")
-          / (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+        ((col("support") * col("n_orders")).cast("double")
+          / (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
       .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
   }
 
@@ -111,10 +114,10 @@ object MiningOps {
           .as("slope_num"),
         (col("n_events") * col("sum_xx") - col("sum_x") * col("sum_x"))
           .as("slope_den"),
-        round((col("n_events") * col("sum_xy") - col("sum_x") * col("sum_y"))
+        ((col("n_events") * col("sum_xy") - col("sum_x") * col("sum_y"))
           .cast("double")
           / (col("n_events") * col("sum_xx") - col("sum_x") * col("sum_x"))
-            .cast("double"), 6).as("slope_cents_per_rank"))
+            .cast("double")).as("slope_cents_per_rank"))
       .orderBy(col("user_id"))
   }
 
@@ -163,8 +166,8 @@ object MiningOps {
         / (col("n2a") * col("n2b")).cast("double") >= 0.81)
       .select(
         col("doc_a"), col("doc_b"), col("dot"), col("n2a"), col("n2b"),
-        round((col("dot") * col("dot")).cast("double")
-          / (col("n2a") * col("n2b")).cast("double"), 6).as("cos2"))
+        ((col("dot") * col("dot")).cast("double")
+          / (col("n2a") * col("n2b")).cast("double")).as("cos2"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -200,11 +203,11 @@ object MiningOps {
         col("r_tot"), col("c_tot"), col("n_total"),
         (col("observed") * col("n_total") - col("r_tot") * col("c_tot"))
           .as("dev_scaled"),
-        round(((col("observed") * col("n_total")
+        (((col("observed") * col("n_total")
             - col("r_tot") * col("c_tot"))
           * (col("observed") * col("n_total")
             - col("r_tot") * col("c_tot"))).cast("double")
-          / (col("n_total") * col("r_tot") * col("c_tot")).cast("double"), 6)
+          / (col("n_total") * col("r_tot") * col("c_tot")).cast("double"))
           .as("chi2_cell"))
       .orderBy(col("event_type"), col("dow"))
   }
@@ -384,7 +387,7 @@ object MiningOps {
         sum(col("gap_s")).as("twa_den"))
       .filter(col("twa_den") > 0)
       .select(col("user_id"), col("n_holds"), col("twa_num"), col("twa_den"),
-        round(col("twa_num").cast("double") / col("twa_den").cast("double"), 6)
+        (col("twa_num").cast("double") / col("twa_den").cast("double"))
           .as("twa_cents"))
       .orderBy(col("user_id"))
   }
@@ -440,9 +443,9 @@ object MiningOps {
         |      FROM pr GROUP BY 1, 2)
         |SELECT s.brand_a, s.brand_b, s.support,
         |  ca.c AS cnt_a, cb.c AS cnt_b, tot.n_orders,
-        |  round(CAST(s.support AS DOUBLE) / CAST(ca.c AS DOUBLE), 6) AS confidence,
-        |  round(CAST(s.support * tot.n_orders AS DOUBLE)
-        |    / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+        |  CAST(s.support AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+        |  CAST(s.support * tot.n_orders AS DOUBLE)
+        |    / CAST(ca.c * cb.c AS DOUBLE) AS lift
         |FROM s
         |JOIN cnt ca ON ca.p_brand = s.brand_a
         |JOIN cnt cb ON cb.p_brand = s.brand_b
@@ -465,8 +468,8 @@ object MiningOps {
         |SELECT user_id, n_events,
         |  n_events * sum_xy - sum_x * sum_y AS slope_num,
         |  n_events * sum_xx - sum_x * sum_x AS slope_den,
-        |  round(CAST(n_events * sum_xy - sum_x * sum_y AS DOUBLE)
-        |    / CAST(n_events * sum_xx - sum_x * sum_x AS DOUBLE), 6)
+        |  CAST(n_events * sum_xy - sum_x * sum_y AS DOUBLE)
+        |    / CAST(n_events * sum_xx - sum_x * sum_x AS DOUBLE)
         |    AS slope_cents_per_rank
         |FROM s
         |WHERE n_events >= 20
@@ -494,7 +497,7 @@ object MiningOps {
         |  JOIN tf y ON y.doc_id = p.doc_b AND y.tok = x.tok
         |  GROUP BY 1, 2, 3, 4)
         |SELECT doc_a, doc_b, dot, n2a, n2b,
-        |  round(CAST(dot * dot AS DOUBLE) / CAST(n2a * n2b AS DOUBLE), 6) AS cos2
+        |  CAST(dot * dot AS DOUBLE) / CAST(n2a * n2b AS DOUBLE) AS cos2
         |FROM dots
         |WHERE CAST(dot * dot AS DOUBLE) / CAST(n2a * n2b AS DOUBLE) >= 0.81
         |ORDER BY doc_a, doc_b""".stripMargin
@@ -512,9 +515,9 @@ object MiningOps {
         |SELECT cells.event_type, cells.dow, cells.observed,
         |  rt.r_tot, ct.c_tot, tot.n_total,
         |  cells.observed * tot.n_total - rt.r_tot * ct.c_tot AS dev_scaled,
-        |  round(CAST((cells.observed * tot.n_total - rt.r_tot * ct.c_tot)
+        |  CAST((cells.observed * tot.n_total - rt.r_tot * ct.c_tot)
         |      * (cells.observed * tot.n_total - rt.r_tot * ct.c_tot) AS DOUBLE)
-        |    / CAST(tot.n_total * rt.r_tot * ct.c_tot AS DOUBLE), 6) AS chi2_cell
+        |    / CAST(tot.n_total * rt.r_tot * ct.c_tot AS DOUBLE) AS chi2_cell
         |FROM cells
         |JOIN rt ON rt.event_type = cells.event_type
         |JOIN ct ON ct.dow = cells.dow
@@ -612,8 +615,7 @@ object MiningOps {
         |    sum(y * gap_s) AS twa_num, sum(gap_s) AS twa_den
         |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
         |SELECT user_id, n_holds, twa_num, twa_den,
-        |  round(CAST(twa_num AS DOUBLE) / CAST(twa_den AS DOUBLE), 6)
-        |    AS twa_cents
+        |  CAST(twa_num AS DOUBLE) / CAST(twa_den AS DOUBLE) AS twa_cents
         |FROM s
         |WHERE twa_den > 0
         |ORDER BY user_id""".stripMargin

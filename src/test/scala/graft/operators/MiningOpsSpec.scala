@@ -12,9 +12,6 @@ import graft.sources.Tables
   */
 class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
 
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   private lazy val eventRows: Array[(Long, Long, Long, Long)] =
     Tables.events(spark, sf0001)
       .select(col("user_id"), col("ts_us"), col("event_id"),
@@ -34,8 +31,8 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
       support((a, b)) = support.getOrElse((a, b), 0L) + 1L
     val expect = support.toSeq.filter(_._2 >= 50).map { case ((a, b), s) =>
       (a, b, s, itemCnt(a), itemCnt(b), n,
-        round6(s.toDouble / itemCnt(a).toDouble),
-        round6((s * n).toDouble / (itemCnt(a) * itemCnt(b)).toDouble))
+        s.toDouble / itemCnt(a).toDouble,
+        (s * n).toDouble / (itemCnt(a) * itemCnt(b)).toDouble)
     }.sortBy(t => (-t._3, t._1, t._2))
     val got = MiningOps.assocRulesBrands(spark, sf0001).collect().map(r =>
       (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
@@ -61,7 +58,7 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
       val (num, den) = (nn * sxy - sx * sy, nn * sxx - sx * sx)
       val (gn, gnum, gden, gslope) = got(u)
       assert(gn == nn && gnum == num && gden == den)
-      assert(gslope == round6(num.toDouble / den.toDouble))
+      assert(gslope == num.toDouble / den.toDouble)
       checked += 1
     }
     assert(checked == got.size && checked > 0)
@@ -86,7 +83,7 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
       dot = ma.keysIterator.map(k => ma(k) * mb.getOrElse(k, 0L)).sum
       if dot * dot.toDouble / (n2a * n2b).toDouble >= 0.81
     } yield (ia, ib, dot, n2a, n2b,
-      round6((dot * dot).toDouble / (n2a * n2b).toDouble)))
+      (dot * dot).toDouble / (n2a * n2b).toDouble))
       .sortBy(t => (t._1, t._2)).toSeq
     val got = MiningOps.cosineTfPairs(spark, sf0001).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
@@ -110,7 +107,7 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
       val dev = o * nTot - rTot * cTot
       assert(r.getLong(6) == dev)
       assert(r.getDouble(7) ==
-        round6((dev * dev).toDouble / (nTot * rTot * cTot).toDouble))
+        (dev * dev).toDouble / (nTot * rTot * cTot).toDouble)
     }
     assert(got.map(_.getLong(6)).sum == 0L) // deviations cancel by identity
   }
@@ -185,7 +182,7 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
       if (holds.nonEmpty && den > 0) {
         val (gn, gnum, gden, gtwa) = got(u)
         assert(gn == holds.length.toLong && gnum == num && gden == den)
-        assert(gtwa == round6(num.toDouble / den.toDouble))
+        assert(gtwa == num.toDouble / den.toDouble)
         checked += 1
       }
     }
