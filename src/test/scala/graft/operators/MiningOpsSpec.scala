@@ -74,7 +74,9 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
       (id, lang, m)
     }
     val blk = tf.map { case (id, lang, m) =>
-      (id, lang, m.values.map(v => v * v).sum, m.values.sum / 8, m)
+      // dominant term: max tf, lexicographically smallest token on ties
+      val top = m.toSeq.minBy { case (tok, cnt) => (-cnt, tok) }._1
+      (id, lang, m.values.map(v => v * v).sum, (m.values.sum / 8, top), m)
     }
     val expect = (for {
       (ia, la, n2a, ba, ma) <- blk
