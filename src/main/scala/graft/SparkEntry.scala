@@ -254,6 +254,9 @@ object SparkEntry {
     "width_bucket_hist" -> MiningOps.widthBucketHist _,
     "time_weighted_avg_user" -> MiningOps.timeWeightedAvgUser _,
     "table_checksum_diff" -> MiningOps.tableChecksumDiff _,
+    "benford_first_digit" -> MiningOps.benfordFirstDigit _,
+    "rfm_segments" -> MiningOps.rfmSegments _,
+    "pattern_profile_columns" -> MiningOps.patternProfileColumns _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
     "calibration_ece" -> EvalOps.calibrationEce _,
@@ -3226,6 +3229,9 @@ object SparkEntry {
     "width_bucket_hist" -> MiningOps.Oracle.widthBucketHist,
     "time_weighted_avg_user" -> MiningOps.Oracle.timeWeightedAvgUser,
     "table_checksum_diff" -> MiningOps.Oracle.tableChecksumDiff,
+    "benford_first_digit" -> MiningOps.Oracle.benfordFirstDigit,
+    "rfm_segments" -> MiningOps.Oracle.rfmSegments,
+    "pattern_profile_columns" -> MiningOps.Oracle.patternProfileColumns,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
     "calibration_ece" -> EvalOps.Oracle.calibrationEce,

@@ -436,6 +436,99 @@ object MiningOps {
       .orderBy(col("day"))
   }
 
+  /** Benford first-digit screen over order totals: the distribution of
+    * the leading digit of o_totalprice cents — the classic fraud /
+    * fabricated-data screen (organic money amounts lean on small leading
+    * digits; uniform or spiky distributions flag synthesis). Digit taken
+    * from the BIGINT's decimal string so there is no float log10
+    * anywhere; share is one class-2 division.
+    *
+    * 100 TB posture: map-side partial aggregation into ≤ 9 groups, the
+    * 1-row total broadcast back — constant-size everything.
+    */
+  def benfordFirstDigit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.orders(spark, sfDir)
+      .select(expr("substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS "
+        + "BIGINT) AS STRING), 1, 1)").as("digit"))
+    val tot = d.agg(count(lit(1)).as("n_total"))
+    d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("n_total"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("share"))
+      .orderBy(col("digit"))
+  }
+
+  /** RFM customer segmentation: per customer, Recency (latest order day),
+    * Frequency (order count) and Monetary (cents sum), each scored 1–4 by
+    * ntile(4) over a TOTAL order (metric, then custkey — the tie-break
+    * makes ntile engine-deterministic; SQL-standard ntile splits equally
+    * with the remainder to the leading buckets, identical in Spark and
+    * DuckDB). Output is the per-segment rollup — the marketing/curation
+    * segmentation every CRM pipeline materializes.
+    *
+    * 100 TB posture: the per-customer rollup is one fact shuffle; the
+    * three ntile windows run over the CUSTOMER aggregate (entity-level,
+    * orders-of-magnitude smaller than facts). A global ntile window is a
+    * single-partition sort of that entity table — fine at dimension
+    * scale; at billions of entities the same scores come from a
+    * quantile-boundary broadcast instead.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+          + "DATE'1970-01-01') AS BIGINT)")).as("r_day"),
+        count(lit(1)).as("f_orders"),
+        sum(cents).as("m_cents"))
+    val scored = perCust
+      .withColumn("r", ntile(4).over(
+        Window.orderBy(col("r_day"), col("o_custkey"))).cast("long"))
+      .withColumn("f", ntile(4).over(
+        Window.orderBy(col("f_orders"), col("o_custkey"))).cast("long"))
+      .withColumn("m", ntile(4).over(
+        Window.orderBy(col("m_cents"), col("o_custkey"))).cast("long"))
+    scored
+      .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("m_cents")).as("sum_m_cents"))
+      .select(col("segment"), col("n_customers"), col("sum_m_cents"),
+        (col("sum_m_cents").cast("double")
+          / col("n_customers").cast("double")).as("avg_m_cents"))
+      .orderBy(col("segment"))
+  }
+
+  /** Structural pattern profiling over three string dimensions: every
+    * value maps to its character-class signature (digits→9, upper→A,
+    * lower→a), and the top-3 signatures per column are reported — the DQ
+    * profiler output that catches format drift (a new ID scheme, a
+    * truncated code) without enumerating values. Rank ties break on the
+    * lexicographic pattern so the top-3 is total-order deterministic.
+    *
+    * 100 TB posture: the signature map is per-row compute; per-column
+    * distinct signatures are few (format families), so the aggregate and
+    * the rank window run on tiny data. Dimension scans here; on facts the
+    * same profile is one pass.
+    */
+  def patternProfileColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(df: DataFrame, colName: String): DataFrame = df
+      .select(expr(s"regexp_replace(regexp_replace(regexp_replace($colName,"
+        + " '[0-9]', '9'), '[A-Z]', 'A'), '[a-z]', 'a')").as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n"))
+      .select(lit(colName).as("col_name"), col("pattern"), col("n"))
+    val all = profile(Tables.customer(spark, sfDir), "c_name")
+      .unionByName(profile(Tables.part(spark, sfDir), "p_type"))
+      .unionByName(profile(Tables.orders(spark, sfDir), "o_orderpriority"))
+    all
+      .withColumn("rank", row_number().over(Window.partitionBy(col("col_name"))
+        .orderBy(col("n").desc, col("pattern"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("col_name"), col("rank"), col("pattern"), col("n"))
+      .orderBy(col("col_name"), col("rank"))
+  }
+
   /** DuckDB oracle twins (dialect: epoch_us, `//` integer division,
     * string_split / list lambdas).
     */
@@ -662,6 +755,70 @@ object MiningOps {
         |  fa.fp_a = fb.fp_b AS matches
         |FROM fa JOIN fb ON fa.day = fb.day
         |ORDER BY fa.day""".stripMargin
+
+    val benfordFirstDigit: String =
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+        |SELECT digit, CAST(count(*) AS BIGINT) AS n, tot.n_total,
+        |  CAST(count(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share
+        |FROM d CROSS JOIN tot
+        |GROUP BY digit, tot.n_total
+        |ORDER BY digit""".stripMargin
+
+    val rfmSegments: String =
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(max(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))) AS BIGINT) AS r_day,
+        |    CAST(count(*) AS BIGINT) AS f_orders,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT
+        |    CAST(ntile(4) OVER (ORDER BY r_day, o_custkey) AS BIGINT) AS r,
+        |    CAST(ntile(4) OVER (ORDER BY f_orders, o_custkey) AS BIGINT) AS f,
+        |    CAST(ntile(4) OVER (ORDER BY m_cents, o_custkey) AS BIGINT) AS m,
+        |    m_cents
+        |  FROM pc)
+        |SELECT r * 100 + f * 10 + m AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  sum(m_cents) AS sum_m_cents,
+        |  CAST(sum(m_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg_m_cents
+        |FROM s
+        |GROUP BY 1
+        |ORDER BY segment""".stripMargin
+
+    val patternProfileColumns: String =
+      """WITH p AS (
+        |  SELECT 'c_name' AS col_name,
+        |    regexp_replace(regexp_replace(regexp_replace(c_name,
+        |      '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g')
+        |      AS pattern
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'p_type',
+        |    regexp_replace(regexp_replace(regexp_replace(p_type,
+        |      '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g')
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    regexp_replace(regexp_replace(regexp_replace(o_orderpriority,
+        |      '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g')
+        |  FROM orders),
+        |c AS (SELECT col_name, pattern, CAST(count(*) AS BIGINT) AS n
+        |      FROM p GROUP BY 1, 2),
+        |r AS (SELECT col_name, pattern, n,
+        |    CAST(row_number() OVER (PARTITION BY col_name
+        |      ORDER BY n DESC, pattern) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT col_name, rank, pattern, n
+        |FROM r
+        |WHERE rank <= 3
+        |ORDER BY col_name, rank""".stripMargin
 
     val temporalSplitEmbargo: String =
       """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),

@@ -222,6 +222,76 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("benford_first_digit: counts partition orders, shares exact, digits 1-9") {
+    val cents = Tables.orders(spark, sf0001)
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    val got = MiningOps.benfordFirstDigit(spark, sf0001).collect()
+    assert(got.map(_.getLong(1)).sum == cents.length.toLong)
+    got.foreach { r =>
+      val d = r.getString(0)
+      assert(d >= "1" && d <= "9")
+      val expectN = cents.count(_.toString.startsWith(d)).toLong
+      assert(r.getLong(1) == expectN && r.getLong(2) == cents.length.toLong)
+      assert(r.getDouble(3) == expectN.toDouble / cents.length.toDouble)
+    }
+  }
+
+  test("rfm_segments: segments partition customers; ntile scores match brute force") {
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perCust = orders.groupBy(_._1).map { case (c, rows) =>
+      (c, rows.map(_._2).max, rows.length.toLong, rows.map(_._3).sum)
+    }.toSeq
+    // SQL-standard ntile: equal buckets, remainder to the leading ones
+    def ntile4[K](keys: Seq[(Long, K)])(implicit o: Ordering[K]): Map[Long, Long] = {
+      val sorted = keys.sortBy(_._2).map(_._1)
+      val n = sorted.length; val base = n / 4; val rem = n % 4
+      sorted.zipWithIndex.map { case (c, i) =>
+        var (tile, seen) = (1, 0)
+        while (seen + base + (if (tile <= rem) 1 else 0) <= i) {
+          seen += base + (if (tile <= rem) 1 else 0); tile += 1
+        }
+        c -> tile.toLong
+      }.toMap
+    }
+    val r = ntile4(perCust.map(p => p._1 -> ((p._2, p._1))))
+    val f = ntile4(perCust.map(p => p._1 -> ((p._3, p._1))))
+    val m = ntile4(perCust.map(p => p._1 -> ((p._4, p._1))))
+    val expect = perCust.groupBy(p => r(p._1) * 100 + f(p._1) * 10 + m(p._1))
+      .map { case (seg, ps) =>
+        (seg, (ps.length.toLong, ps.map(_._4).sum,
+          ps.map(_._4).sum.toDouble / ps.length.toDouble))
+      }
+    val got = MiningOps.rfmSegments(spark, sf0001).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == perCust.length.toLong)
+  }
+
+  test("pattern_profile_columns: three columns, ranks 1-3, count-ordered") {
+    val got = MiningOps.patternProfileColumns(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.sorted.toSeq ==
+      Seq("c_name", "o_orderpriority", "p_type"))
+    // c_name is a single fixed scheme: Aaaaaaaa#999999999 covers all rows
+    val cn = got.filter(_._1 == "c_name")
+    assert(cn.head._3 == "Aaaaaaaa#999999999")
+    assert(cn.head._4 == Tables.customer(spark, sf0001).count())
+    for ((_, grp) <- got.groupBy(_._1)) {
+      assert(grp.map(_._2).sorted.toSeq == (1L to grp.length.toLong))
+      // ranks follow (n desc, pattern asc)
+      val sorted = grp.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+      }
+    }
+  }
+
   test("temporal_split_embargo partitions rows; test users leak-checked") {
     val lo = eventRows.map(_._2).min
     val hi = eventRows.map(_._2).max
