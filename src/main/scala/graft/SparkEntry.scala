@@ -257,6 +257,8 @@ object SparkEntry {
     "benford_first_digit" -> MiningOps.benfordFirstDigit _,
     "rfm_segments" -> MiningOps.rfmSegments _,
     "pattern_profile_columns" -> MiningOps.patternProfileColumns _,
+    "attribution_first_last" -> MiningOps.attributionFirstLast _,
+    "interarrival_hist_type" -> MiningOps.interarrivalHistType _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
     "calibration_ece" -> EvalOps.calibrationEce _,
@@ -3232,6 +3234,8 @@ object SparkEntry {
     "benford_first_digit" -> MiningOps.Oracle.benfordFirstDigit,
     "rfm_segments" -> MiningOps.Oracle.rfmSegments,
     "pattern_profile_columns" -> MiningOps.Oracle.patternProfileColumns,
+    "attribution_first_last" -> MiningOps.Oracle.attributionFirstLast,
+    "interarrival_hist_type" -> MiningOps.Oracle.interarrivalHistType,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
     "calibration_ece" -> EvalOps.Oracle.calibrationEce,

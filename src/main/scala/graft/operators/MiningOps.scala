@@ -529,6 +529,82 @@ object MiningOps {
       .orderBy(col("col_name"), col("rank"))
   }
 
+  /** First-touch / last-touch revenue attribution: every purchase's cents
+    * credit the user's FIRST and MOST RECENT non-purchase event (the
+    * marketing channel) strictly before it — first_value / last_value
+    * IGNORE NULLS over the per-user timeline with an UNBOUNDED..1
+    * PRECEDING frame; purchases with no prior touch land in the 'none'
+    * channel. Output is one row per (model, channel) — the two canonical
+    * single-touch attribution models every growth team reconciles.
+    *
+    * 100 TB posture: one hashpartitioning(user_id) exchange serves both
+    * window functions (same key+order), then a constant-size
+    * (model × channels) aggregate. No joins at all.
+    */
+  def attributionFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val touched = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), cents.as("c"))
+      .selectExpr(
+        "event_type", "c",
+        """first_value(CASE WHEN event_type <> 'purchase' THEN event_type END)
+          |  IGNORE NULLS OVER (
+          |  PARTITION BY user_id ORDER BY ts_us, event_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |  AS first_touch""".stripMargin,
+        """last_value(CASE WHEN event_type <> 'purchase' THEN event_type END)
+          |  IGNORE NULLS OVER (
+          |  PARTITION BY user_id ORDER BY ts_us, event_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |  AS last_touch""".stripMargin)
+      .filter(col("event_type") === "purchase")
+    val first = touched
+      .groupBy(coalesce(col("first_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("c")).as("cents"))
+      .select(lit("first_touch").as("model"), col("channel"),
+        col("n_purchases"), col("cents"))
+    val last = touched
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("c")).as("cents"))
+      .select(lit("last_touch").as("model"), col("channel"),
+        col("n_purchases"), col("cents"))
+    first.unionByName(last).orderBy(col("model"), col("channel"))
+  }
+
+  /** Power-of-two inter-arrival histogram per event type: consecutive
+    * gaps (whole seconds) on each type's global timeline, bucketed by the
+    * gap's binary magnitude — bucket = length(bin(gap)), an INTEGER log2
+    * (no float log anywhere), with the [2^(b−1), 2^b) bounds recomputed
+    * from the bucket id. The traffic-cadence profile that separates
+    * steady telemetry from bursty user action and catches dead feeds
+    * (mass in high buckets).
+    *
+    * 100 TB posture: one shuffle on event_type for the lag window (at
+    * planet scale the timeline would partition further by day and stitch
+    * boundaries), then a ≤ types × 64 bucket aggregate. Zero-second gaps
+    * (sub-second arrivals) get bucket 0 explicitly.
+    */
+  def interarrivalHistType(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("gap_s",
+        expr("(ts_us - lag(ts_us) OVER (PARTITION BY event_type "
+          + "ORDER BY ts_us, event_id)) DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"),
+        when(col("gap_s") <= 0, lit(0L))
+          .otherwise(expr("CAST(length(bin(gap_s)) AS BIGINT)")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("CAST(pow(2, bucket - 1) AS BIGINT)")).as("lo_s"),
+        expr("CAST(pow(2, bucket) AS BIGINT)").as("hi_s"),
+        col("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** DuckDB oracle twins (dialect: epoch_us, `//` integer division,
     * string_split / list lambdas).
     */
@@ -755,6 +831,57 @@ object MiningOps {
         |  fa.fp_a = fb.fp_b AS matches
         |FROM fa JOIN fb ON fa.day = fb.day
         |ORDER BY fa.day""".stripMargin
+
+    val attributionFirstLast: String =
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type, c,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM e),
+        |p AS (SELECT * FROM t WHERE event_type = 'purchase')
+        |SELECT 'first_touch' AS model,
+        |  coalesce(first_touch, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases, sum(c) AS cents
+        |FROM p GROUP BY 2
+        |UNION ALL
+        |SELECT 'last_touch', coalesce(last_touch, 'none'),
+        |  CAST(count(*) AS BIGINT), sum(c)
+        |FROM p GROUP BY 2
+        |ORDER BY model, channel""".stripMargin
+
+    val interarrivalHistType: String =
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    (ts_us - lag(ts_us) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id)) // 1000000 AS gap_s
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN gap_s <= 0 THEN 0
+        |      ELSE CAST(length(bin(gap_s)) AS BIGINT) END AS bucket
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type, bucket,
+        |  CASE WHEN bucket = 0 THEN 0
+        |    ELSE CAST(pow(2, bucket - 1) AS BIGINT) END AS lo_s,
+        |  CAST(pow(2, bucket) AS BIGINT) AS hi_s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin
 
     val benfordFirstDigit: String =
       """WITH d AS (

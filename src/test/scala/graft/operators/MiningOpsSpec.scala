@@ -292,6 +292,66 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("attribution_first_last: credits match a sequential per-user replay") {
+    val types = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // replay each user's timeline, tracking first/last non-purchase touch
+    val firstAgg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val lastAgg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for ((_, rows) <- eventRows.groupBy(_._1)) {
+      var firstTouch: String = null; var lastTouch: String = null
+      for ((_, _, id, c) <- rows.sortBy(r => (r._2, r._3))) {
+        val t = types(id)
+        if (t == "purchase") {
+          val fk = Option(firstTouch).getOrElse("none")
+          val lk = Option(lastTouch).getOrElse("none")
+          val (fn, fc) = firstAgg.getOrElse(fk, (0L, 0L))
+          firstAgg(fk) = (fn + 1, fc + c)
+          val (ln, lc) = lastAgg.getOrElse(lk, (0L, 0L))
+          lastAgg(lk) = (ln + 1, lc + c)
+        } else {
+          if (firstTouch == null) firstTouch = t
+          lastTouch = t
+        }
+      }
+    }
+    val got = MiningOps.attributionFirstLast(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val expect =
+      firstAgg.map { case (ch, v) => ("first_touch", ch) -> v }.toMap ++
+        lastAgg.map { case (ch, v) => ("last_touch", ch) -> v }
+    assert(got == expect)
+    // both models must credit every purchase exactly once
+    val nPurch = types.values.count(_ == "purchase").toLong
+    assert(got.filter(_._1._1 == "first_touch").values.map(_._1).sum == nPurch)
+    assert(got.filter(_._1._1 == "last_touch").values.map(_._1).sum == nPurch)
+  }
+
+  test("interarrival_hist_type: buckets are the integer log2 of real gaps") {
+    val types = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gaps = eventRows.map(e => (types(e._3), e._2, e._3))
+      .groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+        val s = rows.sortBy(r => (r._2, r._3))
+        s.zip(s.tail).map { case (a, b) => (t, (b._2 - a._2) / 1000000L) }
+      }
+    def bucket(g: Long): Long =
+      if (g <= 0) 0L else 64L - java.lang.Long.numberOfLeadingZeros(g)
+    val expect = gaps.groupBy(g => (g._1, bucket(g._2))).view
+      .mapValues(_.length.toLong).toMap
+    val got = MiningOps.interarrivalHistType(spark, sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+      == expect)
+    got.foreach { r =>
+      val (b, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hi == (1L << b) && (if (b == 0) lo == 0 else lo == (1L << (b - 1))))
+    }
+    assert(got.map(_.getLong(4)).sum == gaps.length.toLong)
+  }
+
   test("temporal_split_embargo partitions rows; test users leak-checked") {
     val lo = eventRows.map(_._2).min
     val hi = eventRows.map(_._2).max
