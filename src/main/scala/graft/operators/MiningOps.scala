@@ -190,8 +190,8 @@ object MiningOps {
     * statistic) keeps the output deterministic — a cross-engine Σ of 35
     * doubles would depend on accumulation order — and is what a drift
     * dashboard plots anyway. Day-of-week is derived from epoch-µs integer
-    * arithmetic ((day + 4) mod 7, 0 = Monday) because Spark and DuckDB
-    * disagree on native dow numbering.
+    * arithmetic ((day + 4) mod 7, 0 = Sunday — epoch day 0 was a
+    * Thursday) because Spark and DuckDB disagree on native dow numbering.
     *
     * 100 TB posture: one pass, one shuffle with ≤ types×7 groups;
     * marginals are broadcast back. The BIGINT products stay below 2^63
