@@ -194,8 +194,13 @@ object MiningOps {
     * Thursday) because Spark and DuckDB disagree on native dow numbering.
     *
     * 100 TB posture: one pass, one shuffle with ≤ types×7 groups;
-    * marginals are broadcast back. The BIGINT products stay below 2^63
-    * for cell counts up to ~3G rows per cell at 10G total.
+    * marginals are broadcast back. Overflow discipline (hit at sf10 —
+    * dev² reaches ~1e22 at 10M rows): dev = O·N − R·C stays BIGINT
+    * (safe to ~3e9 rows), but the square and the N·R·C product are
+    * computed in DOUBLE as the identical left-associated IEEE sequence
+    * on both engines — each operand is an exactly-represented integer
+    * (< 2^53 up to ~90M rows) and each multiply/divide is correctly
+    * rounded, so the result is still bit-deterministic cross-engine.
     */
   def chi2EventDow(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
@@ -215,11 +220,12 @@ object MiningOps {
         col("r_tot"), col("c_tot"), col("n_total"),
         (col("observed") * col("n_total") - col("r_tot") * col("c_tot"))
           .as("dev_scaled"),
-        (((col("observed") * col("n_total")
-            - col("r_tot") * col("c_tot"))
-          * (col("observed") * col("n_total")
-            - col("r_tot") * col("c_tot"))).cast("double")
-          / (col("n_total") * col("r_tot") * col("c_tot")).cast("double"))
+        ((col("observed") * col("n_total") - col("r_tot") * col("c_tot"))
+            .cast("double")
+          * (col("observed") * col("n_total") - col("r_tot") * col("c_tot"))
+            .cast("double")
+          / (col("n_total").cast("double") * col("r_tot").cast("double")
+            * col("c_tot").cast("double")))
           .as("chi2_cell"))
       .orderBy(col("event_type"), col("dow"))
   }
@@ -699,9 +705,10 @@ object MiningOps {
         |SELECT cells.event_type, cells.dow, cells.observed,
         |  rt.r_tot, ct.c_tot, tot.n_total,
         |  cells.observed * tot.n_total - rt.r_tot * ct.c_tot AS dev_scaled,
-        |  CAST((cells.observed * tot.n_total - rt.r_tot * ct.c_tot)
-        |      * (cells.observed * tot.n_total - rt.r_tot * ct.c_tot) AS DOUBLE)
-        |    / CAST(tot.n_total * rt.r_tot * ct.c_tot AS DOUBLE) AS chi2_cell
+        |  CAST(cells.observed * tot.n_total - rt.r_tot * ct.c_tot AS DOUBLE)
+        |    * CAST(cells.observed * tot.n_total - rt.r_tot * ct.c_tot AS DOUBLE)
+        |    / (CAST(tot.n_total AS DOUBLE) * CAST(rt.r_tot AS DOUBLE)
+        |      * CAST(ct.c_tot AS DOUBLE)) AS chi2_cell
         |FROM cells
         |JOIN rt ON rt.event_type = cells.event_type
         |JOIN ct ON ct.dow = cells.dow

@@ -109,7 +109,8 @@ class MiningOpsSpec extends AnyFunSuite with SparkTestBase {
       val dev = o * nTot - rTot * cTot
       assert(r.getLong(6) == dev)
       assert(r.getDouble(7) ==
-        (dev * dev).toDouble / (nTot * rTot * cTot).toDouble)
+        dev.toDouble * dev.toDouble
+          / (nTot.toDouble * rTot.toDouble * cTot.toDouble))
     }
     assert(got.map(_.getLong(6)).sum == 0L) // deviations cancel by identity
   }
