@@ -53,6 +53,7 @@ object SparkEntry {
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
+    "stream_attribution_tws" -> graft.streaming.StreamingEntry.streamAttributionTws _,
     "stream_ewma_user" -> graft.streaming.StreamingEntry.streamEwmaUser _,
     "stream_sample_users" -> graft.streaming.StreamingEntry.streamSampleUsers _,
     "q14_promo_share" -> Relational.q14PromoShare _,
@@ -1286,6 +1287,29 @@ object SparkEntry {
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
         |ORDER BY prev_type, event_type""".stripMargin,
+
+    // Continuous attribution == the batch window form over the slice in
+    // event_id (ingestion) order; a dropped cross-batch touch mismatches.
+    "stream_attribution_tws" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |t AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM e),
+        |p AS (SELECT * FROM t WHERE event_type = 'purchase')
+        |SELECT 'first_touch' AS model, coalesce(first_touch, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases, sum(c) AS cents
+        |FROM p GROUP BY 2
+        |UNION ALL
+        |SELECT 'last_touch', coalesce(last_touch, 'none'),
+        |  CAST(count(*) AS BIGINT), sum(c)
+        |FROM p GROUP BY 2
+        |ORDER BY model, channel""".stripMargin,
 
     // Continuous top-k == the batch rank-limit window over the slice.
     // Deterministic streamed reservoir: bottom-8 by md5-hex priority per

@@ -1274,6 +1274,87 @@ object StreamingEntry {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** Emitted attribution row: one per PURCHASE, carrying the user's first
+    * and most recent non-purchase touch at purchase time.
+    */
+  case class AttrOut(first_touch: String, last_touch: String, cents: Long)
+
+  /** `transformWithState` processor for CONTINUOUS first/last-touch
+    * attribution: per-user state is exactly two strings (the first and
+    * the latest non-purchase event_type ever seen), so a purchase in any
+    * later micro-batch credits a touch from any earlier one — the
+    * cross-batch carry a per-batch window cannot produce. Ingestion
+    * (event_id) order within the batch, matching the feed's chunking, so
+    * the fold is the one order consistent ACROSS batches.
+    */
+  class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, AttrOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var first: ValueState[String] = _
+    @transient private var last: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      first = getHandle.getValueState[String]("first", E.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      last = getHandle.getValueState[String]("last", E.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AttrOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
+      var f = if (first.exists()) first.get() else null
+      var l = if (last.exists()) last.get() else null
+      rows.toArray.sortBy(_.event_id).foreach { e =>
+        if (e.event_type == "purchase") {
+          out += AttrOut(if (f == null) "none" else f,
+            if (l == null) "none" else l,
+            math.floor(e.value * 100 + 0.5).toLong)
+        } else {
+          if (f == null) { f = e.event_type; first.update(f) }
+          l = e.event_type; last.update(l)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** DECLARED streaming attribution: the batch first/last-touch revenue
+    * attribution (`attribution_first_last`) carried live — every purchase
+    * emits its credited channels at arrival, O(2 strings) state per user,
+    * and the read-back rolls the emissions into the same (model, channel)
+    * shape. The oracle replays the window form over the slice in
+    * event_id order, so a dropped cross-batch touch hash-mismatches.
+    */
+  def streamAttributionTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = stream.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
+          .writeStream.format("memory").queryName("graft_stream_attr")
+          .outputMode("append").start()
+        try feedChunks(stream, q, slice) finally q.stop()
+      }
+    }
+    val emitted = spark.table("graft_stream_attr")
+    val firstAgg = emitted.groupBy(col("first_touch").as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .select(lit("first_touch").as("model"), col("channel"),
+        col("n_purchases"), col("cents"))
+    val lastAgg = emitted.groupBy(col("last_touch").as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .select(lit("last_touch").as("model"), col("channel"),
+        col("n_purchases"), col("cents"))
+    firstAgg.unionByName(lastAgg).orderBy(col("model"), col("channel"))
+  }
+
   /** Emitted sample row: the user's current bounded uniform sample. */
   case class SampleOut(user_id: Long, sample_csv: String, n_sample: Long, n_seen: Long)
 

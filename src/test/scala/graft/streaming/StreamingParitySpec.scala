@@ -295,6 +295,35 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stream_attribution_tws: cross-batch touch carry equals a sequential replay") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingEntry.streamAttributionTws(spark, sf0001)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val firstAgg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val lastAgg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for ((_, rows) <- slice.groupBy(_._1)) {
+      var f: String = null; var l: String = null
+      for ((_, _, t, c) <- rows.sortBy(_._2)) {
+        if (t == "purchase") {
+          val (fn, fc) = firstAgg.getOrElse(Option(f).getOrElse("none"), (0L, 0L))
+          firstAgg(Option(f).getOrElse("none")) = (fn + 1, fc + c)
+          val (ln, lc) = lastAgg.getOrElse(Option(l).getOrElse("none"), (0L, 0L))
+          lastAgg(Option(l).getOrElse("none")) = (ln + 1, lc + c)
+        } else { if (f == null) f = t; l = t }
+      }
+    }
+    val expect =
+      firstAgg.map { case (ch, v) => ("first_touch", ch) -> v }.toMap ++
+        lastAgg.map { case (ch, v) => ("last_touch", ch) -> v }
+    assert(out == expect)
+  }
+
   test("stream_recent_events_tws: ListState buffer holds exactly the last 3 arrivals") {
     import org.apache.spark.sql.functions._
     val out = graft.streaming.StreamingEntry.streamRecentEventsTws(spark, sf0001).collect()
