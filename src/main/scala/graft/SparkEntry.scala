@@ -88,6 +88,7 @@ object SparkEntry {
     "q21_waiting_supplier" -> TpchOps.q21WaitingSupplier _,
     "q22_dormant_customers" -> TpchOps.q22DormantCustomers _,
     "table_profile_lineitem" -> Relational.tableProfileLineitem _,
+    "table_profile_approx" -> Relational.tableProfileApprox _,
     "k_anonymity_customers" -> Relational.kAnonymityCustomers _,
     "l_diversity_customers" -> Relational.lDiversityCustomers _,
     "source_overlap_matrix" -> TextOps.sourceOverlapMatrix _,
@@ -303,6 +304,14 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Output-type protocol (binding; full text in COVERAGE.md header):
+    * every integer aggregate reaching an output list is wrapped
+    * CAST(... AS BIGINT) on both engines — DuckDB types a bare integer
+    * sum() HUGEINT, which hash-mismatches Spark's BIGINT at the driver
+    * even when every value is equal (r8 DECIMAL / r10 HUGEINT
+    * incidents). tools/local_check.py rejects violations by comparing
+    * oracle column types against the Spark parquet footer.
     */
   /** DuckDB-dialect 16-char sign signature of embedding dims
     * [off+1, off+16] — the oracle twin of VectorOps.signSig.
@@ -737,8 +746,8 @@ object SparkEntry {
         |         CAST((l_partkey * 31 + l_suppkey * 17) % 100 + 1 AS BIGINT) AS ps_availqty
         |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
         |SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
-        |      - ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS profit_cents
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        |      - ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -754,7 +763,7 @@ object SparkEntry {
         |         CAST((l_partkey * 31 + l_suppkey * 17) % 100 + 1 AS BIGINT) AS ps_availqty
         |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
         |pp AS (
-        |  SELECT ps_partkey, sum(ps_supplycost_cents * ps_availqty) AS value_cents
+        |  SELECT ps_partkey, CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
         |  FROM partsupp
         |  JOIN supplier ON ps_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
@@ -767,8 +776,8 @@ object SparkEntry {
     "q12_late_priority" ->
       """SELECT
         |  CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -853,7 +862,7 @@ object SparkEntry {
 
     "q22_dormant_customers" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS cntry, CAST(count(*) AS BIGINT) AS numcust,
-        |       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS totacctbal_cents
+        |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_cents
         |FROM customer
         |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > (
         |    SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -1192,7 +1201,7 @@ object SparkEntry {
         |  FROM ed JOIN prof ON ed.event_type = prof.event_type AND ed.hod = prof.hod
         |  WHERE rel >= 21 AND rel < 28)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
-        |  sum(err_micro) AS sum_abs_err_micro,
+        |  CAST(sum(err_micro) AS BIGINT) AS sum_abs_err_micro,
         |  CAST(sum(err_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae_micro
         |FROM test GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1202,7 +1211,7 @@ object SparkEntry {
     "sink_stats_pruned_read" ->
       """WITH b AS (SELECT count(*) // 4 AS lo, count(*) // 2 - 1 AS hi FROM events)
         |SELECT CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events
@@ -1303,11 +1312,11 @@ object SparkEntry {
         |  FROM e),
         |p AS (SELECT * FROM t WHERE event_type = 'purchase')
         |SELECT 'first_touch' AS model, coalesce(first_touch, 'none') AS channel,
-        |  CAST(count(*) AS BIGINT) AS n_purchases, sum(c) AS cents
+        |  CAST(count(*) AS BIGINT) AS n_purchases, CAST(sum(c) AS BIGINT) AS cents
         |FROM p GROUP BY 2
         |UNION ALL
         |SELECT 'last_touch', coalesce(last_touch, 'none'),
-        |  CAST(count(*) AS BIGINT), sum(c)
+        |  CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
         |FROM p GROUP BY 2
         |ORDER BY model, channel""".stripMargin,
 
@@ -1821,7 +1830,7 @@ object SparkEntry {
     // scalatest golden test instead.
     "agg_decimal_money" ->
       """SELECT l_returnflag,
-        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |GROUP BY l_returnflag
@@ -2816,7 +2825,7 @@ object SparkEntry {
         |      AS score_micro
         |  FROM tfc JOIN q ON term = q_term JOIN dfc USING (term)
         |  JOIN dl ON dl.doc_id = tfc.doc_id CROSS JOIN st),
-        |qd AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, sum(score_micro) AS score_micro,
+        |qd AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(sum(score_micro) AS BIGINT) AS score_micro,
         |              CAST(count(*) AS BIGINT) AS n_terms_hit FROM sc GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id)
         |        AS rnk FROM qd)
@@ -2835,7 +2844,7 @@ object SparkEntry {
         |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_cents FROM d GROUP BY 1)
         |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
         |       min(med_cents) AS med_cents, min(mad_cents) AS mad_cents,
-        |       sum(CASE WHEN dev > 3.0 * mad_cents THEN 1 ELSE 0 END) AS n_outliers
+        |       CAST(sum(CASE WHEN dev > 3.0 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN md USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 

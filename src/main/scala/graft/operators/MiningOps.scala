@@ -155,11 +155,15 @@ object MiningOps {
       .agg(
         sum(col("tf") * col("tf")).as("n2"),
         sum(col("tf")).as("ntok"),
-        expr("min(concat(lpad(CAST(100000 - tf AS STRING), 6, '0'), ':', "
-          + "tok))").as("top_key"))
+        // Sentinel 10^12 keeps the inverse-tf key a fixed-width positive
+        // numeric for any realistic tf (a doc would need 10^12 copies of
+        // one token to go negative); the r10 sentinel 10^5 silently broke
+        // the argmax ordering for tf >= 100000.
+        expr("min(concat(lpad(CAST(1000000000000 - tf AS STRING), 13, '0'), "
+          + "':', tok))").as("top_key"))
       .select(col("doc_id"), col("lang"), col("n2"),
         expr("ntok DIV 8").as("band"),
-        expr("substring(top_key, 8)").as("top_tok"))
+        expr("substring(top_key, 15)").as("top_tok"))
     val pairs = blk.as("a").join(blk.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band")
           && col("a.top_tok") === col("b.top_tok")
@@ -373,7 +377,10 @@ object MiningOps {
       .agg(count(lit(1)).as("n"))
       .select(col("bucket"),
         ((col("bucket") - 1) * 2500).as("lo_cents"),
-        (col("bucket") * 2500).as("hi_cents"),
+        // Bucket n+1 (= 21) is the unbounded overflow bucket (values
+        // >= 50000); a finite hi recomputed from the id misrepresents
+        // it, so the upper bound is NULL there (same on the oracle).
+        when(col("bucket") <= 20, col("bucket") * 2500).as("hi_cents"),
         col("n"))
       .orderBy(col("bucket"))
   }
@@ -614,6 +621,11 @@ object MiningOps {
   /** DuckDB oracle twins (dialect: epoch_us, `//` integer division,
     * string_split / list lambdas).
     */
+  // Output-type protocol (COVERAGE.md header): every integer aggregate
+  // reaching an output list is CAST(... AS BIGINT) on both engines —
+  // DuckDB types bare integer sums HUGEINT, which hash-mismatches
+  // Spark's BIGINT at the driver even on equal values (r10 incident:
+  // 16 red queries). tools/local_check.py enforces this by type-gate.
   object Oracle {
 
     val assocRulesBrands: String =
@@ -649,12 +661,12 @@ object MiningOps {
         |  FROM events),
         |s AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |    sum(x) AS sum_x, sum(y) AS sum_y,
-        |    sum(x * y) AS sum_xy, sum(x * x) AS sum_xx
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(x * y) AS BIGINT) AS sum_xy, CAST(sum(x * x) AS BIGINT) AS sum_xx
         |  FROM r GROUP BY 1)
         |SELECT user_id, n_events,
-        |  n_events * sum_xy - sum_x * sum_y AS slope_num,
-        |  n_events * sum_xx - sum_x * sum_x AS slope_den,
+        |  CAST(n_events * sum_xy - sum_x * sum_y AS BIGINT) AS slope_num,
+        |  CAST(n_events * sum_xx - sum_x * sum_x AS BIGINT) AS slope_den,
         |  CAST(n_events * sum_xy - sum_x * sum_y AS DOUBLE)
         |    / CAST(n_events * sum_xx - sum_x * sum_x AS DOUBLE)
         |    AS slope_cents_per_rank
@@ -670,9 +682,9 @@ object MiningOps {
         |  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
         |  FROM tk0 WHERE length(tok) > 0 GROUP BY 1, 2, 3),
         |blk AS (
-        |  SELECT doc_id, lang, sum(tf * tf) AS n2, sum(tf) // 8 AS band,
-        |    substr(min(lpad(CAST(100000 - tf AS VARCHAR), 6, '0')
-        |      || ':' || tok), 8) AS top_tok
+        |  SELECT doc_id, lang, CAST(sum(tf * tf) AS BIGINT) AS n2, sum(tf) // 8 AS band,
+        |    substr(min(lpad(CAST(1000000000000 - tf AS VARCHAR), 13, '0')
+        |      || ':' || tok), 15) AS top_tok
         |  FROM tf GROUP BY 1, 2),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -681,7 +693,7 @@ object MiningOps {
         |    ON a.lang = b.lang AND a.band = b.band
         |    AND a.top_tok = b.top_tok AND a.doc_id < b.doc_id),
         |dots AS (
-        |  SELECT p.doc_a, p.doc_b, p.n2a, p.n2b, sum(x.tf * y.tf) AS dot
+        |  SELECT p.doc_a, p.doc_b, p.n2a, p.n2b, CAST(sum(x.tf * y.tf) AS BIGINT) AS dot
         |  FROM pairs p
         |  JOIN tf x ON x.doc_id = p.doc_a
         |  JOIN tf y ON y.doc_id = p.doc_b AND y.tok = x.tok
@@ -753,7 +765,7 @@ object MiningOps {
     val percentileBandsValue: String =
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,
-        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_cents
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
         |  FROM events GROUP BY 1),
         |r AS (
         |  SELECT day_cents,
@@ -785,7 +797,7 @@ object MiningOps {
         |  FROM events)
         |SELECT bucket,
         |  (bucket - 1) * 2500 AS lo_cents,
-        |  bucket * 2500 AS hi_cents,
+        |  CASE WHEN bucket <= 20 THEN bucket * 2500 END AS hi_cents,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM c
         |GROUP BY 1
@@ -803,7 +815,7 @@ object MiningOps {
         |  FROM e),
         |s AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
-        |    sum(y * gap_s) AS twa_num, sum(gap_s) AS twa_den
+        |    CAST(sum(y * gap_s) AS BIGINT) AS twa_num, CAST(sum(gap_s) AS BIGINT) AS twa_den
         |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
         |SELECT user_id, n_holds, twa_num, twa_den,
         |  CAST(twa_num AS DOUBLE) / CAST(twa_den AS DOUBLE) AS twa_cents
@@ -860,11 +872,11 @@ object MiningOps {
         |p AS (SELECT * FROM t WHERE event_type = 'purchase')
         |SELECT 'first_touch' AS model,
         |  coalesce(first_touch, 'none') AS channel,
-        |  CAST(count(*) AS BIGINT) AS n_purchases, sum(c) AS cents
+        |  CAST(count(*) AS BIGINT) AS n_purchases, CAST(sum(c) AS BIGINT) AS cents
         |FROM p GROUP BY 2
         |UNION ALL
         |SELECT 'last_touch', coalesce(last_touch, 'none'),
-        |  CAST(count(*) AS BIGINT), sum(c)
+        |  CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
         |FROM p GROUP BY 2
         |ORDER BY model, channel""".stripMargin
 
@@ -919,7 +931,7 @@ object MiningOps {
         |  FROM pc)
         |SELECT r * 100 + f * 10 + m AS segment,
         |  CAST(count(*) AS BIGINT) AS n_customers,
-        |  sum(m_cents) AS sum_m_cents,
+        |  CAST(sum(m_cents) AS BIGINT) AS sum_m_cents,
         |  CAST(sum(m_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS avg_m_cents
         |FROM s

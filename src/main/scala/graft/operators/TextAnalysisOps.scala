@@ -268,7 +268,11 @@ object TextAnalysisOps {
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("score"))
+      // row_number is int32; the output-type protocol (COVERAGE.md) says
+      // integer outputs surface as BIGINT on both engines — the r11 typed
+      // local gate flagged this one (the driver's hash happened to widen).
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("tok"), col("tf"), col("score"))
       .orderBy(col("doc_id"), col("rk"))
   }
 

@@ -280,23 +280,53 @@ object TextOps {
     * binding check is BpeSpec: engine encoding == the independent
     * sequential encoder.
     */
-  def bpeEncodeDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val merges = bpeTrainMerges(spark, sfDir).collect()
-      .map(r => (r.getString(1).split(" ", 2), r.getString(2)))
-      .map { case (ab, m) => (ab(0), ab(1), m) }
-    val words = Tables.documents(spark, sfDir)
+  /** (lang, word) occurrences feeding both tokenizer halves. */
+  private def bpeWords(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("lang"),
         explode(filter(tokens, t => t.rlike("^[a-z0-9]+$") && length(t) >= 2)).as("w"))
-    val vocab = words.select(col("w")).distinct()
-      .withColumn("syms", expr("filter(split(w, ''), s -> length(s) > 0)"))
-    val encodedVocab = merges.foldLeft(vocab) { case (df, (a, b, m)) =>
-      df.withColumn("syms", expr(
-        s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
-           |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b'
-           |  THEN concat(slice(acc, 1, size(acc) - 1), array('$m'))
-           |  ELSE concat(acc, array(x)) END)""".stripMargin))
-    }.select(col("w"), size(col("syms")).cast("long").as("n_sub"),
-      length(col("w")).cast("long").as("n_chars"))
+
+  /** The encoded vocabulary — the second bounded model artifact of the
+    * tokenizer (merge table = train output, encoded vocab = its closure
+    * over the corpus vocabulary): deterministic per fixture, |vocab| rows,
+    * staged once per (session, fixture) exactly like the merge table. A
+    * production pipeline ships the tokenized-vocab cache alongside the
+    * tokenizer rather than re-folding 8 interpreted aggregate() lambdas
+    * per run (that re-fold was 4.76 s of bpe_encode_docs at sf0.1).
+    * Bench forces this per pass as its own stage_bpe line.
+    */
+  private[graft] def bpeEncodedVocab(spark: SparkSession, sfDir: String): DataFrame =
+    Materialize.stage(spark, s"bpe_vocab_$sfDir", sfDir) {
+      val merges = bpeTrainMerges(spark, sfDir).collect()
+        .map(r => (r.getString(1).split(" ", 2), r.getString(2)))
+        .map { case (ab, m) => (ab(0), ab(1), m) }
+      val vocab = bpeWords(spark, sfDir).select(col("w")).distinct()
+        .withColumn("syms", expr("filter(split(w, ''), s -> length(s) > 0)"))
+      merges.foldLeft(vocab) { case (df, (a, b, m)) =>
+        df.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+             |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b'
+             |  THEN concat(slice(acc, 1, size(acc) - 1), array('$m'))
+             |  ELSE concat(acc, array(x)) END)""".stripMargin))
+      }.select(col("w"), size(col("syms")).cast("long").as("n_sub"),
+        length(col("w")).cast("long").as("n_chars"))
+    }
+
+  /** Forces both tokenizer artifacts (merge table, encoded vocabulary) to
+    * their staged parquet form — the per-pass tokenizer-train job Bench
+    * times as "stage_bpe", mirroring stage_minhash's accounting: the
+    * train cost lands once per pass in the total, and the declared bpe_*
+    * queries then measure their steady-state reads.
+    */
+  def stageBpeArtifacts(spark: SparkSession, sfDir: String): Unit = {
+    // Materialize.stage writes the parquet eagerly on first call, so
+    // building the plan IS the force; no extra action needed.
+    bpeEncodedVocab(spark, sfDir): Unit
+  }
+
+  def bpeEncodeDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = bpeWords(spark, sfDir)
+    val encodedVocab = bpeEncodedVocab(spark, sfDir)
     val perLangWords = words.join(broadcast(encodedVocab), "w")
       .groupBy(col("lang"))
       .agg(

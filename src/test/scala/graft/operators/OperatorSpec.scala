@@ -527,6 +527,21 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(byName("l_discount").getString(3) == "0")            // min 0 cents
   }
 
+  test("table_profile_approx: same report shape; HLL ndv within 5% of exact") {
+    val exact = Relational.tableProfileLineitem(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.tableProfileApprox(spark, sf0001).collect()
+    assert(approx.length == 8)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1))                      // counts exact
+      assert(r.getString(3) == e.getString(3), r.getString(0))  // min exact
+      assert(r.getString(4) == e.getString(4), r.getString(0))  // max exact
+      val (a, x) = (r.getLong(2).toDouble, e.getLong(2).toDouble)
+      assert(math.abs(a - x) / x <= 0.05, s"${r.getString(0)}: $a vs $x")
+    }
+  }
+
   test("source_overlap_matrix: symmetric-free pairs; overlap bounded by smaller side") {
     val rows = graft.operators.TextOps.sourceOverlapMatrix(spark, sf0001).collect()
     rows.foreach { r =>

@@ -37,7 +37,7 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
 
   test("rarity_top_terms: ≤3 terms per doc, rank-1 carries the max score, ranks dense") {
     val rows = TextAnalysisOps.rarityTopTerms(spark, sf0001)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getString(2), r.getLong(3), r.getDouble(4)))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (_, docRows) =>
       val byRank = docRows.sortBy(_._2)

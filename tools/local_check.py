@@ -8,6 +8,14 @@ matching oracle SQL from <out_dir>/oracle_sql.json in DuckDB against views
 over <sf_dir>/*.parquet, and compares: row count, column names (sorted),
 and every value (exact for ints/strings, == for doubles since both sides
 round identically). Exit 0 iff all match.
+
+Since r11 it ALSO compares column TYPES (DuckDB rel.types for the oracle
+vs the types DuckDB reads from the Spark parquet footer). The driver's
+hash is typed: a DuckDB HUGEINT (bare integer sum()) hash-mismatches a
+Spark BIGINT even when every value is equal under Python ==, which is
+exactly how 16 red queries shipped in r10 while this gate said green.
+Any HUGEINT/DECIMAL in an oracle output list is a bug by protocol: wrap
+integer aggregates in CAST(... AS BIGINT).
 """
 import sys, os, json, glob, math
 
@@ -71,6 +79,18 @@ def main():
         # reorder columns by sorted name on both sides (driver behavior)
         sidx = [scols.index(c) for c in sorted(scols, key=str.lower)]
         oidx = [ocols.index(c) for c in sorted(ocols, key=str.lower)]
+        # Typed gate: the driver hashes (type, value); DuckDB HUGEINT ==
+        # Spark BIGINT is True in Python but red at the driver. Compare
+        # the DuckDB logical type of each oracle column against the type
+        # DuckDB assigns the same-named Spark parquet column.
+        stypes = [str(t).upper() for t in srel.types]
+        otypes = [str(t).upper() for t in orel.types]
+        type_bad = [(scols[si], stypes[si], otypes[oi])
+                    for si, oi in zip(sidx, oidx) if stypes[si] != otypes[oi]]
+        if type_bad:
+            results[name] = "TYPE_MISMATCH " + "; ".join(
+                f"{c}: spark={st} oracle={ot}" for c, st, ot in type_bad)
+            continue
         bad = None
         for ri, (sr, orr) in enumerate(zip(srows, orows)):
             sv = tuple(norm(sr[i]) for i in sidx)
