@@ -927,7 +927,7 @@ object SparkEntry {
       """WITH e AS (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS k,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
         |  FROM events)
-        |SELECT COALESCE(c_nationkey, -1) AS nationkey,
+        |SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nationkey,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(c) AS BIGINT) AS sum_cents
         |FROM e LEFT JOIN customer ON e.k = customer.c_custkey
@@ -2017,8 +2017,8 @@ object SparkEntry {
 
     "try_funcs" ->
       """SELECT doc_id,
-        |  TRY_CAST(substr(text, 1, 3) AS INTEGER) AS head_int,
-        |  TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_int,
+        |  TRY_CAST(substr(text, 1, 3) AS BIGINT) AS head_int,
+        |  TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS chars_int,
         |  round(CASE WHEN doc_id % 3 = 0 THEN NULL
         |             ELSE CAST(n_chars AS DOUBLE) / CAST(doc_id % 3 AS DOUBLE) END, 6) AS div3
         |FROM documents
@@ -2213,7 +2213,7 @@ object SparkEntry {
         |s3 AS (SELECT id, CAST(((CAST(z & 4294967295 AS HUGEINT) * 321982955) + (((CAST(z & 4294967295 AS HUGEINT) * 2496678331 + CAST(z >> 32 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
         |s4 AS (SELECT id, xor(z, z >> 31) AS h FROM s3),
         |s5 AS (SELECT id, CASE WHEN h >= 9223372036854775808 THEN CAST(h AS HUGEINT) - 18446744073709551616 ELSE CAST(h AS HUGEINT) END AS sgn FROM s4),
-        |lab AS (SELECT id, CAST(((sgn % 10) + 10) % 10 AS INTEGER) AS label FROM s5)
+        |lab AS (SELECT id, CAST(((sgn % 10) + 10) % 10 AS BIGINT) AS label FROM s5)
         |SELECT label,
         |  CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(sum(id) AS BIGINT) AS id_sum
@@ -2355,7 +2355,7 @@ object SparkEntry {
     // watermark — the result equals the batch join+aggregate exactly.
     "stream_static_enrich" ->
       """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000)
-        |SELECT c.c_nationkey AS nationkey,
+        |SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM e JOIN customer c ON e.user_id = c.c_custkey
@@ -2721,7 +2721,7 @@ object SparkEntry {
         |g AS (SELECT label, dim,
         |    CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(q) AS BIGINT) AS sum_q
         |  FROM x GROUP BY label, dim)
-        |SELECT label, CAST(dim AS BIGINT) AS dim, n_rows, sum_q,
+        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, n_rows, sum_q,
         |  CAST(sum_q AS DOUBLE) / CAST(n_rows * 1000000 AS DOUBLE) AS centroid
         |FROM g
         |ORDER BY label, dim""".stripMargin,
@@ -3426,7 +3426,7 @@ object SparkEntry {
         |s3 AS (SELECT id, CAST(((CAST(z & 4294967295 AS HUGEINT) * 321982955) + (((CAST(z & 4294967295 AS HUGEINT) * 2496678331 + CAST(z >> 32 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
         |s4 AS (SELECT id, xor(z, z >> 31) AS h FROM s3),
         |s5 AS (SELECT id, CASE WHEN h >= 9223372036854775808 THEN CAST(h AS HUGEINT) - 18446744073709551616 ELSE CAST(h AS HUGEINT) END AS sgn FROM s4)
-        |SELECT id AS vec_id, CAST(((sgn % 10) + 10) % 10 AS INTEGER) AS label
+        |SELECT id AS vec_id, CAST(((sgn % 10) + 10) % 10 AS BIGINT) AS label
         |FROM s5
         |ORDER BY vec_id""".stripMargin,
 

@@ -479,7 +479,7 @@ object EventOps {
     val nullSlice = e.filter(col("k").isNull)
       .select(lit(null).cast("int").as("c_nationkey"), col("c"))
     joined.unionAll(nullSlice)
-      .groupBy(coalesce(col("c_nationkey"), lit(-1)).as("nationkey"))
+      .groupBy(coalesce(col("c_nationkey"), lit(-1)).cast("long").as("nationkey"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"))
       .orderBy(col("nationkey"))
   }

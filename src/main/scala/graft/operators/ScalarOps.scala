@@ -72,8 +72,8 @@ object ScalarOps {
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
-        expr("try_cast(substring(text, 1, 3) AS INT)").as("head_int"),
-        expr("try_cast(CAST(n_chars AS STRING) AS INT)").as("chars_int"),
+        expr("try_cast(substring(text, 1, 3) AS BIGINT)").as("head_int"),
+        expr("try_cast(CAST(n_chars AS STRING) AS BIGINT)").as("chars_int"),
         round(expr("try_divide(CAST(n_chars AS DOUBLE), CAST(doc_id % 3 AS DOUBLE))"), 6).as("div3"))
       .orderBy(col("doc_id"))
   }

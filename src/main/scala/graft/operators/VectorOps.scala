@@ -274,7 +274,9 @@ object VectorOps {
       .option("n", 10000000).option("dim", 32).option("seed", 42).option("partitions", 8)
       .load()
       .filter(col("vec_id") >= 1000 && col("vec_id") < 1500)
-      .select(col("vec_id"), col("label"))
+      // label is int32 in the source schema; outputs surface BIGINT per
+      // the output-type protocol (COVERAGE.md)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
       .orderBy(col("vec_id"))
 
   /** V/R8: DECLARED aggregate-pushdown read of the `graft-vectors` DSv2
@@ -480,7 +482,7 @@ object VectorOps {
       .select(col("label"), col("state.n").as("n_rows"),
         posexplode(col("state.sums")).as(Seq("dim", "sum_q")))
       .select(
-        col("label"), col("dim").cast("long").as("dim"),
+        col("label").cast("long").as("label"), col("dim").cast("long").as("dim"),
         col("n_rows"), col("sum_q"),
         (col("sum_q").cast("double") /
           (col("n_rows") * lit(1000000L)).cast("double")).as("centroid"))

@@ -284,7 +284,7 @@ object StreamingEntry {
       try q.processAllAvailable() finally q.stop()
     }
     spark.table("graft_stream_vecsource")
-      .select(col("label"), col("n_vecs"), col("id_sum"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"), col("id_sum"))
       .orderBy(col("label"))
   }
 

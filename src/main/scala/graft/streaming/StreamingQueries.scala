@@ -194,7 +194,7 @@ object StreamingQueries {
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
-      .select(col("c_nationkey").as("nationkey"), col("n"), col("sum_cents"))
+      .select(col("c_nationkey").cast("long").as("nationkey"), col("n"), col("sum_cents"))
 
   /** Session windows (30-minute gap) — native `session_window`, usable on
     * batch (cross-validates the lag+cumsum sessionize) and on streams

@@ -209,6 +209,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Expand"), p)
   }
 
+  test("table_profile_approx: HLL profile aggregates without Expand; exact twin keeps it") {
+    // the 100 TB profile form: 8 columns × (count, HLL-NDV, min, max) in one
+    // partial+final aggregate — no Expand multiplication of the fact scan
+    val pa = plan(Relational.tableProfileApprox(spark, sf0001))
+    assert(!pa.contains("Expand"), pa)
+    assert(pa.contains("approx_count_distinct"), pa)
+    assert(pa.contains("partial_"), pa)
+    // the exact audit twin pays Expand by construction (documented 9× cost)
+    val pe = plan(Relational.tableProfileLineitem(spark, sf0001))
+    assert(pe.contains("Expand"), pe)
+  }
+
   test("zorder_events_box: raw range predicates push to the staged clustered scan") {
     val p = plan(graft.operators.EventOps.zorderEventsBox(spark, sf0001))
     // pruning rides the pushed min/max filters on the RAW columns — the
