@@ -53,6 +53,7 @@ object SparkEntry {
     "stream_atomic_sink" -> graft.streaming.StreamingEntry.streamAtomicSink _,
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
+    "stream_streaks_tws" -> graft.streaming.StreamingEntry.streamStreaksTws _,
     "stream_attribution_tws" -> graft.streaming.StreamingEntry.streamAttributionTws _,
     "stream_ewma_user" -> graft.streaming.StreamingEntry.streamEwmaUser _,
     "stream_sample_users" -> graft.streaming.StreamingEntry.streamSampleUsers _,
@@ -261,6 +262,19 @@ object SparkEntry {
     "pattern_profile_columns" -> MiningOps.patternProfileColumns _,
     "attribution_first_last" -> MiningOps.attributionFirstLast _,
     "interarrival_hist_type" -> MiningOps.interarrivalHistType _,
+    "streak_active_days" -> SeqStatOps.streakActiveDays _,
+    "second_order_transitions" -> SeqStatOps.secondOrderTransitions _,
+    "time_to_first_purchase" -> SeqStatOps.timeToFirstPurchase _,
+    "ks_purchase_click" -> SeqStatOps.ksPurchaseClick _,
+    "spearman_daily" -> SeqStatOps.spearmanDaily _,
+    "kendall_tau_daily" -> SeqStatOps.kendallTauDaily _,
+    "quality_filter_funnel" -> SeqStatOps.qualityFilterFunnel _,
+    "dedup_yield_source" -> SeqStatOps.dedupYieldSource _,
+    "dedup_cluster_sizes" -> SeqStatOps.dedupClusterSizes _,
+    "hhi_concentration" -> SeqStatOps.hhiConcentration _,
+    "curriculum_deciles" -> SeqStatOps.curriculumDeciles _,
+    "mixture_epochs_plan" -> SeqStatOps.mixtureEpochsPlan _,
+    "local_clustering_docs" -> SeqStatOps.localClusteringDocs _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
     "calibration_ece" -> EvalOps.calibrationEce _,
@@ -1319,6 +1333,24 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
         |FROM p GROUP BY 2
         |ORDER BY model, channel""".stripMargin,
+
+    // Continuous gaps-and-islands == the batch island grouping over the
+    // slice; a lost cross-batch run carry would under-count longest_streak.
+    "stream_streaks_tws" ->
+      """WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+        |d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |      FROM e),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // Continuous top-k == the batch rank-limit window over the slice.
     // Deterministic streamed reservoir: bottom-8 by md5-hex priority per
@@ -3269,6 +3301,19 @@ object SparkEntry {
     "pattern_profile_columns" -> MiningOps.Oracle.patternProfileColumns,
     "attribution_first_last" -> MiningOps.Oracle.attributionFirstLast,
     "interarrival_hist_type" -> MiningOps.Oracle.interarrivalHistType,
+    "streak_active_days" -> SeqStatOps.Oracle.streakActiveDays,
+    "second_order_transitions" -> SeqStatOps.Oracle.secondOrderTransitions,
+    "time_to_first_purchase" -> SeqStatOps.Oracle.timeToFirstPurchase,
+    "ks_purchase_click" -> SeqStatOps.Oracle.ksPurchaseClick,
+    "spearman_daily" -> SeqStatOps.Oracle.spearmanDaily,
+    "kendall_tau_daily" -> SeqStatOps.Oracle.kendallTauDaily,
+    "quality_filter_funnel" -> SeqStatOps.Oracle.qualityFilterFunnel,
+    "dedup_yield_source" -> SeqStatOps.Oracle.dedupYieldSource,
+    "dedup_cluster_sizes" -> SeqStatOps.Oracle.dedupClusterSizes,
+    "hhi_concentration" -> SeqStatOps.Oracle.hhiConcentration,
+    "curriculum_deciles" -> SeqStatOps.Oracle.curriculumDeciles,
+    "mixture_epochs_plan" -> SeqStatOps.Oracle.mixtureEpochsPlan,
+    "local_clustering_docs" -> SeqStatOps.Oracle.localClusteringDocs,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
     "calibration_ece" -> EvalOps.Oracle.calibrationEce,

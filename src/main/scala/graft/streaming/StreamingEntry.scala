@@ -1355,6 +1355,95 @@ object StreamingEntry {
     firstAgg.unionByName(lastAgg).orderBy(col("model"), col("channel"))
   }
 
+  /** Emitted streak row: the user's current activity-streak summary
+    * plus a strictly-increasing consumed counter (final-emission pick).
+    */
+  case class StreakOut(
+      user_id: Long, n_seen: Long, n_active_days: Long, n_islands: Long,
+      longest_streak: Long)
+
+  /** Streak fold state: last active day + current run + the three
+    * summary counters — O(5 longs) per user, forever.
+    */
+  case class StreakState(
+      lastDay: Long, run: Long, longest: Long, nDays: Long, nIslands: Long,
+      nSeen: Long)
+
+  /** `transformWithState` processor for CONTINUOUS gaps-and-islands —
+    * the batch `streak_active_days` carried live: per-user state is the
+    * last active day and the current run (plus the three counters), so
+    * a day that extends a streak STARTED IN AN EARLIER MICRO-BATCH
+    * keeps counting — the cross-batch carry a per-batch window loses.
+    * The fold is valid because event time is monotone in event_id (the
+    * feed's chunk order), the same ingestion-order contract the EWMA and
+    * attribution processors rely on; same-day repeats are no-ops, a +1
+    * day extends the run, a larger gap opens a new island.
+    */
+  class StreakProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, StreakOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: ValueState[StreakState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[StreakState]("streak", E.product[StreakState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StreakOut] = {
+      var s = if (st.exists()) st.get() else StreakState(Long.MinValue, 0L, 0L, 0L, 0L, 0L)
+      rows.toArray.sortBy(_.event_id).foreach { e =>
+        val day = e.ts_us / 86400000000L
+        s =
+          if (s.nSeen == 0L || day > s.lastDay + 1)
+            // first event ever, or a gap: a new island opens
+            StreakState(day, 1L, math.max(s.longest, 1L), s.nDays + 1,
+              s.nIslands + 1, s.nSeen + 1)
+          else if (day == s.lastDay + 1)
+            StreakState(day, s.run + 1, math.max(s.longest, s.run + 1),
+              s.nDays + 1, s.nIslands, s.nSeen + 1)
+          else // same day (monotone feed ⇒ day == lastDay)
+            s.copy(nSeen = s.nSeen + 1)
+      }
+      st.update(s)
+      Iterator.single(StreakOut(key, s.nSeen, s.nDays, s.nIslands, s.longest))
+    }
+  }
+
+  /** DECLARED streaming streaks: the batch gaps-and-islands summary
+    * (`streak_active_days`) maintained live on [[StreakProcessor]] —
+    * O(5 longs) state per user, one summary emission per (user, batch);
+    * the declared output takes each user's final emission (max n_seen,
+    * strictly increasing). The oracle replays the island grouping over
+    * the slice in batch SQL, so a dropped cross-batch run carry (longest
+    * streak spanning a chunk boundary) hash-mismatches.
+    */
+  def streamStreaksTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = stream.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new StreakProcessor, TimeMode.None(), OutputMode.Update())
+          .writeStream.format("memory").queryName("graft_stream_streaks")
+          .outputMode("update").start()
+        try feedChunks(stream, q, slice) finally q.stop()
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+    spark.table("graft_stream_streaks")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_active_days"), col("n_islands"),
+        col("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
   /** Emitted sample row: the user's current bounded uniform sample. */
   case class SampleOut(user_id: Long, sample_csv: String, n_sample: Long, n_seen: Long)
 

@@ -324,6 +324,30 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(out == expect)
   }
 
+  test("stream_streaks_tws: cross-batch run carry equals batch gaps-and-islands") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingEntry.streamStreaksTws(spark, sf0001)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .select(col("user_id"), col("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400000000L))
+    val expect = slice.groupBy(_._1).map { case (u, rows) =>
+      val days = rows.map(_._2).distinct.sorted
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var run = 0L
+      for (i <- days.indices) {
+        run += 1
+        if (i == days.length - 1 || days(i + 1) != days(i) + 1) {
+          lens += run; run = 0
+        }
+      }
+      u -> ((days.length.toLong, lens.length.toLong, lens.max))
+    }
+    assert(out == expect)
+  }
+
   test("stream_recent_events_tws: ListState buffer holds exactly the last 3 arrivals") {
     import org.apache.spark.sql.functions._
     val out = graft.streaming.StreamingEntry.streamRecentEventsTws(spark, sf0001).collect()
