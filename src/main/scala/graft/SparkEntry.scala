@@ -262,6 +262,9 @@ object SparkEntry {
     "pattern_profile_columns" -> MiningOps.patternProfileColumns _,
     "attribution_first_last" -> MiningOps.attributionFirstLast _,
     "interarrival_hist_type" -> MiningOps.interarrivalHistType _,
+    "t_closeness_customers" -> Relational.tClosenessCustomers _,
+    "kcore_docs" -> GraphOps.kcoreDocs _,
+    "holt_linear_daily" -> MiningOps.holtLinearDaily _,
     "streak_active_days" -> SeqStatOps.streakActiveDays _,
     "second_order_transitions" -> SeqStatOps.secondOrderTransitions _,
     "time_to_first_purchase" -> SeqStatOps.timeToFirstPurchase _,
@@ -3301,6 +3304,99 @@ object SparkEntry {
     "pattern_profile_columns" -> MiningOps.Oracle.patternProfileColumns,
     "attribution_first_last" -> MiningOps.Oracle.attributionFirstLast,
     "interarrival_hist_type" -> MiningOps.Oracle.interarrivalHistType,
+    "holt_linear_daily" -> MiningOps.Oracle.holtLinearDaily,
+
+    // t-closeness: EMD between each QI class's ordered sensitive-band
+    // CDF and the global CDF, integer-exact (see Relational scaladoc).
+    "t_closeness_customers" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |    (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) // 100000
+        |      AS band
+        |  FROM customer),
+        |cb AS (SELECT c_mktsegment, c_nationkey, band,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM c GROUP BY 1, 2, 3),
+        |cl AS (SELECT c_mktsegment, c_nationkey, CAST(sum(cnt) AS BIGINT) AS n_c
+        |  FROM cb GROUP BY 1, 2),
+        |gb AS (SELECT band, CAST(sum(cnt) AS BIGINT) AS gcnt FROM cb GROUP BY 1),
+        |t AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS m FROM gb),
+        |f AS (
+        |  SELECT cl.c_mktsegment, cl.c_nationkey, cl.n_c, gb.band, gb.gcnt,
+        |    coalesce(cb.cnt, 0) AS cnt
+        |  FROM cl CROSS JOIN gb
+        |  LEFT JOIN cb ON cb.c_mktsegment = cl.c_mktsegment
+        |    AND cb.c_nationkey = cl.c_nationkey AND cb.band = gb.band),
+        |cum AS (
+        |  SELECT c_mktsegment, c_nationkey, n_c,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS ccum,
+        |    CAST(sum(gcnt) OVER w AS BIGINT) AS gcum
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey ORDER BY band))
+        |SELECT cum.c_mktsegment, cum.c_nationkey,
+        |  CAST(max(n_c) AS BIGINT) AS n_c, t.n, t.m,
+        |  CAST(sum(abs(ccum * t.n - gcum * n_c)) AS BIGINT) AS emd_num,
+        |  CAST(sum(abs(ccum * t.n - gcum * n_c)) AS DOUBLE)
+        |    / CAST(max(n_c) * t.n * (t.m - 1) AS DOUBLE) AS t_dist
+        |FROM cum, t
+        |GROUP BY 1, 2, t.n, t.m
+        |ORDER BY 1, 2""".stripMargin,
+
+    // k-core: six unrolled peel rounds at k=3 over the closed-form doc
+    // graph — same fixed-iteration contract as the engine loop.
+    "kcore_docs" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |directed AS MATERIALIZED (
+        |  SELECT doc_id AS src, n_chars % nn.n AS dst FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (n_chars * 31 + doc_id) % nn.n FROM documents, nn),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM directed WHERE src <> dst),
+        |k1 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |       GROUP BY node HAVING count(*) >= 3),
+        |e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM k1)
+        |       AND b IN (SELECT node FROM k1)),
+        |k2 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+        |       GROUP BY node HAVING count(*) >= 3),
+        |e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM k2)
+        |       AND b IN (SELECT node FROM k2)),
+        |k3 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+        |       GROUP BY node HAVING count(*) >= 3),
+        |e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM k3)
+        |       AND b IN (SELECT node FROM k3)),
+        |k4 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+        |       GROUP BY node HAVING count(*) >= 3),
+        |e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM k4)
+        |       AND b IN (SELECT node FROM k4)),
+        |k5 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+        |       GROUP BY node HAVING count(*) >= 3),
+        |e5 AS MATERIALIZED (SELECT a, b FROM e4 WHERE a IN (SELECT node FROM k5)
+        |       AND b IN (SELECT node FROM k5)),
+        |k6 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5)
+        |       GROUP BY node HAVING count(*) >= 3),
+        |e6 AS MATERIALIZED (SELECT a, b FROM e5 WHERE a IN (SELECT node FROM k6)
+        |       AND b IN (SELECT node FROM k6))
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k1) AS n_kept_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges
+        |UNION ALL SELECT CAST(2 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k2),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e2)
+        |UNION ALL SELECT CAST(3 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k3),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e3)
+        |UNION ALL SELECT CAST(4 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k4),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e4)
+        |UNION ALL SELECT CAST(5 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k5),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e5)
+        |UNION ALL SELECT CAST(6 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k6),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e6)
+        |ORDER BY round""".stripMargin,
+
     "streak_active_days" -> SeqStatOps.Oracle.streakActiveDays,
     "second_order_transitions" -> SeqStatOps.Oracle.secondOrderTransitions,
     "time_to_first_purchase" -> SeqStatOps.Oracle.timeToFirstPurchase,

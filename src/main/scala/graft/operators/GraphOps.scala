@@ -248,4 +248,49 @@ object GraphOps {
     }
     pr.orderBy(col("rank").desc, col("node")).limit(20)
   }
+
+  /** V+/graph: k-CORE PEELING — six rounds of the standard degeneracy
+    * peel at k = 3 over the closed-form doc graph: each round keeps the
+    * nodes whose degree in the CURRENT edge set is ≥ k, restricts edges
+    * to kept-endpoint pairs, and reports (round, surviving nodes,
+    * surviving edges) — the density-core profile behind community
+    * seeding and graph summarization, and the fifth graph kernel
+    * (rank / structure / distance / prediction / core). The round count
+    * is FIXED (part of the declared contract) so the result is
+    * deterministic whether or not the peel has converged; the oracle
+    * unrolls the same six rounds as chained CTEs.
+    *
+    * Scale: each round is one degree aggregate + two LEFT SEMI joins on
+    * 8-byte node ids — the same bounded shuffles as every edge pass;
+    * lineage is truncated per round (localCheckpoint of the O(edges)
+    * pair table) exactly like the PageRank loop, which is what keeps a
+    * fixed-iteration graph algorithm plannable at depth.
+    */
+  def kcoreDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val n = Tables.rowCount(spark, sfDir, "documents")
+    val k = 3L
+    val directed = docs.select(col("doc_id").as("src"), (col("n_chars") % n).as("dst"))
+      .unionByName(docs.select(
+        col("doc_id").as("src"), ((col("n_chars") * 31 + col("doc_id")) % n).as("dst")))
+    var cur = directed
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val rounds = (1 to 6).map { r =>
+      val keep = cur.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("node"))
+      cur = cur
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      keep.agg(count(lit(1)).as("n_kept_nodes"))
+        .crossJoin(cur.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_kept_nodes"), col("n_edges"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
 }

@@ -626,7 +626,84 @@ object MiningOps {
   // DuckDB types bare integer sums HUGEINT, which hash-mismatches
   // Spark's BIGINT at the driver even on equal values (r10 incident:
   // 16 red queries). tools/local_check.py enforces this by type-gate.
+  /** D+/forecast: HOLT LINEAR TREND (double-exponential smoothing) over
+    * the daily revenue series, α = β = 1/2 in integer-cents fixed point —
+    * the trend-aware upgrade of the per-user EWMA and the level/trend
+    * complement of the seasonal-naive backtest: level' = ⌊(y + level +
+    * trend)/2⌋, trend' = ⌊(trend + (level' − level))/2⌋, one-step-ahead
+    * fit = level + trend. Halving is `floor(x / 2.0)` — an EXACT IEEE
+    * operation on integer-valued doubles — on BOTH engines, because
+    * Spark's `DIV` truncates toward zero while DuckDB's `//` floors, and
+    * trend deltas go negative.
+    *
+    * Shape: the recurrence is inherently sequential, so it folds a
+    * SINGLE `aggregate()` over the sorted calendar-bounded daily array
+    * (≤366 elements/year at ANY corpus size — the ewma_user_value idiom
+    * lifted to the global series); the fact scan only feeds the day
+    * aggregate. The oracle replays the identical recursion as a DuckDB
+    * RECURSIVE CTE.
+    */
+  def holtLinearDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("ts_us DIV 86400000000").as("day"), cents.as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("y"))
+    daily
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("ds"))
+      .select(explode(expr(
+        """aggregate(ds,
+          |  named_struct('init', false,
+          |    'level', CAST(0 AS BIGINT), 'trend', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<day: BIGINT, y: BIGINT,
+          |      level: BIGINT, trend: BIGINT, fitted: BIGINT>>)),
+          |  (acc, e) -> CASE WHEN NOT acc.init THEN
+          |      named_struct('init', true, 'level', e.y,
+          |        'trend', CAST(0 AS BIGINT),
+          |        'out', array(named_struct('day', e.day, 'y', e.y,
+          |          'level', e.y, 'trend', CAST(0 AS BIGINT), 'fitted', e.y)))
+          |    ELSE named_struct('init', true,
+          |      'level', CAST(floor((e.y + acc.level + acc.trend) / 2.0) AS BIGINT),
+          |      'trend', CAST(floor((acc.trend
+          |        + (CAST(floor((e.y + acc.level + acc.trend) / 2.0) AS BIGINT)
+          |           - acc.level)) / 2.0) AS BIGINT),
+          |      'out', array_append(acc.out, named_struct('day', e.day, 'y', e.y,
+          |        'level', CAST(floor((e.y + acc.level + acc.trend) / 2.0) AS BIGINT),
+          |        'trend', CAST(floor((acc.trend
+          |          + (CAST(floor((e.y + acc.level + acc.trend) / 2.0) AS BIGINT)
+          |             - acc.level)) / 2.0) AS BIGINT),
+          |        'fitted', acc.level + acc.trend)))
+          |    END,
+          |  acc -> acc.out)""".stripMargin)).as("h"))
+      .select(col("h.day").as("day"), col("h.y").as("y_cents"),
+        col("h.level").as("level_cents"), col("h.trend").as("trend_cents"),
+        col("h.fitted").as("fitted_cents"),
+        abs(col("h.y") - col("h.fitted")).as("abs_err_cents"))
+      .orderBy(col("day"))
+  }
+
   object Oracle {
+
+    val holtLinearDaily: String =
+      """WITH RECURSIVE d AS (
+        |  SELECT row_number() OVER (ORDER BY day) AS rn, day, y
+        |  FROM (SELECT epoch_us(ts) // 86400000000 AS day,
+        |          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |            AS y
+        |        FROM events GROUP BY 1)),
+        |h AS (
+        |  SELECT rn, day, y, y AS level, CAST(0 AS BIGINT) AS trend,
+        |    y AS fitted
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.y,
+        |    CAST(floor((d.y + h.level + h.trend) / 2.0) AS BIGINT),
+        |    CAST(floor((h.trend
+        |      + (CAST(floor((d.y + h.level + h.trend) / 2.0) AS BIGINT)
+        |         - h.level)) / 2.0) AS BIGINT),
+        |    h.level + h.trend
+        |  FROM h JOIN d ON d.rn = h.rn + 1)
+        |SELECT day, y AS y_cents, level AS level_cents, trend AS trend_cents,
+        |  fitted AS fitted_cents, abs(y - fitted) AS abs_err_cents
+        |FROM h ORDER BY day""".stripMargin
 
     val assocRulesBrands: String =
       """WITH b AS (

@@ -1212,6 +1212,64 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** D+/privacy: t-CLOSENESS — the third member of the release-gate
+    * triad ([[kAnonymityCustomers]], [[lDiversityCustomers]]): l-diversity
+    * counts distinct sensitive values but misses SKEW — a class can hold
+    * l values yet be dominated by one; t-closeness bounds the Earth
+    * Mover's Distance between each class's sensitive-value distribution
+    * and the global one. For the ORDERED balance-band attribute the EMD
+    * has the closed cumulative form EMD = Σₖǀcum_c(k)/n_c − cum_g(k)/nǀ
+    * / (m−1), which this query evaluates INTEGER-EXACTLY as
+    * Σₖǀcum_c(k)·n − cum_g(k)·n_cǀ (exact BIGINT) with ONE IEEE division
+    * by n_c·n·(m−1) at the output (COVERAGE.md class 2). The band is
+    * shifted +100000 cents before the integral division so both engines
+    * divide a nonnegative number — Spark's `DIV` truncates toward zero
+    * while DuckDB's `//` floors, and the shift makes them agree.
+    *
+    * Scale: one (class × band) aggregate off the scan (map-side
+    * partials), then everything runs on the ǀclassesǀ·ǀbandsǀ grid
+    * (125 × ~11 here; QI-domain-bounded at any table size) — the
+    * class-partitioned cumulative window never sees raw rows.
+    */
+  def tClosenessCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select(
+      col("c_mktsegment"),
+      col("c_nationkey").cast("long").as("c_nationkey"),
+      expr("(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) DIV 100000")
+        .as("band"))
+    val classBand = cust
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val classes = classBand.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(sum(col("cnt")).as("n_c"))
+    val globalBand = classBand.groupBy(col("band"))
+      .agg(sum(col("cnt")).as("gcnt"))
+    val totals = globalBand.agg(
+      sum(col("gcnt")).as("n"), count(lit(1)).as("m"))
+    // class × band grid so zero-count bands still contribute to the CDF
+    val grid = classes.crossJoin(broadcast(globalBand))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"), col("c_nationkey")).orderBy(col("band"))
+    grid
+      .join(classBand, Seq("c_mktsegment", "c_nationkey", "band"), "left_outer")
+      .select(col("c_mktsegment"), col("c_nationkey"), col("n_c"), col("band"),
+        col("gcnt"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("ccum", sum(col("cnt")).over(w))
+      .withColumn("gcum", sum(col("gcnt")).over(w))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(
+        max(col("n_c")).as("n_c"), max(col("n")).as("n"), max(col("m")).as("m"),
+        sum(abs(col("ccum") * col("n") - col("gcum") * col("n_c")))
+          .as("emd_num"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("n_c"), col("n"),
+        col("m"), col("emd_num"),
+        (col("emd_num").cast("double")
+          / (col("n_c") * col("n") * (col("m") - 1)).cast("double"))
+          .as("t_dist"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
   /** D+/privacy: DISTINCT l-DIVERSITY GATE — the companion check to
     * [[kAnonymityCustomers]]: k-anonymity bounds re-identification but a
     * class can still leak if everyone in it SHARES the sensitive value;

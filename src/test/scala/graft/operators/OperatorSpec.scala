@@ -369,6 +369,78 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(clustering == 3.0 * tris / wedges)
   }
 
+  test("kcore_docs: six peel rounds match a brute-force in-memory peel") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.length.toLong
+    var edges = docs.flatMap { case (id, ch) =>
+      Seq((id, ch % n), (id, (ch * 31 + id) % n))
+    }.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val expect = (1 to 6).map { r =>
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      (r.toLong, keep.size.toLong, edges.size.toLong)
+    }
+    val got = GraphOps.kcoreDocs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // peeling is monotone: survivors never grow
+    assert(got.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+    assert(got.map(_._3).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("t_closeness_customers: EMD matches brute force; identical-dist class is 0") {
+    val rows = graft.sources.Tables.customer(spark, sf0001)
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long"),
+        expr("(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) DIV 100000"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bands = rows.map(_._3).distinct.sorted
+    val m = bands.length.toLong
+    val nTot = rows.length.toLong
+    val gCum = bands.map(b => b -> rows.count(_._3 <= b).toLong).toMap
+    val got = Relational.tClosenessCustomers(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    val classes = rows.groupBy(r => (r._1, r._2))
+    assert(got.keySet == classes.keySet)
+    for ((k, members) <- classes) {
+      val nC = members.length.toLong
+      val emdNum = bands.map { b =>
+        math.abs(members.count(_._3 <= b).toLong * nTot - gCum(b) * nC)
+      }.sum
+      assert(got(k) == ((nC, nTot, m, emdNum,
+        emdNum.toDouble / (nC * nTot * (m - 1)).toDouble)))
+    }
+  }
+
+  test("holt_linear_daily: fold equals the sequential recurrence; exact halving") {
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .select(expr("ts_us DIV 86400000000"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (d, g) => (d, g.map(_._2).sum) }
+      .sortBy(_._1)
+    var level = 0L; var trend = 0L
+    val expect = daily.zipWithIndex.map { case ((d, y), i) =>
+      val fitted = if (i == 0) y else level + trend
+      val l2 = if (i == 0) y
+        else math.floor((y + level + trend) / 2.0).toLong
+      val t2 = if (i == 0) 0L
+        else math.floor((trend + (l2 - level)) / 2.0).toLong
+      level = l2; trend = t2
+      (d, y, l2, t2, fitted, math.abs(y - fitted))
+    }
+    val got = MiningOps.holtLinearDaily(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == expect)
+  }
+
   test("aggDecimalMoney decimal widening: DECIMAL(18,0) cast of BIGINT cents is lossless") {
     // The declared query surfaces BIGINT cents (any DECIMAL output column
     // hashes differently across the parquet/DuckDB boundary, r8/r9); the
