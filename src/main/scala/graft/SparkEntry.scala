@@ -278,6 +278,10 @@ object SparkEntry {
     "curriculum_deciles" -> SeqStatOps.curriculumDeciles _,
     "mixture_epochs_plan" -> SeqStatOps.mixtureEpochsPlan _,
     "local_clustering_docs" -> SeqStatOps.localClusteringDocs _,
+    "session_paths_topk" -> SeqStatOps.sessionPathsTopk _,
+    "zipf_rank_profile" -> SeqStatOps.zipfRankProfile _,
+    "feed_freshness_report" -> SeqStatOps.feedFreshnessReport _,
+    "cohort_ltv_curve" -> SeqStatOps.cohortLtvCurve _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
     "calibration_ece" -> EvalOps.calibrationEce _,
@@ -3410,6 +3414,10 @@ object SparkEntry {
     "curriculum_deciles" -> SeqStatOps.Oracle.curriculumDeciles,
     "mixture_epochs_plan" -> SeqStatOps.Oracle.mixtureEpochsPlan,
     "local_clustering_docs" -> SeqStatOps.Oracle.localClusteringDocs,
+    "session_paths_topk" -> SeqStatOps.Oracle.sessionPathsTopk,
+    "zipf_rank_profile" -> SeqStatOps.Oracle.zipfRankProfile,
+    "feed_freshness_report" -> SeqStatOps.Oracle.feedFreshnessReport,
+    "cohort_ltv_curve" -> SeqStatOps.Oracle.cohortLtvCurve,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
     "calibration_ece" -> EvalOps.Oracle.calibrationEce,

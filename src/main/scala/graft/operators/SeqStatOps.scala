@@ -486,12 +486,253 @@ object SeqStatOps {
       .limit(100)
   }
 
+  /** S+: SESSION PATH MINING — the top-20 most common session journeys:
+    * sessions cut at the 30-minute gap (the [[EventOps.sessionize]]
+    * convention), each session's path = its first 8 event types joined
+    * '>' in (ts, event_id) order, counted across all sessions. The
+    * classic clickstream path-analysis kernel — `sessionize` measures
+    * session SHAPE, this measures session CONTENT.
+    *
+    * Scale: the same single user-partitioned window stack as sessionize
+    * (lag → flag → running sum), one (user, session) aggregate whose
+    * value is a ≤8-element array, then a path-keyed count — the path
+    * domain is ≤ǀtypesǀ⁸ but concentrates Zipf-style, and partial
+    * aggregation collapses it map-side; top-20 by TakeOrdered.
+    */
+  def sessionPathsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 1800000000L
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_ts_us").isNull
+          || col("ts_us") - col("prev_ts_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts_us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        expr("transform(slice(evs, 1, 8), e -> e.event_type)"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** C+: ZIPF RANK-FREQUENCY PROFILE — token frequencies bucketed by
+    * power-of-two rank (bucket = integer log2 of the 1-based rank, the
+    * `interarrival_hist_type` idiom — no float log): per bucket the
+    * token count, total occurrences, and corpus share as ONE division.
+    * The corpus-health fingerprint behind vocabulary sizing and
+    * stopword policy — a healthy natural-language corpus halves total
+    * frequency per bucket; synthetic or templated text shows up as a
+    * flat head.
+    *
+    * Scale: the token-frequency aggregate is map-side combined on the
+    * token key; the global rank window orders the DISTINCT-TOKEN table
+    * (vocabulary-bounded — ≪ corpus at any size; a web-scale vocabulary
+    * would put the `heavy_hitters_tokens` Misra–Gries pass in front and
+    * rank only the sketch).
+    */
+  def zipfRankProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("tok").asc)
+    val total = tf.agg(sum(col("freq")).as("corpus_tokens"))
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("bucket", length(expr("bin(rank)")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        min(col("rank")).as("lo_rank"),
+        max(col("rank")).as("hi_rank"),
+        sum(col("freq")).as("total_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_tokens"), col("lo_rank"), col("hi_rank"),
+        col("total_freq"), col("corpus_tokens"),
+        (col("total_freq").cast("double") / col("corpus_tokens").cast("double"))
+          .as("freq_share"))
+      .orderBy(col("bucket"))
+  }
+
+  /** S+/DQ: FEED FRESHNESS REPORT — the dead-feed / lagging-feed monitor
+    * a pipeline health page runs per source stream: per event type, the
+    * staleness of the newest event vs the global watermark and the
+    * day-over-day volume ratio of the last two 24 h windows (anchored at
+    * the global max — data-anchored like the forecast backtest, so the
+    * report is deterministic for a fixed fixture). Ratio is NULL when
+    * the prior window is empty (a Spark double /0 is Infinity — not a
+    * portable output), else ONE int/int division.
+    *
+    * Scale: one scan; the global watermark is a 1-row broadcast; the
+    * per-type aggregate is ǀtypesǀ rows with map-side partials.
+    */
+  def feedFreshnessReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUsL = 86400000000L
+    val gmax = Tables.events(spark, sfDir).agg(max(col("ts_us")).as("gmax"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"))
+      .crossJoin(broadcast(gmax))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts_us")).as("last_ts_us"),
+        max(col("gmax")).as("g"),
+        sum(when(col("ts_us") > col("gmax") - dayUsL, 1L).otherwise(0L))
+          .as("cnt_last_24h"),
+        sum(when(col("ts_us") > col("gmax") - 2 * dayUsL
+          && col("ts_us") <= col("gmax") - dayUsL, 1L).otherwise(0L))
+          .as("cnt_prev_24h"))
+      .select(col("event_type"), col("n_events"), col("last_ts_us"),
+        expr("(g - last_ts_us) DIV 1000000").as("lag_s"),
+        col("cnt_last_24h"), col("cnt_prev_24h"),
+        when(col("cnt_prev_24h") === 0L, lit(null).cast("double"))
+          .otherwise(col("cnt_last_24h").cast("double")
+            / col("cnt_prev_24h").cast("double")).as("day_over_day"))
+      .orderBy(col("event_type"))
+  }
+
+  /** S+: COHORT LTV CURVE — cumulative purchase revenue per signup
+    * cohort and week offset: the lifetime-value complement of
+    * `retention_cohorts` (that counts WHO comes back; this sums what
+    * they SPEND). Cohort = day of first signup; offsets are exact
+    * integer day arithmetic; the cumulative sum runs per cohort over
+    * week offsets (≤ span/7 rows per cohort at any scale).
+    */
+  def cohortLtvCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(expr(s"ts_us DIV $dayUs")).as("cohort_day"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user_id"),
+        expr(s"ts_us DIV $dayUs").as("day"), cents.as("c"))
+    val weekly = cohort.join(rev,
+        col("user_id") === col("r_user_id") && col("day") >= col("cohort_day"))
+      .withColumn("week_offset", expr("(day - cohort_day) DIV 7"))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("c")).as("week_cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_cents", sum(col("week_cents")).over(w))
+      .select(col("cohort_day"), col("week_offset"), col("n_purchases"),
+        col("week_cents"), col("cum_cents"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
   /** DuckDB oracle twins. Protocol: every integer aggregate reaching an
     * output list is CAST(... AS BIGINT) (DuckDB types bare integer sums
     * HUGEINT — the r10 regression class); ratios are exactly one
     * division; ORDER BY carries a unique tie-break.
     */
   object Oracle {
+
+    val sessionPathsTopk: String =
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |    AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |r AS (
+        |  SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts_us, event_id) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 20""".stripMargin
+
+    val zipfRankProfile: String =
+      """WITH tf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0 GROUP BY tok),
+        |r AS (
+        |  SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        |  FROM tf),
+        |b AS (
+        |  SELECT CAST(length(bin(rank)) AS BIGINT) AS bucket, rank, freq
+        |  FROM r),
+        |t AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens FROM b)
+        |SELECT bucket,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(min(rank) AS BIGINT) AS lo_rank,
+        |  CAST(max(rank) AS BIGINT) AS hi_rank,
+        |  CAST(sum(freq) AS BIGINT) AS total_freq,
+        |  t.corpus_tokens,
+        |  CAST(sum(freq) AS DOUBLE) / CAST(t.corpus_tokens AS DOUBLE)
+        |    AS freq_share
+        |FROM b, t
+        |GROUP BY bucket, t.corpus_tokens
+        |ORDER BY bucket""".stripMargin
+
+    val feedFreshnessReport: String =
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+        |t AS (SELECT max(ts_us) AS gmax FROM e)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(ts_us) AS BIGINT) AS last_ts_us,
+        |  CAST((t.gmax - max(ts_us)) // 1000000 AS BIGINT) AS lag_s,
+        |  CAST(sum(CASE WHEN ts_us > t.gmax - 86400000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cnt_last_24h,
+        |  CAST(sum(CASE WHEN ts_us > t.gmax - 172800000000
+        |    AND ts_us <= t.gmax - 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS cnt_prev_24h,
+        |  CASE WHEN sum(CASE WHEN ts_us > t.gmax - 172800000000
+        |      AND ts_us <= t.gmax - 86400000000 THEN 1 ELSE 0 END) = 0
+        |    THEN NULL
+        |    ELSE CAST(sum(CASE WHEN ts_us > t.gmax - 86400000000
+        |        THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN ts_us > t.gmax - 172800000000
+        |        AND ts_us <= t.gmax - 86400000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS day_over_day
+        |FROM e, t
+        |GROUP BY event_type, t.gmax
+        |ORDER BY event_type""".stripMargin
+
+    val cohortLtvCurve: String =
+      """WITH co AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |rv AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |wk AS (
+        |  SELECT co.cohort_day, (rv.day - co.cohort_day) // 7 AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(sum(rv.c) AS BIGINT) AS week_cents
+        |  FROM co JOIN rv ON co.user_id = rv.user_id
+        |    AND rv.day >= co.cohort_day
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, week_offset, n_purchases, week_cents,
+        |  CAST(sum(week_cents) OVER (PARTITION BY cohort_day
+        |    ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        |FROM wk
+        |ORDER BY cohort_day, week_offset""".stripMargin
 
     val streakActiveDays: String =
       """WITH d AS (

@@ -234,6 +234,92 @@ class SeqStatOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("session_paths_topk matches brute-force session cutting") {
+    val paths = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, rows) <- eventRows.groupBy(_._1)) {
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var prevTs = Long.MinValue
+      for ((_, ts, _, tpe, _) <- sorted) {
+        if (prevTs != Long.MinValue && ts - prevTs > 1800000000L)
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += tpe
+        prevTs = ts
+      }
+      for (s <- sessions if s.nonEmpty) {
+        val p = s.take(8).mkString(">")
+        paths(p) = paths.getOrElse(p, 0L) + 1L
+      }
+    }
+    val expect = paths.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = SeqStatOps.sessionPathsTopk(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("zipf_rank_profile matches brute-force rank bucketing") {
+    val freqs = docRows.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val ranked = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (i + 1L, f) }
+    val corpus = freqs.map(_._2).sum
+    val expect = ranked
+      .groupBy { case (rk, _) => (64 - java.lang.Long.numberOfLeadingZeros(rk)).toLong }
+      .toSeq.map { case (b, rows) =>
+        (b, rows.length.toLong, rows.map(_._1).min, rows.map(_._1).max,
+          rows.map(_._2).sum, corpus,
+          rows.map(_._2).sum.toDouble / corpus.toDouble)
+      }.sortBy(_._1)
+    val got = SeqStatOps.zipfRankProfile(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expect)
+    // Zipf profile covers every rank exactly once
+    assert(expect.map(_._2).sum == ranked.length.toLong)
+  }
+
+  test("feed_freshness_report matches brute-force window counts") {
+    val gmax = eventRows.map(_._2).max
+    val dayL = 86400000000L
+    val got = SeqStatOps.feedFreshnessReport(spark, sf0001).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    val byType = eventRows.groupBy(_._4)
+    assert(got.keySet == byType.keySet)
+    for ((tpe, rows) <- byType) {
+      val last = rows.map(_._2).max
+      val cLast = rows.count(_._2 > gmax - dayL).toLong
+      val cPrev = rows.count(r => r._2 > gmax - 2 * dayL && r._2 <= gmax - dayL).toLong
+      val dod = if (cPrev == 0) None else Some(cLast.toDouble / cPrev.toDouble)
+      assert(got(tpe) == ((rows.length.toLong, last, (gmax - last) / 1000000L,
+        cLast, cPrev, dod)))
+    }
+  }
+
+  test("cohort_ltv_curve matches brute-force cohort folding; cum is monotone") {
+    val cohorts = eventRows.filter(_._4 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._2 / dayUs).min).toMap
+    val weekly = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((u, ts, _, tpe, c) <- eventRows if tpe == "purchase";
+        cd <- cohorts.get(u); day = ts / dayUs; if day >= cd) {
+      val k = (cd, (day - cd) / 7)
+      val (n0, c0) = weekly.getOrElse(k, (0L, 0L))
+      weekly(k) = (n0 + 1, c0 + c)
+    }
+    val expect = weekly.toSeq.sortBy(t => (t._1._1, t._1._2))
+      .groupBy(_._1._1).toSeq.flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1._2).map { case ((cd, wk), (n, c)) =>
+          cum += c; (cd, wk, n, c, cum)
+        }
+      }.sortBy(t => (t._1, t._2))
+    val got = SeqStatOps.cohortLtvCurve(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
   test("local_clustering_docs matches a brute-force per-node count") {
     val n = docRows.length.toLong
     val edges = docRows.flatMap { d =>
