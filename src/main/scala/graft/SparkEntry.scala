@@ -263,6 +263,8 @@ object SparkEntry {
     "attribution_first_last" -> MiningOps.attributionFirstLast _,
     "interarrival_hist_type" -> MiningOps.interarrivalHistType _,
     "t_closeness_customers" -> Relational.tClosenessCustomers _,
+    "key_skew_profile" -> Relational.keySkewProfile _,
+    "join_card_audit" -> Relational.joinCardAudit _,
     "kcore_docs" -> GraphOps.kcoreDocs _,
     "holt_linear_daily" -> MiningOps.holtLinearDaily _,
     "streak_active_days" -> SeqStatOps.streakActiveDays _,
@@ -3309,6 +3311,76 @@ object SparkEntry {
     "attribution_first_last" -> MiningOps.Oracle.attributionFirstLast,
     "interarrival_hist_type" -> MiningOps.Oracle.interarrivalHistType,
     "holt_linear_daily" -> MiningOps.Oracle.holtLinearDaily,
+
+    // Join-key skew profile: per candidate shuffle key, max·keys/rows
+    // and the top-1 share — both one int/int division.
+    "key_skew_profile" ->
+      """WITH oc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+        |            GROUP BY o_custkey),
+        |lp AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+        |       GROUP BY l_partkey),
+        |ls AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+        |       GROUP BY l_suppkey),
+        |eu AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events
+        |       GROUP BY user_id),
+        |u AS (
+        |  SELECT 'orders.o_custkey' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_cnt
+        |  FROM oc
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', CAST(sum(c) AS BIGINT),
+        |    CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT) FROM lp
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey', CAST(sum(c) AS BIGINT),
+        |    CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT) FROM ls
+        |  UNION ALL
+        |  SELECT 'events.user_id', CAST(sum(c) AS BIGINT),
+        |    CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT) FROM eu)
+        |SELECT key_col, n_rows, n_keys, max_cnt,
+        |  CAST(max_cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    AS skew_factor,
+        |  CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share
+        |FROM u
+        |ORDER BY key_col""".stripMargin,
+
+    // Join cardinality audit: |A|·|B| / max(ndv) estimate vs the actual
+    // join count; estimate exact integer, error ratio one division.
+    "join_card_audit" ->
+      """WITH a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_a FROM orders),
+        |b1 AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv_b FROM customer),
+        |j1 AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |a2 AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_a FROM lineitem),
+        |b2 AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(count(DISTINCT p_partkey) AS BIGINT) AS ndv_b FROM part),
+        |j2 AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |a3 AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_a FROM lineitem),
+        |b3 AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_b FROM orders),
+        |j3 AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |u AS (
+        |  SELECT 'orders-customer' AS join_pair, a1.n_a, b1.n_b, a1.ndv_a,
+        |    b1.ndv_b, j1.actual_rows FROM a1, b1, j1
+        |  UNION ALL
+        |  SELECT 'lineitem-part', a2.n_a, b2.n_b, a2.ndv_a, b2.ndv_b,
+        |    j2.actual_rows FROM a2, b2, j2
+        |  UNION ALL
+        |  SELECT 'lineitem-orders', a3.n_a, b3.n_b, a3.ndv_a, b3.ndv_b,
+        |    j3.actual_rows FROM a3, b3, j3)
+        |SELECT join_pair, n_a, n_b, ndv_a, ndv_b,
+        |  CAST((n_a * n_b) // greatest(ndv_a, ndv_b) AS BIGINT) AS est_rows,
+        |  actual_rows,
+        |  CAST(actual_rows AS DOUBLE)
+        |    / CAST((n_a * n_b) // greatest(ndv_a, ndv_b) AS DOUBLE)
+        |    AS err_ratio
+        |FROM u
+        |ORDER BY join_pair""".stripMargin,
 
     // t-closeness: EMD between each QI class's ordered sensitive-band
     // CDF and the global CDF, integer-exact (see Relational scaladoc).

@@ -1212,6 +1212,83 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** D+/planning: JOIN-KEY SKEW PROFILE — the pre-join instrumentation a
+    * 100 TB engine runs before choosing a strategy: for each candidate
+    * shuffle key, the key count, the heaviest key's row count, the skew
+    * factor (max·keys/rows — 1.0 means perfectly uniform; AQE's skew
+    * threshold reasons in exactly these units) and the heaviest key's
+    * row share. The MEASUREMENT counterpart of `skew_join_zipf` /
+    * `salted_heavy_hitters` (which HANDLE skew): the profile decides
+    * whether salting/AQE is needed at all. Both ratios are ONE int/int
+    * IEEE division.
+    *
+    * Scale: one map-side-combined (key → count) aggregate per profiled
+    * column, then a 1-row reduction — the profile costs one scan per
+    * fact table regardless of size.
+    */
+  def keySkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(df: DataFrame, key: String, label: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_cnt"))
+        .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"),
+          ((col("max_cnt") * col("n_keys")).cast("double")
+            / col("n_rows").cast("double")).as("skew_factor"),
+          (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+            .as("top1_share"))
+    profile(Tables.orders(spark, sfDir), "o_custkey", "orders.o_custkey")
+      .unionByName(profile(Tables.lineitem(spark, sfDir), "l_partkey",
+        "lineitem.l_partkey"))
+      .unionByName(profile(Tables.lineitem(spark, sfDir), "l_suppkey",
+        "lineitem.l_suppkey"))
+      .unionByName(profile(Tables.events(spark, sfDir), "user_id",
+        "events.user_id"))
+      .orderBy(col("key_col"))
+  }
+
+  /** D+/planning: JOIN CARDINALITY AUDIT — the textbook equi-join
+    * estimate ǀAǀ·ǀBǀ / max(ndv_A, ndv_B) checked against the ACTUAL join
+    * cardinality for three fixture joins: the validation loop a
+    * cost-based optimizer (and anyone debugging one) runs when a plan
+    * goes sideways. The estimate itself is exact integer arithmetic
+    * (BIGINT product, floor division); the error ratio actual/estimate
+    * is the ONE IEEE division. NDVs are exact count_distinct here (the
+    * audit is the ground-truth pass); the production profile variant
+    * would use approx_count_distinct like `table_profile_approx`.
+    *
+    * Scale: per join, two key-aggregates + the real join count — the
+    * audit costs what the join costs, which is the point: you run it on
+    * a sampled slice in production and compare ratios, a practice this
+    * query's fixed-fixture form makes testable.
+    */
+  def joinCardAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(a: DataFrame, ka: String, b: DataFrame, kb: String,
+        label: String): DataFrame = {
+      val sa = a.agg(count(lit(1)).as("n_a"),
+        count_distinct(col(ka)).as("ndv_a"))
+      val sb = b.agg(count(lit(1)).as("n_b"),
+        count_distinct(col(kb)).as("ndv_b"))
+      val actual = a.join(b, col(ka) === col(kb)).agg(
+        count(lit(1)).as("actual_rows"))
+      sa.crossJoin(sb).crossJoin(actual)
+        .select(lit(label).as("join_pair"), col("n_a"), col("n_b"),
+          col("ndv_a"), col("ndv_b"),
+          expr("(n_a * n_b) DIV greatest(ndv_a, ndv_b)").as("est_rows"),
+          col("actual_rows"),
+          (col("actual_rows").cast("double")
+            / expr("CAST((n_a * n_b) DIV greatest(ndv_a, ndv_b) AS DOUBLE)"))
+            .as("err_ratio"))
+    }
+    audit(Tables.orders(spark, sfDir), "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey", "orders-customer")
+      .unionByName(audit(Tables.lineitem(spark, sfDir), "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey", "lineitem-part"))
+      .unionByName(audit(Tables.lineitem(spark, sfDir), "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey", "lineitem-orders"))
+      .orderBy(col("join_pair"))
+  }
+
   /** D+/privacy: t-CLOSENESS — the third member of the release-gate
     * triad ([[kAnonymityCustomers]], [[lDiversityCustomers]]): l-diversity
     * counts distinct sensitive values but misses SKEW — a class can hold

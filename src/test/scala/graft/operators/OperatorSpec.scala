@@ -441,6 +441,45 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect)
   }
 
+  test("key_skew_profile matches brute-force key histograms") {
+    def brute(rows: Array[Long]): (Long, Long, Long) = {
+      val h = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      (rows.length.toLong, h.size.toLong, h.values.max)
+    }
+    val got = Relational.keySkewProfile(spark, sf0001).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val cases = Seq(
+      ("orders.o_custkey", graft.sources.Tables.orders(spark, sf0001)
+        .select(col("o_custkey")).collect().map(_.getLong(0))),
+      ("events.user_id", graft.sources.Tables.events(spark, sf0001)
+        .select(col("user_id")).collect().map(_.getLong(0))))
+    for ((label, keys) <- cases) {
+      val (n, k, m) = brute(keys)
+      assert(got(label) == ((n, k, m,
+        (m * k).toDouble / n.toDouble, m.toDouble / n.toDouble)))
+      // skew factor ≥ 1 by construction (max ≥ avg)
+      assert(got(label)._4 >= 1.0)
+    }
+    assert(got.keySet == Set("orders.o_custkey", "lineitem.l_partkey",
+      "lineitem.l_suppkey", "events.user_id"))
+  }
+
+  test("join_card_audit: estimate law and actual counts match brute force") {
+    val got = Relational.joinCardAudit(spark, sf0001).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(got.keySet ==
+      Set("orders-customer", "lineitem-part", "lineitem-orders"))
+    for ((_, (nA, nB, ndvA, ndvB, est, actual, err)) <- got) {
+      assert(est == nA * nB / math.max(ndvA, ndvB))
+      assert(err == actual.toDouble / est.toDouble)
+    }
+    // FK-join ground truth: every order has a customer → actual == |orders|
+    val (nA, _, _, _, _, actual, _) = got("orders-customer")
+    assert(actual == nA)
+  }
+
   test("aggDecimalMoney decimal widening: DECIMAL(18,0) cast of BIGINT cents is lossless") {
     // The declared query surfaces BIGINT cents (any DECIMAL output column
     // hashes differently across the parquet/DuckDB boundary, r8/r9); the
