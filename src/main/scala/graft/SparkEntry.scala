@@ -54,6 +54,7 @@ object SparkEntry {
     "stream_sink_time_travel" -> graft.streaming.StreamingEntry.streamSinkTimeTravel _,
     "stream_event_transitions" -> graft.streaming.StreamingEntry.streamEventTransitions _,
     "stream_streaks_tws" -> graft.streaming.StreamingEntry.streamStreaksTws _,
+    "stream_cusum_tws" -> graft.streaming.StreamingEntry.streamCusumTws _,
     "stream_attribution_tws" -> graft.streaming.StreamingEntry.streamAttributionTws _,
     "stream_ewma_user" -> graft.streaming.StreamingEntry.streamEwmaUser _,
     "stream_sample_users" -> graft.streaming.StreamingEntry.streamSampleUsers _,
@@ -264,8 +265,10 @@ object SparkEntry {
     "interarrival_hist_type" -> MiningOps.interarrivalHistType _,
     "t_closeness_customers" -> Relational.tClosenessCustomers _,
     "key_skew_profile" -> Relational.keySkewProfile _,
+    "clustering_depth_audit" -> Relational.clusteringDepthAudit _,
     "join_card_audit" -> Relational.joinCardAudit _,
     "kcore_docs" -> GraphOps.kcoreDocs _,
+    "label_prop_communities" -> GraphOps.labelPropCommunities _,
     "holt_linear_daily" -> MiningOps.holtLinearDaily _,
     "streak_active_days" -> SeqStatOps.streakActiveDays _,
     "second_order_transitions" -> SeqStatOps.secondOrderTransitions _,
@@ -284,6 +287,12 @@ object SparkEntry {
     "zipf_rank_profile" -> SeqStatOps.zipfRankProfile _,
     "feed_freshness_report" -> SeqStatOps.feedFreshnessReport _,
     "cohort_ltv_curve" -> SeqStatOps.cohortLtvCurve _,
+    "basket_freq_pairs" -> BasketOps.basketFreqPairs _,
+    "basket_rules_lift" -> BasketOps.basketRulesLift _,
+    "cuped_adjusted_ab" -> CausalOps.cupedAdjustedAb _,
+    "diff_in_diff" -> CausalOps.diffInDiff _,
+    "theil_sen_daily" -> CausalOps.theilSenDaily _,
+    "winsorized_stats" -> CausalOps.winsorizedStats _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
     "calibration_ece" -> EvalOps.calibrationEce _,
@@ -1359,6 +1368,38 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_islands,
         |  CAST(max(len) AS BIGINT) AS longest_streak
         |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // Live one-sided CUSUM == the closed form of the max(0, ·) recurrence:
+    // S_t = P_t − min(0, running-min of prefix sums P) — identical integer
+    // arithmetic to the processor's fold, so the batch replay pins the
+    // cross-batch S carry exactly.
+    "stream_cusum_tws" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) - 2500 AS a
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 5000)),
+        |p AS (
+        |  SELECT user_id, event_id,
+        |    sum(a) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |    count(*) OVER (PARTITION BY user_id) AS n_seen
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, event_id, n_seen,
+        |    pre - least(0, min(pre) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_t
+        |  FROM p),
+        |r AS (
+        |  SELECT user_id, n_seen, s_t, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY s_t DESC, event_id) AS rk
+        |  FROM s)
+        |SELECT user_id, CAST(n_seen AS BIGINT) AS n_seen,
+        |  CAST(s_t AS BIGINT) AS peak_cusum_cents,
+        |  CAST(CASE WHEN s_t = 0 THEN 0 ELSE event_id END AS BIGINT)
+        |    AS peak_event_id
+        |FROM r WHERE rk = 1
         |ORDER BY user_id""".stripMargin,
 
     // Continuous top-k == the batch rank-limit window over the slice.
@@ -3473,6 +3514,67 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM e6)
         |ORDER BY round""".stripMargin,
 
+    "clustering_depth_audit" ->
+      """WITH li AS (
+        |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |nat AS (SELECT day,
+        |  ntile(32) OVER (ORDER BY l_orderkey, l_linenumber) AS bucket FROM li),
+        |shp AS (SELECT day,
+        |  ntile(32) OVER (ORDER BY day, l_orderkey, l_linenumber) AS bucket FROM li),
+        |bn AS (SELECT bucket, min(day) AS lo, max(day) AS hi FROM nat GROUP BY 1),
+        |bs AS (SELECT bucket, min(day) AS lo, max(day) AS hi FROM shp GROUP BY 1),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS overlap_pairs FROM bn x JOIN bn y
+        |       ON x.bucket < y.bucket AND x.lo <= y.hi AND y.lo <= x.hi),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS overlap_pairs FROM bs x JOIN bs y
+        |       ON x.bucket < y.bucket AND x.lo <= y.hi AND y.lo <= x.hi)
+        |SELECT 'natural' AS layout, CAST(32 AS BIGINT) AS n_buckets,
+        |  overlap_pairs,
+        |  CAST(overlap_pairs * 2 AS DOUBLE) / CAST(32 AS DOUBLE)
+        |    AS avg_overlap_per_bucket
+        |FROM cn
+        |UNION ALL
+        |SELECT 'shipdate', CAST(32 AS BIGINT), overlap_pairs,
+        |  CAST(overlap_pairs * 2 AS DOUBLE) / CAST(32 AS DOUBLE)
+        |FROM cs
+        |ORDER BY layout""".stripMargin,
+
+    // Four unrolled min-label rounds — the kcore_docs oracle pattern
+    // (AS MATERIALIZED is oracle hygiene: DuckDB re-evaluates plain CTEs
+    // per reference and exhausts file handles on the chain).
+    "label_prop_communities" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |directed AS MATERIALIZED (
+        |  SELECT doc_id AS src, n_chars % nn.n AS dst FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (n_chars * 31 + doc_id) % nn.n FROM documents, nn),
+        |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM directed WHERE src <> dst),
+        |b AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+        |      UNION ALL SELECT b, a FROM e),
+        |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+        |l1 AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
+        |  SELECT node, lbl FROM l0
+        |  UNION ALL SELECT b.dst, l0.lbl FROM b JOIN l0 ON b.src = l0.node)
+        |  GROUP BY node),
+        |l2 AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
+        |  SELECT node, lbl FROM l1
+        |  UNION ALL SELECT b.dst, l1.lbl FROM b JOIN l1 ON b.src = l1.node)
+        |  GROUP BY node),
+        |l3 AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
+        |  SELECT node, lbl FROM l2
+        |  UNION ALL SELECT b.dst, l2.lbl FROM b JOIN l2 ON b.src = l2.node)
+        |  GROUP BY node),
+        |l4 AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
+        |  SELECT node, lbl FROM l3
+        |  UNION ALL SELECT b.dst, l3.lbl FROM b JOIN l3 ON b.src = l3.node)
+        |  GROUP BY node)
+        |SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS size
+        |FROM l4 GROUP BY lbl
+        |ORDER BY size DESC, community
+        |LIMIT 20""".stripMargin,
+
     "streak_active_days" -> SeqStatOps.Oracle.streakActiveDays,
     "second_order_transitions" -> SeqStatOps.Oracle.secondOrderTransitions,
     "time_to_first_purchase" -> SeqStatOps.Oracle.timeToFirstPurchase,
@@ -3490,6 +3592,12 @@ object SparkEntry {
     "zipf_rank_profile" -> SeqStatOps.Oracle.zipfRankProfile,
     "feed_freshness_report" -> SeqStatOps.Oracle.feedFreshnessReport,
     "cohort_ltv_curve" -> SeqStatOps.Oracle.cohortLtvCurve,
+    "basket_freq_pairs" -> BasketOps.Oracle.basketFreqPairs,
+    "basket_rules_lift" -> BasketOps.Oracle.basketRulesLift,
+    "cuped_adjusted_ab" -> CausalOps.Oracle.cupedAdjustedAb,
+    "diff_in_diff" -> CausalOps.Oracle.diffInDiff,
+    "theil_sen_daily" -> CausalOps.Oracle.theilSenDaily,
+    "winsorized_stats" -> CausalOps.Oracle.winsorizedStats,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
     "calibration_ece" -> EvalOps.Oracle.calibrationEce,

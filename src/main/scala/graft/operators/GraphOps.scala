@@ -293,4 +293,49 @@ object GraphOps {
     }
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
+
+  /** V+/graph: LABEL PROPAGATION COMMUNITIES — four fixed rounds of
+    * min-label propagation over the undirected closed-form doc graph
+    * (each node takes the minimum of its own and its neighbors' labels,
+    * seeded with the node id), then the 20 largest communities. Four
+    * rounds means 4-hop label reach — a deterministic community
+    * approximation whether or not propagation has converged, the same
+    * fixed-round contract as [[kcoreDocs]]; full convergence is the
+    * connected-components operator (`dedup_clusters` owns that). Labels
+    * stay BIGINT node ids end to end — no tie-break ambiguity, since min
+    * over a set of longs is order-free.
+    *
+    * Scale: per round one join of the O(edges) both-direction edge list
+    * with the O(nodes) label table on an 8-byte key + one min-aggregate —
+    * the PageRank exchange pattern; lineage truncated per round
+    * (localCheckpoint) so the 4-deep iterative plan stays flat. The
+    * oracle unrolls the same four rounds as materialized CTEs.
+    */
+  def labelPropCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val n = Tables.rowCount(spark, sfDir, "documents")
+    val directed = docs.select(col("doc_id").as("src"), (col("n_chars") % n).as("dst"))
+      .unionByName(docs.select(
+        col("doc_id").as("src"), ((col("n_chars") * 31 + col("doc_id")) % n).as("dst")))
+    val und = directed
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val both = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var lbl = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+    for (_ <- 1 to 4) {
+      val nb = both.join(lbl, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      lbl = lbl.unionByName(nb)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
+  }
 }

@@ -261,6 +261,74 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** A+: CLUSTERING-DEPTH AUDIT — the data-layout health metric a
+    * lakehouse OPTIMIZE/Z-ORDER decision is made from: split the fact
+    * table into 32 equal-depth "files" under two layouts (natural
+    * ingest order = (l_orderkey, l_linenumber); shipdate-clustered =
+    * sorted by ship day) and report, per layout, how many file pairs
+    * have OVERLAPPING [min, max] ship-day ranges — overlap is exactly
+    * what defeats min/max zone-map pruning, so `avg_overlap_per_bucket`
+    * is the expected read amplification of a ship-day point query.
+    * The sorted layout must audit to 0-ish overlap; the natural layout
+    * shows the unclustered baseline. The measurement complement of
+    * `compact_small_files` / the Hilbert z-order ops, the same way
+    * `key_skew_profile` measures what the salting ops fix.
+    *
+    * Buckets are SQL-ntile semantics computed WITHOUT a one-partition
+    * window (range repartition → in-partition sort → zipWithIndex →
+    * ntile's published arithmetic — the [[equiDepthBuckets]] machinery);
+    * the oracle is plain ntile(32). Both total orders end in the unique
+    * (l_orderkey, l_linenumber) key, so assignment is deterministic.
+    *
+    * Scale: two global range-sorts of (day, key) triples — the real
+    * price of a layout audit, each the same exchange a write-time
+    * OPTIMIZE pays — then all overlap arithmetic runs on the 32-row
+    * bucket table.
+    */
+  def clusteringDepthAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = 32L
+    val n = Tables.rowCount(spark, sfDir, "lineitem")
+    val big = n / b + (if (n % b > 0) 1L else 0L)
+    val small = n / b
+    val cut = (n % b) * big
+    val base = Tables.lineitem(spark, sfDir)
+      .select(
+        // l_shipdate is TIMESTAMP_NTZ in the fixture; the session tz is
+        // pinned UTC, so the NTZ→TZ cast is exact epoch micros (the
+        // Tables.events shim's argument).
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000").as("day"),
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"))
+    def audit(layout: String, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val ranked = base
+        .repartitionByRange(8, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .select(col("day"))
+        .as[Long].rdd.zipWithIndex()
+        .map { case (day, i) => (day, i + 1L) }
+        .toDF("day", "rn")
+      val buckets = ranked
+        .withColumn("bucket", expr(
+          s"CASE WHEN rn <= $cut THEN (rn - 1) DIV $big + 1" +
+            s" ELSE ${n % b} + (rn - $cut - 1) DIV $small + 1 END"))
+        .groupBy(col("bucket"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      buckets.as("x").join(buckets.as("y"),
+          col("x.bucket") < col("y.bucket")
+            && col("x.lo") <= col("y.hi") && col("y.lo") <= col("x.hi"))
+        .agg(count(lit(1)).as("overlap_pairs"))
+        .select(
+          lit(layout).as("layout"), lit(b).as("n_buckets"), col("overlap_pairs"),
+          ((col("overlap_pairs") * 2L).cast("double") / lit(b).cast("double"))
+            .as("avg_overlap_per_bucket"))
+    }
+    audit("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+      .unionByName(audit(
+        "shipdate", Seq(col("day"), col("l_orderkey"), col("l_linenumber"))))
+      .orderBy(col("layout"))
+  }
+
   /** Force the co-bucketed table writes behind [[bucketedJoinOrders]]
     * (memoized per session + fixture content). Bench times this as its own
     * `stage_bucketed` line — the one-time layout job a production table

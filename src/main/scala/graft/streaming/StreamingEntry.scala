@@ -1444,6 +1444,82 @@ object StreamingEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Emitted CUSUM row: the user's current drift detector summary. */
+  case class CusumOut(
+      user_id: Long, n_seen: Long, peak_cusum_cents: Long, peak_event_id: Long)
+
+  /** One-sided CUSUM state: current statistic + running peak and the
+    * event that set it — O(4 longs) per user, forever.
+    */
+  case class CusumState(s: Long, peak: Long, peakEventId: Long, nSeen: Long)
+
+  /** `transformWithState` processor for CONTINUOUS one-sided CUSUM drift
+    * detection — S ← max(0, S + (cents − K)) per event with reference
+    * K = 2500 cents, tracking the peak statistic and the FIRST event id
+    * that achieved it (strict >, so ties keep the earliest). The live
+    * form of the `cusum_changepoint` family: state is four longs per
+    * user and a spend spike that builds ACROSS micro-batches keeps
+    * accumulating — the cross-batch carry a per-batch window loses. The
+    * oracle replays the slice through the closed form of the recurrence
+    * (S_t = P_t − min(0, min_{j≤t} P_j) over prefix sums P), which is
+    * what makes a max(0, ·) fold SQL-expressible at all.
+    */
+  class CusumProcessor(k: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, CusumOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum", E.product[CusumState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CusumOut] = {
+      var s = if (st.exists()) st.get() else CusumState(0L, 0L, 0L, 0L)
+      rows.toArray.sortBy(_.event_id).foreach { e =>
+        val c = math.floor(e.value * 100 + 0.5).toLong
+        val next = math.max(0L, s.s + (c - k))
+        s =
+          if (next > s.peak) CusumState(next, next, e.event_id, s.nSeen + 1)
+          else CusumState(next, s.peak, s.peakEventId, s.nSeen + 1)
+      }
+      st.update(s)
+      Iterator.single(CusumOut(key, s.nSeen, s.peak, s.peakEventId))
+    }
+  }
+
+  /** DECLARED streaming CUSUM: [[CusumProcessor]] over the event slice,
+    * declared output = each user's final emission. The oracle rebuilds
+    * S_t from prefix sums with a running min window — identical integer
+    * arithmetic, so a dropped cross-batch S carry hash-mismatches.
+    */
+  def streamCusumTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = eventSlice(spark, sfDir)
+    val stream = MemoryStream[StreamEvent](spark)
+    withStatePartitions(spark, 4) {
+      withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val q = stream.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new CusumProcessor(2500L), TimeMode.None(), OutputMode.Update())
+          .writeStream.format("memory").queryName("graft_stream_cusum")
+          .outputMode("update").start()
+        try feedChunks(stream, q, slice) finally q.stop()
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+    spark.table("graft_stream_cusum")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_seen"), col("peak_cusum_cents"),
+        col("peak_event_id"))
+      .orderBy(col("user_id"))
+  }
+
   /** Emitted sample row: the user's current bounded uniform sample. */
   case class SampleOut(user_id: Long, sample_csv: String, n_sample: Long, n_seen: Long)
 

@@ -1075,4 +1075,58 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
       (0L, 1L, 880844L), (1L, 1L, 590039L), (10L, 1L, 762287L)))
     assert(rows.forall(_.getLong(1) >= 1L))
   }
+
+  test("label_prop_communities: 4 min-label rounds equal the sequential propagation") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val edges = docs.flatMap { case (id, ch) =>
+      Seq((id, ch % n), (id, (ch * 31 + id) % n))
+    }.filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val edgesBoth = edges ++ edges.map(_.swap)
+    var lbl = docs.map { case (id, _) => id -> id }.toMap
+    for (_ <- 1 to 4) {
+      val contrib = edgesBoth.flatMap { case (s, d) => lbl.get(s).map(l => (d, l)) }
+      lbl = (lbl.toSeq ++ contrib).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
+    }
+    val expect = lbl.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .sortBy { case (c, sz) => (-sz, c) }.take(20)
+    val got = GraphOps.labelPropCommunities(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("clustering_depth_audit: sorted layout has fewer overlapping buckets; brute ntile agrees") {
+    val rows = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000"),
+        col("l_orderkey"), col("l_linenumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def overlaps(order: Ordering[(Long, Long, Long)]): Long = {
+      val sorted = rows.sorted(order)
+      val n = sorted.length; val b = 32
+      val big = n / b + (if (n % b > 0) 1 else 0); val small = n / b
+      val cut = (n % b) * big
+      val byBucket = sorted.zipWithIndex.groupBy { case (_, i) =>
+        val rn = i + 1
+        if (rn <= cut) (rn - 1) / big + 1 else n % b + (rn - cut - 1) / small + 1
+      }
+      val ranges = byBucket.values.map { rs =>
+        (rs.map(_._1._1).min, rs.map(_._1._1).max)
+      }.toSeq
+      (for {
+        i <- ranges.indices; j <- (i + 1) until ranges.length
+        if ranges(i)._1 <= ranges(j)._2 && ranges(j)._1 <= ranges(i)._2
+      } yield 1L).sum
+    }
+    val natural = overlaps(Ordering.by(t => (t._2, t._3)))
+    val shipdate = overlaps(Ordering.by(t => (t._1, t._2, t._3)))
+    val got = Relational.clusteringDepthAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("natural" -> natural, "shipdate" -> shipdate))
+    assert(got("shipdate") <= got("natural"))
+  }
 }

@@ -348,6 +348,27 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(out == expect)
   }
 
+  test("stream_cusum_tws: cross-batch S carry equals a sequential recurrence replay") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamingEntry.streamCusumTws(spark, sf0001)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val slice = graft.sources.Tables.events(spark, sf0001)
+      .orderBy(col("event_id")).limit(5000)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = slice.groupBy(_._1).map { case (u, rows) =>
+      var s = 0L; var peak = 0L; var peakId = 0L
+      for ((_, id, c) <- rows.sortBy(_._2)) {
+        s = math.max(0L, s + (c - 2500L))
+        if (s > peak) { peak = s; peakId = id }
+      }
+      u -> ((rows.length.toLong, peak, peakId))
+    }
+    assert(out == expect)
+  }
+
   test("stream_recent_events_tws: ListState buffer holds exactly the last 3 arrivals") {
     import org.apache.spark.sql.functions._
     val out = graft.streaming.StreamingEntry.streamRecentEventsTws(spark, sf0001).collect()
