@@ -293,6 +293,10 @@ object SparkEntry {
     "diff_in_diff" -> CausalOps.diffInDiff _,
     "theil_sen_daily" -> CausalOps.theilSenDaily _,
     "winsorized_stats" -> CausalOps.winsorizedStats _,
+    "kruskal_wallis_value" -> StatTestOps.kruskalWallisValue _,
+    "odds_ratio_ab" -> StatTestOps.oddsRatioAb _,
+    "cramers_v2_lang_source" -> StatTestOps.cramersV2LangSource _,
+    "gini_split_stump" -> StatTestOps.giniSplitStump _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
     "calibration_ece" -> EvalOps.calibrationEce _,
@@ -3598,6 +3602,10 @@ object SparkEntry {
     "diff_in_diff" -> CausalOps.Oracle.diffInDiff,
     "theil_sen_daily" -> CausalOps.Oracle.theilSenDaily,
     "winsorized_stats" -> CausalOps.Oracle.winsorizedStats,
+    "kruskal_wallis_value" -> StatTestOps.Oracle.kruskalWallisValue,
+    "odds_ratio_ab" -> StatTestOps.Oracle.oddsRatioAb,
+    "cramers_v2_lang_source" -> StatTestOps.Oracle.cramersV2LangSource,
+    "gini_split_stump" -> StatTestOps.Oracle.giniSplitStump,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
     "calibration_ece" -> EvalOps.Oracle.calibrationEce,

@@ -643,4 +643,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  test("basket_freq_pairs: the basket self-join is an equi join, never nested-loop") {
+    val p = plan(graft.operators.BasketOps.basketFreqPairs(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("basket_rules_lift: dim counts broadcast; the only nested loop is the 1-row total") {
+    val p = plan(graft.operators.BasketOps.basketRulesLift(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cuped_adjusted_ab / winsorized_stats: scalar broadcasts only, no cartesian") {
+    // cuped's nested loops are the 1-row mid/pooled-moments broadcasts
+    // (bounded by construction); winsorized runs entirely on equi joins
+    // over the per-type bounds.
+    val pc = plan(graft.operators.CausalOps.cupedAdjustedAb(spark, sf0001))
+    assert(!pc.contains("CartesianProduct"), pc)
+    assert(pc.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 3, pc)
+    val pw = plan(graft.operators.CausalOps.winsorizedStats(spark, sf0001))
+    assert(!pw.contains("CartesianProduct") && !pw.contains("BroadcastNestedLoopJoin"), pw)
+  }
 }
