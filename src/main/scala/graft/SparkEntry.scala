@@ -293,6 +293,7 @@ object SparkEntry {
     "diff_in_diff" -> CausalOps.diffInDiff _,
     "theil_sen_daily" -> CausalOps.theilSenDaily _,
     "winsorized_stats" -> CausalOps.winsorizedStats _,
+    "km_survival_purchase" -> CausalOps.kmSurvivalPurchase _,
     "kruskal_wallis_value" -> StatTestOps.kruskalWallisValue _,
     "odds_ratio_ab" -> StatTestOps.oddsRatioAb _,
     "cramers_v2_lang_source" -> StatTestOps.cramersV2LangSource _,
@@ -3602,6 +3603,7 @@ object SparkEntry {
     "diff_in_diff" -> CausalOps.Oracle.diffInDiff,
     "theil_sen_daily" -> CausalOps.Oracle.theilSenDaily,
     "winsorized_stats" -> CausalOps.Oracle.winsorizedStats,
+    "km_survival_purchase" -> CausalOps.Oracle.kmSurvivalPurchase,
     "kruskal_wallis_value" -> StatTestOps.Oracle.kruskalWallisValue,
     "odds_ratio_ab" -> StatTestOps.Oracle.oddsRatioAb,
     "cramers_v2_lang_source" -> StatTestOps.Oracle.cramersV2LangSource,

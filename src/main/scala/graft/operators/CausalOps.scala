@@ -219,7 +219,99 @@ object CausalOps {
       .orderBy(col("event_type"))
   }
 
+  /** S+: KAPLAN–MEIER SURVIVAL — the product-limit estimator of
+    * time-to-first-high-value-purchase (≥ 9000 cents, the odds_ratio_ab
+    * conversion) in whole days from each user's first event, with users
+    * who never convert right-censored at their last observed day. Per
+    * event time: the risk set from the cumulative duration histogram
+    * (risk(t) = n − #durations < t — a suffix count, no per-t rescan),
+    * deaths, the hazard d/n (one division), and S(t) = Π (1 − d/n)
+    * folded LEFT-TO-RIGHT in ascending t — Spark as aggregate() over the
+    * broadcast event-time array, DuckDB as the recursive-CTE fold whose
+    * per-row accumulator IS the running product — so the float
+    * multiplication chain is bit-identical (the cramers_v2 convention
+    * applied to Π).
+    *
+    * Scale: one user-keyed aggregate (the only fact-scale exchange),
+    * then everything runs on the ≤span-days duration grid; the O(grid²)
+    * per-row fold is over event times, calendar-bounded at any corpus
+    * size.
+    */
+  def kmSurvivalPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("day"),
+        col("event_type"), cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("day")).as("t0"),
+        max(col("day")).as("tmax"),
+        min(when(col("event_type") === "purchase" && col("c") >= 9000L,
+          col("day"))).as("ev_day"))
+    val dur = users.select(
+      when(col("ev_day").isNotNull, col("ev_day") - col("t0"))
+        .otherwise(col("tmax") - col("t0")).as("d"),
+      col("ev_day").isNotNull.as("converted"))
+    val hist = dur.groupBy(col("d"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("deaths"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("d"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+      .withColumn("n_risk", col("n") - (col("cum") - col("cnt")))
+    val ev = hist.filter(col("deaths") > 0L)
+      .withColumn("factor",
+        (col("n_risk") - col("deaths")).cast("double") / col("n_risk").cast("double"))
+    val arr = ev.agg(expr(
+      "sort_array(collect_list(struct(d, factor)))").as("arr"))
+    ev.crossJoin(broadcast(arr))
+      .select(
+        col("d").as("t_days"), col("n_risk"), col("deaths"),
+        (col("deaths").cast("double") / col("n_risk").cast("double")).as("hazard"),
+        expr("aggregate(filter(arr, x -> x.d <= d), CAST(1.0 AS DOUBLE)," +
+          " (acc, x) -> acc * x.factor)").as("survival"))
+      .orderBy(col("t_days"))
+  }
+
   object Oracle {
+
+    val kmSurvivalPurchase: String =
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS t0,
+        |    max(epoch_us(ts) // 86400000000) AS tmax,
+        |    min(CASE WHEN event_type = 'purchase'
+        |          AND CAST(floor(value * 100 + 0.5) AS BIGINT) >= 9000
+        |        THEN epoch_us(ts) // 86400000000 END) AS ev_day
+        |  FROM events GROUP BY 1),
+        |dur AS (
+        |  SELECT CASE WHEN ev_day IS NOT NULL THEN ev_day - t0
+        |              ELSE tmax - t0 END AS d,
+        |         (ev_day IS NOT NULL) AS converted
+        |  FROM u),
+        |hist AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS deaths
+        |  FROM dur GROUP BY 1),
+        |hc AS (
+        |  SELECT *,
+        |    sum(cnt) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM hist),
+        |ev AS (
+        |  SELECT d, CAST(n - (cum - cnt) AS BIGINT) AS n_risk, deaths,
+        |    row_number() OVER (ORDER BY d) AS rn,
+        |    CAST(n - (cum - cnt) - deaths AS DOUBLE)
+        |      / CAST(n - (cum - cnt) AS DOUBLE) AS factor
+        |  FROM hc WHERE deaths > 0),
+        |f AS (
+        |  SELECT rn, d, n_risk, deaths, factor AS acc FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.rn, e.d, e.n_risk, e.deaths, f.acc * e.factor
+        |  FROM f JOIN ev e ON e.rn = f.rn + 1)
+        |SELECT d AS t_days, n_risk, deaths,
+        |  CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+        |  acc AS survival
+        |FROM f ORDER BY t_days""".stripMargin
 
     val cupedAdjustedAb: String =
       """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid

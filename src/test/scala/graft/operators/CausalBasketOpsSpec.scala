@@ -125,6 +125,30 @@ class CausalBasketOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(3) == intercept)
   }
 
+  test("km_survival_purchase matches the textbook product-limit estimator") {
+    val byUser = eventRows.groupBy(_._1)
+    val durations = byUser.values.map { rows =>
+      val t0 = rows.map(_._2 / dayUs).min
+      val evs = rows.filter(r => r._4 == "purchase" && r._5 >= 9000L)
+      if (evs.nonEmpty) (evs.map(_._2 / dayUs).min - t0, true)
+      else (rows.map(_._2 / dayUs).max - t0, false)
+    }.toSeq
+    val n = durations.length.toLong
+    val evTimes = durations.filter(_._2).map(_._1).distinct.sorted
+    var s = 1.0
+    val expect = evTimes.map { t =>
+      val risk = durations.count(_._1 >= t).toLong
+      val deaths = durations.count(d => d._2 && d._1 == t).toLong
+      s = s * ((risk - deaths).toDouble / risk.toDouble)
+      (t, risk, deaths, deaths.toDouble / risk.toDouble, s)
+    }
+    val got = CausalOps.kmSurvivalPurchase(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expect)
+    // survival is a proper non-increasing curve in (0, 1]
+    assert(expect.map(_._5) == expect.map(_._5).sorted.reverse)
+  }
+
   test("winsorized_stats matches the sorted-clip brute force, ties included") {
     val got = CausalOps.winsorizedStats(spark, sf0001).collect().map(r =>
       (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
