@@ -298,6 +298,10 @@ object SparkEntry {
     "odds_ratio_ab" -> StatTestOps.oddsRatioAb _,
     "cramers_v2_lang_source" -> StatTestOps.cramersV2LangSource _,
     "gini_split_stump" -> StatTestOps.giniSplitStump _,
+    "mann_kendall_trend" -> StatTestOps.mannKendallTrend _,
+    "runs_test_daily" -> StatTestOps.runsTestDaily _,
+    "bowley_skew_types" -> StatTestOps.bowleySkewTypes _,
+    "qq_deciles_pair" -> StatTestOps.qqDecilesPair _,
     "auc_event_scores" -> EvalOps.aucEventScores _,
     "calibration_bins" -> EvalOps.calibrationBins _,
     "calibration_ece" -> EvalOps.calibrationEce _,
@@ -3608,6 +3612,10 @@ object SparkEntry {
     "odds_ratio_ab" -> StatTestOps.Oracle.oddsRatioAb,
     "cramers_v2_lang_source" -> StatTestOps.Oracle.cramersV2LangSource,
     "gini_split_stump" -> StatTestOps.Oracle.giniSplitStump,
+    "mann_kendall_trend" -> StatTestOps.Oracle.mannKendallTrend,
+    "runs_test_daily" -> StatTestOps.Oracle.runsTestDaily,
+    "bowley_skew_types" -> StatTestOps.Oracle.bowleySkewTypes,
+    "qq_deciles_pair" -> StatTestOps.Oracle.qqDecilesPair,
     "auc_event_scores" -> EvalOps.Oracle.aucEventScores,
     "calibration_bins" -> EvalOps.Oracle.calibrationBins,
     "calibration_ece" -> EvalOps.Oracle.calibrationEce,

@@ -204,6 +204,138 @@ object StatTestOps {
         col("n"), col("gini_weighted"))
   }
 
+  /** K+: MANN–KENDALL TREND — the distribution-free monotone-trend test
+    * on daily purchase revenue: S = Σ_{i<j} sign(c_j − c_i), pure BIGINT
+    * over the calendar-bounded daily pairs, plus the tie-aware variance
+    * numerator 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) kept EXACT (the
+    * ×18 clearing avoids the division; the z-score needs sqrt, banned),
+    * and tau-a = S/(n(n−1)/2) as the ONE-division effect size. The
+    * significance companion to `theil_sen_daily`'s slope.
+    *
+    * Scale: daily rollup is the only fact-scale exchange; the O(days²)
+    * pair join is the kendall_tau posture.
+    */
+  def mannKendallTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us DIV 86400000000").as("d"), cents.as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("c"))
+    val s = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .agg(
+        sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie_term"))
+    s.crossJoin(broadcast(ties))
+      .select(
+        col("n").as("n_days"), col("s_stat"),
+        (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("tie_term"))
+          .as("var_s_x18"),
+        expr("CAST(s_stat AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)")
+          .as("tau_a"))
+  }
+
+  /** K+: WALD–WOLFOWITZ RUNS TEST — randomness of the daily revenue
+    * series around its (lower) median: days strictly above/below the
+    * median form a ± sequence; the statistic is the observed run count
+    * vs the expectation 1 + 2·n1·n2/(n1+n2) (ONE division; the variance
+    * is emitted as its exact integer numerator/denominator pair since
+    * the z-score would need sqrt). Median-equal days are dropped, the
+    * standard convention.
+    *
+    * Scale: everything after the daily rollup runs on ≤366 rows.
+    */
+  def runsTestDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us DIV 86400000000").as("d"), cents.as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("c"))
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("c"), col("d"))))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+      .filter(col("rn") === expr("(nd + 1) DIV 2"))
+      .select(col("c").as("median_c"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("c") =!= col("median_c"))
+      .withColumn("sgn", when(col("c") > col("median_c"), 1L).otherwise(-1L))
+    val runs = signs
+      .withColumn("prev", lag(col("sgn"), 1).over(Window.orderBy(col("d"))))
+      .agg(
+        sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+          .otherwise(0L)).as("n_runs"),
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n2"))
+    runs.select(
+      col("n1"), col("n2"), col("n_runs"),
+      expr("1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        + " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))").as("expected_runs"),
+      expr("CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS BIGINT)").as("var_num"),
+      expr("CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS BIGINT)").as("var_den"))
+  }
+
+  /** K+: BOWLEY QUARTILE SKEWNESS — per event type, the sqrt-free robust
+    * skewness (Q1 + Q3 − 2·Q2)/(Q3 − Q1) from exact rank-pick quartiles
+    * (ranks (n+3) DIV 4, (n+1) DIV 2, (3n+1) DIV 4 — lower-quantile
+    * convention) over the distinct-cents grid. The shape complement of
+    * `winsorized_stats`' location estimates; moment skewness needs a
+    * 3/2-power, banned.
+    *
+    * Scale: all rank picks are cumulative-count intersections on the
+    * value grid (KS posture); output ≤ǀtypesǀ rows.
+    */
+  def bowleySkewTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents.as("c"))
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col("c"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    def pick(rank: String, name: String): DataFrame =
+      grid.filter(expr(rank) > col("cum_prev") && expr(rank) <= col("cum"))
+        .select(col("event_type"), col("c").as(name), col("n"))
+    pick("(n + 3) DIV 4", "q1").drop("n")
+      .join(pick("(n + 1) DIV 2", "q2").drop("n"), "event_type")
+      .join(pick("(3 * n + 1) DIV 4", "q3"), "event_type")
+      .select(
+        col("event_type"), col("n"), col("q1"), col("q2"), col("q3"),
+        when(col("q3") === col("q1"), lit(null).cast("double"))
+          .otherwise((col("q1") + col("q3") - lit(2L) * col("q2")).cast("double")
+            / (col("q3") - col("q1")).cast("double")).as("bowley_skew"))
+      .orderBy(col("event_type"))
+  }
+
+  /** K+: QQ DECILES — the quantile–quantile table of purchase vs click
+    * cents at the nine deciles (exact rank picks, rank max(1, (k·n) DIV
+    * 10)): the distribution-comparison readout behind a QQ plot, all
+    * BIGINT. Where `ks_purchase_click` gives the max CDF gap, this gives
+    * the shape of the mismatch.
+    *
+    * Scale: two per-type value grids, nine rank picks each — the KS
+    * posture; 9-row output.
+    */
+  def qqDecilesPair(spark: SparkSession, sfDir: String): DataFrame = {
+    def deciles(t: String, name: String): DataFrame = {
+      val grid = Tables.events(spark, sfDir)
+        .filter(col("event_type") === t)
+        .select(cents.as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("c"))))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+        .withColumn("cum_prev", col("cum") - col("cnt"))
+      spark.range(1, 10).select(col("id").as("decile"))
+        .join(grid, expr("greatest(CAST(1 AS BIGINT), (decile * n) DIV 10)") > col("cum_prev")
+          && expr("greatest(CAST(1 AS BIGINT), (decile * n) DIV 10)") <= col("cum"))
+        .select(col("decile"), col("c").as(name))
+    }
+    deciles("purchase", "purchase_cents")
+      .join(deciles("click", "click_cents"), "decile")
+      .select(col("decile"), col("purchase_cents"), col("click_cents"),
+        (col("purchase_cents") - col("click_cents")).as("gap_cents"))
+      .orderBy(col("decile"))
+  }
+
   object Oracle {
 
     private val types = Seq("click", "error", "purchase", "signup", "view")
@@ -245,6 +377,114 @@ object StatTestOps {
         |  ($h) / $corr AS h_tie_corrected
         |FROM pv, ti""".stripMargin
     }
+
+    val mannKendallTrend: String =
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+        |    AS s_stat
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |ti AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY c))
+        |SELECT n AS n_days, s_stat,
+        |  CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_s_x18,
+        |  CAST(s_stat AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)
+        |    AS tau_a
+        |FROM s, ti""".stripMargin
+
+    val runsTestDaily: String =
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |med AS (
+        |  SELECT c AS median_c FROM (
+        |    SELECT c, row_number() OVER (ORDER BY c, d) AS rn,
+        |           count(*) OVER () AS nd
+        |    FROM daily)
+        |  WHERE rn = (nd + 1) // 2),
+        |sg AS (
+        |  SELECT d, CASE WHEN c > median_c THEN 1 ELSE -1 END AS sgn
+        |  FROM daily, med WHERE c <> median_c),
+        |r AS (
+        |  SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev FROM sg),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_runs
+        |  FROM r)
+        |SELECT n1, n2, n_runs,
+        |  1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS expected_runs,
+        |  CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS BIGINT) AS var_num,
+        |  CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS BIGINT) AS var_den
+        |FROM agg""".stripMargin
+
+    val bowleySkewTypes: String =
+      """WITH grid AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |g2 AS (
+        |  SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM grid),
+        |g3 AS (SELECT *, cum - cnt AS cum_prev FROM g2),
+        |q1 AS (SELECT event_type, c AS q1 FROM g3
+        |       WHERE (n + 3) // 4 > cum_prev AND (n + 3) // 4 <= cum),
+        |q2 AS (SELECT event_type, c AS q2 FROM g3
+        |       WHERE (n + 1) // 2 > cum_prev AND (n + 1) // 2 <= cum),
+        |q3 AS (SELECT event_type, c AS q3, CAST(n AS BIGINT) AS n FROM g3
+        |       WHERE (3 * n + 1) // 4 > cum_prev AND (3 * n + 1) // 4 <= cum)
+        |SELECT q1.event_type, q3.n, q1.q1, q2.q2, q3.q3,
+        |  CASE WHEN q3.q3 = q1.q1 THEN NULL
+        |    ELSE CAST(q1.q1 + q3.q3 - 2 * q2.q2 AS DOUBLE)
+        |      / CAST(q3.q3 - q1.q1 AS DOUBLE) END AS bowley_skew
+        |FROM q1 JOIN q2 USING (event_type) JOIN q3 USING (event_type)
+        |ORDER BY event_type""".stripMargin
+
+    val qqDecilesPair: String =
+      """WITH gp AS (
+        |  SELECT c, cnt,
+        |    sum(cnt) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |          CAST(count(*) AS BIGINT) AS cnt
+        |        FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+        |gc AS (
+        |  SELECT c, cnt,
+        |    sum(cnt) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |          CAST(count(*) AS BIGINT) AS cnt
+        |        FROM events WHERE event_type = 'click' GROUP BY 1)),
+        |dk AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS decile),
+        |dp AS (
+        |  SELECT dk.decile, gp.c AS purchase_cents
+        |  FROM dk JOIN gp
+        |    ON greatest(1, (dk.decile * gp.n) // 10) > gp.cum - gp.cnt
+        |   AND greatest(1, (dk.decile * gp.n) // 10) <= gp.cum),
+        |dc AS (
+        |  SELECT dk.decile, gc.c AS click_cents
+        |  FROM dk JOIN gc
+        |    ON greatest(1, (dk.decile * gc.n) // 10) > gc.cum - gc.cnt
+        |   AND greatest(1, (dk.decile * gc.n) // 10) <= gc.cum)
+        |SELECT decile, purchase_cents, click_cents,
+        |  CAST(purchase_cents - click_cents AS BIGINT) AS gap_cents
+        |FROM dp JOIN dc USING (decile)
+        |ORDER BY decile""".stripMargin
 
     val oddsRatioAb: String =
       """WITH u AS (

@@ -87,6 +87,67 @@ class StatTestOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(4) == v2)
   }
 
+  private lazy val daily: Seq[(Long, Long)] = {
+    val byDay = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us DIV 86400000000"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    byDay.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+  }
+
+  test("mann_kendall_trend: pairwise sign sum and tie-aware variance match") {
+    val s = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield java.lang.Long.signum(daily(j)._2 - daily(i)._2).toLong).sum
+    val n = daily.length.toLong
+    val tie = daily.groupBy(_._2).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val r = StatTestOps.mannKendallTrend(spark, sf0001).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == s)
+    assert(r.getLong(2) == n * (n - 1) * (2 * n + 5) - tie)
+    assert(r.getDouble(3) == s.toDouble / (n.toDouble * (n.toDouble - 1.0) / 2.0))
+  }
+
+  test("runs_test_daily: run count around the lower median matches") {
+    val med = daily.map(_._2).zip(daily.map(_._1)).sorted
+      .apply((daily.length + 1) / 2 - 1)._1
+    val signs = daily.filter(_._2 != med).map(d => if (d._2 > med) 1L else -1L)
+    val nRuns = signs.indices.count(i => i == 0 || signs(i) != signs(i - 1)).toLong
+    val n1 = signs.count(_ == 1L).toLong
+    val n2 = signs.count(_ == -1L).toLong
+    val r = StatTestOps.runsTestDaily(spark, sf0001).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((n1, n2, nRuns)))
+    assert(r.getDouble(3) ==
+      1.0 + 2.0 * n1.toDouble * n2.toDouble / (n1.toDouble + n2.toDouble))
+    assert(r.getLong(4) == 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2))
+    assert(r.getLong(5) == (n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+  }
+
+  test("bowley_skew_types: rank-pick quartiles match the sorted brute force") {
+    val got = StatTestOps.bowleySkewTypes(spark, sf0001).collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for ((t, rows) <- eventRows.groupBy(_._2)) {
+      val vs = rows.map(_._3).sorted
+      val n = vs.length.toLong
+      def pick(rank: Long): Long = vs(math.max(1L, rank).toInt - 1)
+      val (q1, q2, q3) = (pick((n + 3) / 4), pick((n + 1) / 2), pick((3 * n + 1) / 4))
+      assert(got(t) == ((n, q1, q2, q3)))
+    }
+  }
+
+  test("qq_deciles_pair: exact rank-pick deciles for both types") {
+    val got = StatTestOps.qqDecilesPair(spark, sf0001).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def dec(t: String): Map[Long, Long] = {
+      val vs = eventRows.filter(_._2 == t).map(_._3).sorted
+      val n = vs.length.toLong
+      (1L to 9L).map(k => k -> vs(math.max(1L, k * n / 10).toInt - 1)).toMap
+    }
+    val (p, c) = (dec("purchase"), dec("click"))
+    assert(got == (1L to 9L).map(k => k -> ((p(k), c(k), p(k) - c(k)))).toMap)
+  }
+
   test("gini_split_stump: the split minimizes weighted impurity over the full grid") {
     val n = eventRows.length.toLong
     val tTot = types.map(t => t -> eventRows.count(_._2 == t).toLong).toMap
