@@ -89,6 +89,9 @@ object SparkEntry {
     "q20_excess_suppliers" -> TpchOps.q20ExcessSuppliers _,
     "q21_waiting_supplier" -> TpchOps.q21WaitingSupplier _,
     "q22_dormant_customers" -> TpchOps.q22DormantCustomers _,
+    "ship_latency_percentiles" -> TpchOps.shipLatencyPercentiles _,
+    "pareto_suppliers_80" -> TpchOps.paretoSuppliers80 _,
+    "open_orders_weekly" -> TpchOps.openOrdersWeekly _,
     "table_profile_lineitem" -> Relational.tableProfileLineitem _,
     "table_profile_approx" -> Relational.tableProfileApprox _,
     "k_anonymity_customers" -> Relational.kAnonymityCustomers _,
@@ -3522,6 +3525,85 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM k6),
         |  (SELECT CAST(count(*) AS BIGINT) FROM e6)
         |ORDER BY round""".stripMargin,
+
+    "ship_latency_percentiles" ->
+      """WITH gaps AS (
+        |  SELECT o_orderpriority,
+        |    epoch_us(l_shipdate) // 86400000000
+        |      - epoch_us(o_orderdate) // 86400000000 AS gap
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |grid AS (
+        |  SELECT o_orderpriority, gap, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM gaps GROUP BY 1, 2),
+        |g2 AS (
+        |  SELECT *,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY gap
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n,
+        |    sum(cnt * gap) OVER (PARTITION BY o_orderpriority) AS sum_gap
+        |  FROM grid),
+        |g3 AS (SELECT *, cum - cnt AS cum_prev FROM g2),
+        |p50 AS (SELECT o_orderpriority, gap AS p50_days FROM g3
+        |  WHERE greatest(1, (50 * n) // 100) > cum_prev
+        |    AND greatest(1, (50 * n) // 100) <= cum),
+        |p90 AS (SELECT o_orderpriority, gap AS p90_days FROM g3
+        |  WHERE greatest(1, (90 * n) // 100) > cum_prev
+        |    AND greatest(1, (90 * n) // 100) <= cum),
+        |p99 AS (SELECT o_orderpriority, gap AS p99_days,
+        |    CAST(n AS BIGINT) AS n, CAST(sum_gap AS BIGINT) AS sum_gap FROM g3
+        |  WHERE greatest(1, (99 * n) // 100) > cum_prev
+        |    AND greatest(1, (99 * n) // 100) <= cum)
+        |SELECT o_orderpriority, n, p50_days, p90_days, p99_days,
+        |  CAST(sum_gap AS DOUBLE) / CAST(n AS DOUBLE) AS mean_days
+        |FROM p50 JOIN p90 USING (o_orderpriority) JOIN p99 USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "pareto_suppliers_80" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total_cents,
+        |        CAST(count(*) AS BIGINT) AS n_suppliers,
+        |        CAST(max(rev) AS BIGINT) AS top1_cents FROM rev),
+        |c AS (
+        |  SELECT rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_suppkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev AS cum_prev
+        |  FROM rev)
+        |SELECT t.n_suppliers,
+        |  CAST(sum(CASE WHEN c.cum_prev * 5 < t.total_cents * 4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top_80,
+        |  t.total_cents,
+        |  CAST(sum(CASE WHEN c.cum_prev * 5 < t.total_cents * 4 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(t.n_suppliers AS DOUBLE) AS share_of_suppliers,
+        |  CAST(t.top1_cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE)
+        |    AS top1_revenue_share
+        |FROM c, t
+        |GROUP BY t.n_suppliers, t.total_cents, t.top1_cents""".stripMargin,
+
+    "open_orders_weekly" ->
+      """WITH close AS (
+        |  SELECT l_orderkey,
+        |    max(epoch_us(l_shipdate) // 86400000000) AS close_day
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS open_day, close_day
+        |  FROM orders JOIN close ON o_orderkey = l_orderkey),
+        |d AS (
+        |  SELECT day, CAST(sum(delta) AS BIGINT) AS d FROM (
+        |    SELECT open_day AS day, 1 AS delta FROM o
+        |    UNION ALL SELECT close_day + 1, -1 FROM o)
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT day, sum(d) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM d)
+        |SELECT day // 7 AS week, CAST(max(open) AS BIGINT) AS peak_open,
+        |  CAST(arg_max(open, day) AS BIGINT) AS week_end_open
+        |FROM c GROUP BY 1
+        |ORDER BY week""".stripMargin,
 
     "clustering_depth_audit" ->
       """WITH li AS (

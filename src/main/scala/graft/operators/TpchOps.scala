@@ -341,4 +341,117 @@ object TpchOps {
       .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
       .orderBy(col("cntry"))
   }
+
+  private val dayUs = 86400000000L
+
+  /** D+: SHIP-LATENCY PERCENTILES — p50/p90/p99 of order-to-ship days
+    * per order priority (exact rank picks, rank max(1, (p·n) DIV 100),
+    * lower-quantile convention) plus the one-division mean: the
+    * fulfillment-SLA readout. Rank arithmetic runs on the per-priority
+    * DISTINCT-GAP grid (gaps are calendar-bounded), never a raw-fact
+    * sort — the KS/winsorized posture on the order domain.
+    *
+    * Scale: one lineitem⋈orders equi join (the q12 exchange), one
+    * aggregate onto the (priority × gap) grid, ≤5-row output.
+    */
+  def shipLatencyPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val gaps = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV $dayUs").as("ship_day"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $dayUs").as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), (col("ship_day") - col("order_day")).as("gap"))
+    val grid = gaps.groupBy(col("o_orderpriority"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("gap"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("o_orderpriority"))))
+      .withColumn("sum_gap", sum(col("cnt") * col("gap")).over(
+        Window.partitionBy(col("o_orderpriority"))))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    def pick(p: Int, name: String): DataFrame =
+      grid.filter(expr(s"greatest(CAST(1 AS BIGINT), ($p * n) DIV 100)") > col("cum_prev")
+          && expr(s"greatest(CAST(1 AS BIGINT), ($p * n) DIV 100)") <= col("cum"))
+        .select(col("o_orderpriority"), col("gap").as(name),
+          col("n"), col("sum_gap"))
+    pick(50, "p50_days").drop("n", "sum_gap")
+      .join(pick(90, "p90_days").drop("n", "sum_gap"), "o_orderpriority")
+      .join(pick(99, "p99_days"), "o_orderpriority")
+      .select(col("o_orderpriority"), col("n"),
+        col("p50_days"), col("p90_days"), col("p99_days"),
+        (col("sum_gap").cast("double") / col("n").cast("double")).as("mean_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** D+: PARETO 80/20 — the supplier concentration cutoff: how many
+    * suppliers (by descending revenue, suppkey tie-break) cover 80% of
+    * total revenue. The 80% threshold is EXACT integer arithmetic
+    * (supplier included while 5·cum_prev < 4·total — no float share ever
+    * compared), with one-division shares for reporting. The
+    * concentration complement of `gini_revenue_segments` / `hhi`.
+    *
+    * Scale: one supplier-keyed revenue aggregate (bounded by the
+    * supplier dimension), rank windows on that bounded table.
+    */
+  def paretoSuppliers80(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("c"))
+      .groupBy(col("l_suppkey")).agg(sum(col("c")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_suppkey"))
+    rev
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("cum_prev", col("cum") - col("rev"))
+      .crossJoin(broadcast(rev.agg(
+        sum(col("rev")).as("total_cents"),
+        count(lit(1)).as("n_suppliers"),
+        max(col("rev")).as("top1_cents"))))
+      .agg(
+        max(col("n_suppliers")).as("n_suppliers"),
+        sum(when(col("cum_prev") * 5L < col("total_cents") * 4L, 1L).otherwise(0L))
+          .as("n_top_80"),
+        max(col("total_cents")).as("total_cents"),
+        max(col("top1_cents")).as("top1_cents"))
+      .select(
+        col("n_suppliers"), col("n_top_80"), col("total_cents"),
+        (col("n_top_80").cast("double") / col("n_suppliers").cast("double"))
+          .as("share_of_suppliers"),
+        (col("top1_cents").cast("double") / col("total_cents").cast("double"))
+          .as("top1_revenue_share"))
+  }
+
+  /** D+: OPEN-ORDER BACKLOG — concurrent open orders per week via the
+    * interval-sweep pattern: each order contributes +1 at its order day
+    * and −1 the day after its LAST shipment; the running sum over the
+    * bounded day grid is the live backlog, rolled up to weekly peak and
+    * week-end levels. The sweep is THE scale shape for interval
+    * concurrency — no per-day × per-order join exists anywhere.
+    *
+    * Scale: one lineitem max-aggregate + one orders projection → a ±1
+    * delta table with ≤2 rows per order, summed onto the calendar-
+    * bounded day grid; the cumulative window and weekly rollup run on
+    * ≤span-days rows.
+    */
+  def openOrdersWeekly(spark: SparkSession, sfDir: String): DataFrame = {
+    val close = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV $dayUs").as("ship_day"))
+      .groupBy(col("l_orderkey")).agg(max(col("ship_day")).as("close_day"))
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $dayUs").as("open_day"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+    val deltas = orders.select(col("open_day").as("day"), lit(1L).as("delta"))
+      .unionByName(orders.select((col("close_day") + 1L).as("day"), lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("d"))
+    deltas
+      .withColumn("open", sum(col("d")).over(Window.orderBy(col("day"))))
+      .groupBy(expr("day DIV 7").as("week"))
+      .agg(
+        max(col("open")).as("peak_open"),
+        expr("max_by(open, day)").as("week_end_open"))
+      .orderBy(col("week"))
+  }
 }

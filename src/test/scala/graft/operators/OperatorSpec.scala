@@ -1076,6 +1076,73 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.getLong(1) >= 1L))
   }
 
+  test("ship_latency_percentiles: rank-pick quantiles match the sorted gap brute force") {
+    val dayUs = 86400000000L
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"),
+        expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV $dayUs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ord = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $dayUs"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val gaps = li.flatMap { case (ok, sd) => ord.get(ok).map { case (p, od) => (p, sd - od) } }
+    val got = TpchOps.shipLatencyPercentiles(spark, sf0001).collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    for ((p, rows) <- gaps.groupBy(_._1)) {
+      val vs = rows.map(_._2).sorted
+      val n = vs.length.toLong
+      def pick(pct: Long): Long = vs(math.max(1L, pct * n / 100).toInt - 1)
+      assert(got(p) == ((n, pick(50), pick(90), pick(99),
+        vs.sum.toDouble / n.toDouble)))
+    }
+  }
+
+  test("pareto_suppliers_80: exact integer 80% cutoff over descending revenue") {
+    val rev = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val total = rev.map(_._2).sum
+    val sorted = rev.sortBy { case (k, v) => (-v, k) }
+    var cum = 0L; var n80 = 0L
+    for ((_, v) <- sorted) { if (cum * 5 < total * 4) n80 += 1; cum += v }
+    val r = TpchOps.paretoSuppliers80(spark, sf0001).collect().head
+    assert(r.getLong(0) == rev.length.toLong && r.getLong(1) == n80)
+    assert(r.getLong(2) == total)
+    assert(r.getDouble(3) == n80.toDouble / rev.length.toDouble)
+    assert(r.getDouble(4) == sorted.head._2.toDouble / total.toDouble)
+  }
+
+  test("open_orders_weekly: interval sweep equals the per-day replay") {
+    val dayUs = 86400000000L
+    val close = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"),
+        expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV $dayUs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val opens = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $dayUs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (ok, _) => close.contains(ok) }
+    val deltas = scala.collection.mutable.Map.empty[Long, Long]
+    for ((ok, od) <- opens) {
+      deltas(od) = deltas.getOrElse(od, 0L) + 1
+      val cd = close(ok) + 1
+      deltas(cd) = deltas.getOrElse(cd, 0L) - 1
+    }
+    var open = 0L
+    val series = deltas.toSeq.sortBy(_._1).map { case (d, dl) => open += dl; (d, open) }
+    val expect = series.groupBy(_._1 / 7).view.mapValues(rs =>
+      (rs.map(_._2).max, rs.maxBy(_._1)._2)).toMap
+    val got = TpchOps.openOrdersWeekly(spark, sf0001).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+
   test("label_prop_communities: 4 min-label rounds equal the sequential propagation") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("n_chars"))
