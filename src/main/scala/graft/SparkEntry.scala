@@ -213,6 +213,7 @@ object SparkEntry {
     "acf_daily_events" -> EventOps.acfDailyEvents _,
     "sliding_distinct_users" -> EventOps.slidingDistinctUsers _,
     "vector_source_scan" -> VectorOps.vectorSourceScan _,
+    "norm2_profile_label" -> VectorOps.norm2ProfileLabel _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
     "dedup_docs_exact" -> TextOps.dedupDocsExact _,
@@ -3840,6 +3841,25 @@ object SparkEntry {
 
     // The `graft-vectors` DSv2 source derives labels from
     // splitmix64(seed ^ vec_id) (VectorSource.labelFor); the oracle
+    // ||v||² folds left-to-right over the 64 dims on both engines (Spark
+    // aggregate() from 0.0, DuckDB list_reduce over the transformed list —
+    // 0+t1 = t1 exactly, so the IEEE chains coincide), then quantizes to
+    // integer micro-units BEFORE the cross-row sums.
+    "norm2_profile_label" ->
+      """WITH v AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(floor(list_reduce(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)
+        |      * 1000000 + 0.5) AS BIGINT) AS n2_micro
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(n2_micro) AS BIGINT) AS min_n2_micro,
+        |  CAST(max(n2_micro) AS BIGINT) AS max_n2_micro,
+        |  CAST(sum(n2_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_n2_micro
+        |FROM v GROUP BY label
+        |ORDER BY label""".stripMargin,
+
     // recomputes that kernel closed-form: 64-bit wrap-around multiplies as
     // 32-bit limbs in HUGEINT (a full 64×64 product overflows INT128), the
     // xor-shift mixing on UBIGINT, and Java's floorMod via the signed

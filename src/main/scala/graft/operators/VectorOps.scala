@@ -561,4 +561,35 @@ object VectorOps {
     history.toSeq.toDF("iter", "cell", "n_points", "wcss_micro")
       .orderBy(col("iter"), col("cell"))
   }
+
+  /** V+: EMBEDDING NORM PROFILE — per label: count and min/max/mean of
+    * the squared L2 norm, the embedding-health audit (unnormalized or
+    * collapsed vectors are the classic silent ANN killer). Each vector's
+    * ǀǀvǀǀ² is a FIXED left fold over the 64 dims (Spark `aggregate`,
+    * DuckDB `list_reduce` over the same transformed list — identical
+    * IEEE chain), then QUANTIZED to integer micro-units before any
+    * cross-row aggregation, so the per-label sums are exact BIGINTs (the
+    * integer-cents protocol applied to vector space); the mean is ONE
+    * division. sqrt stays banned — squared norms carry the same signal.
+    *
+    * Scale: one scan, map-side fold per row, ≤ǀlabelsǀ-key aggregate.
+    */
+  def norm2ProfileLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"),
+        expr("CAST(floor(aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1000000" +
+          " + 0.5) AS BIGINT)").as("n2_micro"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("n2_micro")).as("min_n2_micro"),
+        max(col("n2_micro")).as("max_n2_micro"),
+        sum(col("n2_micro")).as("sum_n2_micro"))
+      .select(col("label"), col("n"), col("min_n2_micro"), col("max_n2_micro"),
+        (col("sum_n2_micro").cast("double") / col("n").cast("double"))
+          .as("mean_n2_micro"))
+      .orderBy(col("label"))
+  }
+
 }

@@ -1076,6 +1076,24 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.getLong(1) >= 1L))
   }
 
+  test("norm2_profile_label: quantized fold norms match the sequential brute force") {
+    val rows = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("label").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val n2 = rows.map { case (l, v) =>
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble * x.toDouble) // the engine's fold order
+      (l, math.floor(acc * 1000000 + 0.5).toLong)
+    }
+    val expect = n2.groupBy(_._1).view.mapValues { vs =>
+      val xs = vs.map(_._2)
+      (xs.length.toLong, xs.min, xs.max, xs.sum.toDouble / xs.length.toDouble)
+    }.toMap
+    val got = VectorOps.norm2ProfileLabel(spark, sf0001).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expect)
+  }
+
   test("ship_latency_percentiles: rank-pick quantiles match the sorted gap brute force") {
     val dayUs = 86400000000L
     val li = graft.sources.Tables.lineitem(spark, sf0001)
