@@ -15,39 +15,46 @@ import graft.sources.Tables
   * is constant-size at any corpus scale — the Apriori first pass is really
   * a fact-scale dedup plus a basket-local self-join.
   *
-  * Scale posture: the distinct (user, day, type) basket table is ONE
-  * hash-shuffle on (user, day); the pair self-join is co-partitioned on
-  * the same key, so Spark reuses the exchange rather than re-shuffling;
-  * everything after is an aggregate onto ≤|types|² keys. No window, no
-  * global order until the ≤C(5,2)-row output sort. Counts stay BIGINT;
-  * confidence and lift are each ONE IEEE division of exact integer
-  * numerator/denominator (COVERAGE.md class 2), so both engines hash
-  * bit-identically.
+  * Scale posture: baskets materialize as collect_set over ONE hash
+  * exchange on (user, day) — the set is ≤|types| elements, bounded
+  * state; pairs are generated INSIDE each basket with array transforms
+  * (map-side after the exchange), so no self-join and no second
+  * fact-scale shuffle exists. Everything after is an aggregate onto
+  * ≤|types|² keys. Counts stay BIGINT; confidence and lift are each ONE
+  * IEEE division of exact integer numerator/denominator (COVERAGE.md
+  * class 2), so both engines hash bit-identically.
   */
 object BasketOps {
 
   private val dayUs = 86400000000L
 
-  /** The distinct (user, day, type) basket-membership table. */
+  /** (user, day) → sorted distinct event-type array, one exchange. */
   private def baskets(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("day"),
         col("event_type"))
-      .distinct()
+      .groupBy(col("user_id"), col("day"))
+      .agg(expr("array_sort(collect_set(event_type))").as("types"))
+
+  /** All unordered in-basket pairs (a < b), generated map-side. */
+  private val pairGen =
+    "flatten(transform(types, (x, i) ->" +
+      " transform(slice(types, i + 2, size(types)), y ->" +
+      " named_struct('type_a', x, 'type_b', y))))"
 
   /** B+: FREQUENT PAIRS — support counts for every unordered event-type
     * pair co-occurring in a basket (type_a < type_b lexicographically).
     * Pure BIGINT counts: the integer first half of the association-rule
     * query, declared separately so the support lattice itself is
-    * oracle-pinned before any ratio arithmetic.
+    * oracle-pinned before any ratio arithmetic. Pairs come from the
+    * sorted in-basket set (≤C(|types|,2) per basket), not a self-join —
+    * the r11 rewrite that cut the plan from three fact-scale exchanges
+    * (distinct + two join sides) to one.
     */
   def basketFreqPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = baskets(spark, sfDir)
-    b.as("x").join(b.as("y"),
-        col("x.user_id") === col("y.user_id")
-          && col("x.day") === col("y.day")
-          && col("x.event_type") < col("y.event_type"))
-      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+    baskets(spark, sfDir)
+      .select(explode(expr(pairGen)).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
       .agg(count(lit(1)).as("n_ab"))
       .orderBy(col("type_a"), col("type_b"))
   }
@@ -66,18 +73,16 @@ object BasketOps {
     * N is a 1-row cross join. Output ≤ |types|·(|types|−1) rows.
     */
   def basketRulesLift(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = baskets(spark, sfDir)
-    val pairs = b.as("x").join(b.as("y"),
-        col("x.user_id") === col("y.user_id")
-          && col("x.day") === col("y.day")
-          && col("x.event_type") < col("y.event_type"))
-      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+    val b = baskets(spark, sfDir).localCheckpoint(true)
+    val pairs = b
+      .select(explode(expr(pairGen)).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
       .agg(count(lit(1)).as("n_ab"))
-    val perType = b.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val perType = b.select(explode(col("types")).as("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
     // N = distinct BASKETS (user-days), not basket memberships — lift's
     // P(cons) denominator is a probability over baskets.
-    val total = b.select(col("user_id"), col("day")).distinct()
-      .agg(count(lit(1)).as("nn"))
+    val total = b.agg(count(lit(1)).as("nn"))
     val rules = pairs
       .select(col("type_a").as("ante"), col("type_b").as("cons"), col("n_ab"))
       .unionByName(pairs.select(

@@ -644,7 +644,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("basket_freq_pairs: the basket self-join is an equi join, never nested-loop") {
+  test("basket_freq_pairs: in-basket pair generation — no join, no nested loop") {
     val p = plan(graft.operators.BasketOps.basketFreqPairs(spark, sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
