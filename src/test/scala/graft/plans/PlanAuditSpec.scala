@@ -649,6 +649,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("open_orders_weekly: one hash exchange per side feeds the sweep, no day×order join") {
+    val p = plan(TpchOps.openOrdersWeekly(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the ±1 delta union aggregates map-side before the day-grid window
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("ship_latency_percentiles: the only fact join is equi on orderkey") {
+    val p = plan(TpchOps.shipLatencyPercentiles(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the three rank picks join the ≤|priorities|-row grid slices — small
+    // enough that every join in the plan is broadcast or equi
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("basket_rules_lift: dim counts broadcast; the only nested loop is the 1-row total") {
     val p = plan(graft.operators.BasketOps.basketRulesLift(spark, sf0001))
     assert(!p.contains("CartesianProduct"), p)
