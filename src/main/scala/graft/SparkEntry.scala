@@ -291,6 +291,8 @@ object SparkEntry {
     "zipf_rank_profile" -> SeqStatOps.zipfRankProfile _,
     "feed_freshness_report" -> SeqStatOps.feedFreshnessReport _,
     "cohort_ltv_curve" -> SeqStatOps.cohortLtvCurve _,
+    "growth_accounting_weekly" -> SeqStatOps.growthAccountingWeekly _,
+    "fk_integrity_audit" -> Relational.fkIntegrityAudit _,
     "basket_freq_pairs" -> BasketOps.basketFreqPairs _,
     "basket_rules_lift" -> BasketOps.basketRulesLift _,
     "cuped_adjusted_ab" -> CausalOps.cupedAdjustedAb _,
@@ -3684,6 +3686,40 @@ object SparkEntry {
     "zipf_rank_profile" -> SeqStatOps.Oracle.zipfRankProfile,
     "feed_freshness_report" -> SeqStatOps.Oracle.feedFreshnessReport,
     "cohort_ltv_curve" -> SeqStatOps.Oracle.cohortLtvCurve,
+    "growth_accounting_weekly" -> SeqStatOps.Oracle.growthAccountingWeekly,
+
+    "fk_integrity_audit" ->
+      """SELECT 'customer->nation' AS fk_edge,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL
+        |SELECT 'supplier->nation',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier
+        |   WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |ORDER BY fk_edge""".stripMargin,
+
     "basket_freq_pairs" -> BasketOps.Oracle.basketFreqPairs,
     "basket_rules_lift" -> BasketOps.Oracle.basketRulesLift,
     "cuped_adjusted_ab" -> CausalOps.Oracle.cupedAdjustedAb,

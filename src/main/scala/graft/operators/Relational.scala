@@ -329,6 +329,47 @@ object Relational {
       .orderBy(col("layout"))
   }
 
+  /** A+: FK INTEGRITY AUDIT — orphan counts for every foreign-key edge
+    * of the schema (lineitem→orders/part/supplier, orders→customer,
+    * customer→nation, supplier→nation): child rows whose key has no
+    * parent. The referential-integrity check every warehouse load gate
+    * runs; pure BIGINT counts. On the fixtures every edge must audit to
+    * zero orphans — a non-zero row IS the alert.
+    *
+    * Scale: one LEFT ANTI join per edge, keyed on the 8-byte FK —
+    * dimension parents broadcast, fact-fact edges shuffle on the key
+    * they already join on everywhere else; counts combine map-side.
+    */
+  def fkIntegrityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_child"))
+      val orphans = child.join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    Seq(
+      edge("lineitem->orders", li.select(col("l_orderkey")), "l_orderkey",
+        ord, "o_orderkey"),
+      edge("lineitem->part", li.select(col("l_partkey")), "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"),
+      edge("lineitem->supplier", li.select(col("l_suppkey")), "l_suppkey",
+        Tables.supplier(spark, sfDir), "s_suppkey"),
+      edge("orders->customer", ord.select(col("o_custkey")), "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey"),
+      edge("customer->nation",
+        Tables.customer(spark, sfDir).select(col("c_nationkey")), "c_nationkey",
+        Tables.nation(spark, sfDir), "n_nationkey"),
+      edge("supplier->nation",
+        Tables.supplier(spark, sfDir).select(col("s_nationkey")), "s_nationkey",
+        Tables.nation(spark, sfDir), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("fk_edge"))
+  }
+
   /** Force the co-bucketed table writes behind [[bucketedJoinOrders]]
     * (memoized per session + fixture content). Bench times this as its own
     * `stage_bucketed` line — the one-time layout job a production table

@@ -631,7 +631,78 @@ object SeqStatOps {
     * HUGEINT — the r10 regression class); ratios are exactly one
     * division; ORDER BY carries a unique tie-break.
     */
+  /** S+: GROWTH ACCOUNTING — the weekly new / retained / resurrected /
+    * churned user decomposition (the canonical product-growth ledger:
+    * actives(w) = new + retained + resurrected; churned(w) = actives(w−1)
+    * − retained(w)). Each user's distinct-week sequence contributes its
+    * flags through lag/lead windows: new when the week is the user's
+    * first, retained when the previous active week is w−1, resurrected
+    * otherwise; a user churns INTO week w+1 when no activity follows in
+    * w+1 (the final active week therefore churns into max-week+1 — that
+    * trailing row is part of the contract, both engines emit it).
+    *
+    * Scale: one (user, week) distinct + one user-partitioned window —
+    * the shared per-user exchange — then a ≤span-weeks aggregate.
+    */
+  def growthAccountingWeekly(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_us DIV ${dayUs * 7}").as("week"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val flagged = uw
+      .withColumn("prev", lag(col("week"), 1).over(w))
+      .withColumn("next", lead(col("week"), 1).over(w))
+    val active = flagged.groupBy(col("week")).agg(
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
+      sum(when(col("prev") === col("week") - 1L, 1L).otherwise(0L)).as("retained"),
+      sum(when(col("prev").isNotNull && col("prev") < col("week") - 1L, 1L)
+        .otherwise(0L)).as("resurrected"))
+    val churned = flagged
+      .filter(col("next").isNull || col("next") > col("week") + 1L)
+      .groupBy((col("week") + 1L).as("week"))
+      .agg(count(lit(1)).as("churned"))
+    active.join(churned, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy(col("week"))
+  }
+
   object Oracle {
+
+    val growthAccountingWeekly: String =
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, week,
+        |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+        |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next
+        |  FROM uw),
+        |a AS (
+        |  SELECT week,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users,
+        |    CAST(sum(CASE WHEN prev = week - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < week - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM f GROUP BY week),
+        |c AS (
+        |  SELECT week + 1 AS week, CAST(count(*) AS BIGINT) AS churned
+        |  FROM f WHERE next IS NULL OR next > week + 1
+        |  GROUP BY 1)
+        |SELECT week,
+        |  coalesce(new_users, 0) AS new_users,
+        |  coalesce(retained, 0) AS retained,
+        |  coalesce(resurrected, 0) AS resurrected,
+        |  coalesce(churned, 0) AS churned
+        |FROM a FULL OUTER JOIN c USING (week)
+        |ORDER BY week""".stripMargin
+
 
     val sessionPathsTopk: String =
       """WITH e AS (

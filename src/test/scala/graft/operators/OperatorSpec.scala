@@ -1076,6 +1076,17 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.getLong(1) >= 1L))
   }
 
+  test("fk_integrity_audit: all six schema edges audit to zero orphans") {
+    val rows = Relational.fkIntegrityAudit(spark, sf0001).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "customer->nation", "lineitem->orders", "lineitem->part",
+      "lineitem->supplier", "orders->customer", "supplier->nation"))
+    assert(rows.forall(_.getLong(2) == 0L), rows.mkString(", "))
+    // child counts are the real table sizes, not zero
+    assert(rows.forall(_.getLong(1) > 0L))
+  }
+
   test("norm2_profile_label: quantized fold norms match the sequential brute force") {
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("label").cast("long"), col("embedding"))

@@ -345,4 +345,31 @@ class SeqStatOpsSpec extends AnyFunSuite with SparkTestBase {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == expect)
   }
+
+  test("growth_accounting_weekly: the four-way decomposition balances and matches") {
+    val weekUs = dayUs * 7
+    val byUser = eventRows.groupBy(_._1).view
+      .mapValues(_.map(_._2 / weekUs).distinct.sorted).toMap
+    val counts = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    def row(w: Long): Array[Long] =
+      counts.getOrElseUpdate(w, Array(0L, 0L, 0L, 0L))
+    for ((_, weeks) <- byUser) {
+      for (i <- weeks.indices) {
+        val w = weeks(i)
+        if (i == 0) row(w)(0) += 1
+        else if (weeks(i - 1) == w - 1) row(w)(1) += 1
+        else row(w)(2) += 1
+        if (i == weeks.length - 1 || weeks(i + 1) > w + 1) row(w + 1)(3) += 1
+      }
+    }
+    val expect = counts.toSeq.sortBy(_._1)
+      .map { case (w, a) => (w, a(0), a(1), a(2), a(3)) }
+    val got = SeqStatOps.growthAccountingWeekly(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+    // ledger identity: churned(w) = actives(w−1) − retained(w)
+    val actives = expect.map(t => t._1 -> (t._2 + t._3 + t._4)).toMap
+    for ((w, _, ret, _, churned) <- expect if actives.contains(w - 1))
+      assert(churned == actives(w - 1) - ret)
+  }
 }
