@@ -125,23 +125,49 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c            => c.toString
     } + "\""
-    // Slowest-first: the driver's bounded tail capture truncated
-    // BENCH_r10.json to ~58 of 253 timings; descending order guarantees
-    // whatever prefix survives holds the queries a reader actually needs.
-    val qs = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    // ASCENDING (slowest LAST): the driver's bounded capture keeps the END
+    // of the line (a tail), so the slowest queries — the ones a reader
+    // actually needs — must sit at the line's end. (r11 shipped this
+    // descending, which put the slowest at the truncated FRONT; the
+    // committed BENCH_LOCAL files carried the full record.)
+    val qs = results.toSeq.sortBy { case (k, v) => (v, k) }
       .map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val failed = errs.keySet.diff(best.keySet)
     val errJson = failed.toSeq.sorted.map(k => jstr(k) + ":" + jstr(errs(k)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Regression visibility: diff this run against the committed per-SF
+    // BENCH_LOCAL artifact (read BEFORE it is overwritten below) and surface
+    // keys >1.5x their committed time in the metric line itself, so
+    // ambient-vs-real is inspectable every run without cross-round
+    // archaeology. Sub-0.5 s keys are skipped — at that scale the fixed
+    // per-action scheduler cost dominates and 1.5x is pure jitter.
+    val sfName = new java.io.File(sfDir).getName
+    val prevFile = java.nio.file.Paths.get(s"BENCH_LOCAL-$sfName.json")
+    val regressions: Seq[(String, Double, Double)] =
+      if (!java.nio.file.Files.exists(prevFile)) Seq.empty
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(prevFile.toFile).get("queries")
+        results.toSeq.flatMap { case (k, now) =>
+          Option(node.get(k)).map(_.asDouble()) match {
+            case Some(prev) if now > 0.5 && prev > 0 && now / prev > 1.5 =>
+              Some((k, prev, now))
+            case _ => None
+          }
+        }.sortBy { case (_, prev, now) => -(now / prev) }
+      } catch { case _: Throwable => Seq.empty }
+    val regJson = regressions.map { case (k, prev, now) =>
+      jstr(k) + ":" + f"""{"prev":$prev%.3f,"now":$now%.3f,"ratio":${now / prev}%.2f}"""
+    }.mkString("{", ",", "}")
     // n_queries makes a silently-omitted erroring query visible in the
     // metric line itself: a total over fewer queries than last round can't
     // masquerade as a speedup (driver ADVICE r6).
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""incomplete":${failed.nonEmpty},"scratch":${jstr(ScratchDirs.scratchRoot)},""" +
-        s""""queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+        s""""regressions":$regJson,"errors":$errJson,"sf":"$sfDir","queries":$qs}"""
     println(line)
     // The driver captures stdout with a bounded tail that has truncated
     // ~17 per-query timings per round; the full line committed as a repo
@@ -152,9 +178,7 @@ object Bench {
     // full-suite artifacts the rounds compare against.
     if (only.isEmpty) try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-      val sfName = new java.io.File(sfDir).getName
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"BENCH_LOCAL-$sfName.json"), line + "\n"): Unit
+      java.nio.file.Files.writeString(prevFile, line + "\n"): Unit
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL write failed: $e") }
     spark.stop()
   }

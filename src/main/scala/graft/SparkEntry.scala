@@ -3875,8 +3875,6 @@ object SparkEntry {
         |FROM r WHERE rnk <= 5
         |ORDER BY q_id, "rank"""".stripMargin,
 
-    // The `graft-vectors` DSv2 source derives labels from
-    // splitmix64(seed ^ vec_id) (VectorSource.labelFor); the oracle
     // ||v||² folds left-to-right over the 64 dims on both engines (Spark
     // aggregate() from 0.0, DuckDB list_reduce over the transformed list —
     // 0+t1 = t1 exactly, so the IEEE chains coincide), then quantizes to
@@ -3896,6 +3894,8 @@ object SparkEntry {
         |FROM v GROUP BY label
         |ORDER BY label""".stripMargin,
 
+    // The `graft-vectors` DSv2 source derives labels from
+    // splitmix64(seed ^ vec_id) (VectorSource.labelFor); the oracle
     // recomputes that kernel closed-form: 64-bit wrap-around multiplies as
     // 32-bit limbs in HUGEINT (a full 64×64 product overflows INT128), the
     // xor-shift mixing on UBIGINT, and Java's floorMod via the signed

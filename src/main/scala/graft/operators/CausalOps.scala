@@ -56,6 +56,18 @@ object CausalOps {
     * dodge BIGINT overflow at corpus scale (n·Σxy exceeds 2^63 around
     * 10^5 users × decade histories); both engines share the expression
     * tree so IEEE determinism carries the hash.
+    *
+    * Overflow contract for the pooled moments Σxy/Σxx themselves: they
+    * accumulate EXACT BIGINTs (a double sum would be shuffle-order-
+    * dependent and break the hash protocol). Past ~10^9-cent user
+    * lifetimes the x·y terms approach 2^63 — and BOTH engines then fail
+    * loudly rather than diverge: Spark 4 runs ANSI mode (repo default,
+    * never overridden), so the multiply and the running sum raise
+    * ARITHMETIC_OVERFLOW, while DuckDB's HUGEINT accumulator raises on
+    * the final CAST(... AS BIGINT). Terms are non-negative (cents ≥ 0),
+    * so Spark's partial-sum overflow point coincides with DuckDB's
+    * final-total overflow point. Pinned by the "cuped pooled moments
+    * overflow errors, never wraps" spec in CausalBasketOpsSpec.
     */
   def cupedAdjustedAb(spark: SparkSession, sfDir: String): DataFrame = {
     val u = userPrePost(spark, sfDir)

@@ -375,9 +375,12 @@ object TpchOps {
           && expr(s"greatest(CAST(1 AS BIGINT), ($p * n) DIV 100)") <= col("cum"))
         .select(col("o_orderpriority"), col("gap").as(name),
           col("n"), col("sum_gap"))
+    // each pick is ≤|priorities| rows but Spark's size estimate for it is
+    // fact-scale (it descends from the lineitem join), so without a hint
+    // the three-way assembly sort-merges ≤5-row tables — broadcast them
     pick(50, "p50_days").drop("n", "sum_gap")
-      .join(pick(90, "p90_days").drop("n", "sum_gap"), "o_orderpriority")
-      .join(pick(99, "p99_days"), "o_orderpriority")
+      .join(broadcast(pick(90, "p90_days").drop("n", "sum_gap")), "o_orderpriority")
+      .join(broadcast(pick(99, "p99_days")), "o_orderpriority")
       .select(col("o_orderpriority"), col("n"),
         col("p50_days"), col("p90_days"), col("p99_days"),
         (col("sum_gap").cast("double") / col("n").cast("double")).as("mean_days"))

@@ -87,6 +87,21 @@ class CausalBasketOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect)
   }
 
+  test("cuped pooled moments overflow errors, never wraps (ANSI contract)") {
+    // The Scaladoc on cupedAdjustedAb promises that when x·y approaches
+    // 2^63 the Spark side RAISES (ANSI multiply/sum overflow) instead of
+    // silently wrapping — the same failure mode as the DuckDB oracle's
+    // HUGEINT→BIGINT cast. Pin it: the exact expression shape used by the
+    // pooled-moments aggregate must throw on an overflowing product.
+    import spark.implicits._
+    val big = Seq((3100000000L, 3100000000L)).toDF("x", "y") // x*y ≈ 2^63.06
+    val ex = intercept[Exception] {
+      big.agg(org.apache.spark.sql.functions.sum($"x" * $"y")).collect()
+    }
+    val msg = ex.toString.toUpperCase
+    assert(msg.contains("OVERFLOW") || msg.contains("ARITHMETIC"), ex.toString)
+  }
+
   test("diff_in_diff matches the four-cell brute force") {
     val mid = (eventRows.map(_._2).min + eventRows.map(_._2).max) / 2
     def cell(arm: Long, post: Boolean): (Long, Long) = {

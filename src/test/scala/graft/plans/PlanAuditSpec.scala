@@ -659,9 +659,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   test("ship_latency_percentiles: the only fact join is equi on orderkey") {
     val p = plan(TpchOps.shipLatencyPercentiles(spark, sf0001))
     assert(!p.contains("CartesianProduct"), p)
-    // the three rank picks join the ≤|priorities|-row grid slices — small
-    // enough that every join in the plan is broadcast or equi
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    // at most ONE sort-merge join is allowed — the fact⋈fact
+    // lineitem⋈orders equi on orderkey; the three rank picks join
+    // ≤|priorities|-row grid slices and must all broadcast
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("basket_rules_lift: dim counts broadcast; the only nested loop is the 1-row total") {
