@@ -225,8 +225,14 @@ object TextOps {
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), filter(split(col("w"), ""), s => length(s) > 0).as("syms"))
+    // Exactly ONE Spark action per round (the argmax collect): round r's
+    // table is persist()ed lazily and MATERIALIZES inside round r+1's
+    // argmax job, so the cache still bounds lineage to one round's fold —
+    // the grandparent is unpersisted only after its child is cached.
+    // (The earlier per-round `count()` halved into this: 17 driver
+    // actions → 9, the r11 verdict's stage_bpe lever.)
     var seqs = vocab.persist()
-    seqs.count() // materialize the base table once; rounds build on it
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     try {
       (1 to rounds).foreach { r =>
@@ -238,6 +244,9 @@ object TextOps {
           .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
           .orderBy(col("n").desc, col("pair"))
           .limit(1).collect()
+        // the argmax job just materialized `seqs` into the cache; its
+        // parent's cached blocks are now unreachable by future rounds
+        if (prev != null) { prev.unpersist(); prev = null }
         if (top.nonEmpty) {
           val Array(a, b) = top(0).getString(0).split(" ", 2)
           val n = top(0).getLong(1)
@@ -248,13 +257,17 @@ object TextOps {
             |CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b'
             |  THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
             |  ELSE concat(acc, array(x)) END)""".stripMargin
-          val next = seqs.select(col("cnt"), expr(fold).as("syms")).persist()
-          next.count() // cut lineage growth: each round reads the previous
-          seqs.unpersist()
-          seqs = next
+          if (r < rounds) { // the last round's fold has no consumer
+            val next = seqs.select(col("cnt"), expr(fold).as("syms")).persist()
+            prev = seqs
+            seqs = next
+          }
         }
       }
-    } finally seqs.unpersist()
+    } finally {
+      seqs.unpersist()
+      if (prev != null) prev.unpersist(): Unit
+    }
     merges.toSeq.toDF("rank", "pair", "merged", "n")
       .orderBy(col("rank"))
   }
