@@ -43,6 +43,7 @@ object SparkEntry {
     "dup_span_fraction" -> TextOps.dupSpanFraction _,
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
+    "stream_dedup_minhash" -> graft.streaming.StreamingEntry.streamDedupMinhash _,
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
     "stream_observe_metrics" -> graft.streaming.StreamingEntry.streamObserveMetrics _,
     "stream_chained_agg" -> graft.streaming.StreamingEntry.streamChainedAgg _,
@@ -2750,6 +2751,58 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk, gram, CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rk <= 10
         |ORDER BY n, rk""".stripMargin,
+
+    // Streaming ingest form of the incremental near-dup gate: identical
+    // decisions to dedup_incremental_minhash (arrivals only ever compare
+    // against the CATALOG, so micro-batching cannot change the answer),
+    // restricted to the harness' bounded arrival slice (first 2000 batch
+    // docs by doc_id — covers the whole doc_id%5=4 slice at driver SFs).
+    "stream_dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |batch AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 4 ORDER BY doc_id LIMIT 2000),
+        |sh0 AS (SELECT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |g AS (SELECT doc_id,
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
+        |  FROM sh0 GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS cat_id
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id IN (SELECT doc_id FROM batch) AND b.doc_id % 5 <> 4),
+        |shd AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        |inter AS (SELECT c.doc_id, c.cat_id, count(*) AS n_inter
+        |  FROM cand c JOIN shd a ON c.doc_id = a.doc_id
+        |  JOIN shd b ON c.cat_id = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY c.doc_id, c.cat_id),
+        |m AS (SELECT c.doc_id, count(*) AS n_near_dups, min(c.cat_id) AS best_match
+        |  FROM cand c
+        |  LEFT JOIN inter i ON c.doc_id = i.doc_id AND c.cat_id = i.cat_id
+        |  JOIN cnt na ON c.doc_id = na.doc_id
+        |  JOIN cnt nb ON c.cat_id = nb.doc_id
+        |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / CAST(na.n_sh + nb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) >= 0.5
+        |  GROUP BY c.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN m.doc_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+        |  CAST(coalesce(m.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(coalesce(m.best_match, -1) AS BIGINT) AS best_match
+        |FROM batch d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Batch (doc_id%5=4) admitted against the catalog's minhash bands,
     // exact-Jaccard verified at >= 0.5 — the incremental near-dup gate.

@@ -72,7 +72,7 @@ object TextOps {
   /** The signature aggregation itself, separated from staging so specs can
     * run it over in-memory fixtures.
     */
-  private[operators] def signatures(docs: DataFrame): DataFrame =
+  private[graft] def signatures(docs: DataFrame): DataFrame =
     shingleRows(docs).groupBy(col("doc_id")).agg(signatureColumns.head, signatureColumns.tail: _*)
 
   /** LSH candidate pairs (doc1 < doc2 sharing ≥1 band signature), also
@@ -975,40 +975,75 @@ object TextOps {
     * the verify (semi-join pushdown, the [[ngramJaccard]] discipline).
     */
   def dedupIncrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = minhashSignatures(spark, sfDir).selectExpr(
+    val batchDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 4).select(col("doc_id"), col("text"))
+    // the batch's signatures come for free from the staged table here; the
+    // streaming form computes the identical values from the arriving rows
+    val batchSigs = minhashSignatures(spark, sfDir).filter(col("doc_id") % 5 === 4)
+    admitAgainstCatalog(spark, sfDir, batchDocs, batchSigs).orderBy(col("doc_id"))
+  }
+
+  /** The shared admission KERNEL of the incremental/streaming near-dup
+    * gate: decide dup/new for a batch of arriving documents against the
+    * standing catalog (docs with doc_id % 5 != 4, whose staged MinHash
+    * signature table is the corpus' standing asset). Used by BOTH
+    * [[dedupIncrementalMinhash]] (batch form, one call over the whole
+    * doc_id % 5 = 4 slice) and the streaming ingest entry
+    * (`stream_dedup_minhash`: one call per micro-batch via foreachBatch) —
+    * one plan, so batch/stream parity is structural, and decisions are
+    * batching-invariant by construction: a doc is compared only against
+    * the CATALOG, never against other arrivals.
+    *
+    * `batchDocs` = (doc_id, text) of the arriving documents; `batchSigs` =
+    * their (doc_id, s0..s7) MinHash signatures (the batch form reads them
+    * from the staged table, a stream computes them from the arriving rows
+    * — same deterministic salted-md5 values either way). Output is
+    * UNORDERED (doc_id, status, n_near_dups, best_match); callers order.
+    */
+  private[graft] def admitAgainstCatalog(
+      spark: SparkSession, sfDir: String,
+      batchDocs: DataFrame, batchSigs: DataFrame): DataFrame = {
+    def toBands(sigs: DataFrame): DataFrame = sigs.selectExpr(
       "doc_id",
       """stack(4,
         |  0, concat(s0, s1),
         |  1, concat(s2, s3),
         |  2, concat(s4, s5),
         |  3, concat(s6, s7)) AS (band, sig)""".stripMargin)
-    val cand = bands.filter(col("doc_id") % 5 === 4).as("a")
-      .join(bands.filter(col("doc_id") % 5 =!= 4).as("b"),
+    val catBands = toBands(
+      minhashSignatures(spark, sfDir).filter(col("doc_id") % 5 =!= 4))
+    val cand = toBands(batchSigs).as("a")
+      .join(catBands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("cat_id"))
       .distinct()
-    val ids = cand.select(col("doc_id"))
-      .union(cand.select(col("cat_id").as("doc_id"))).distinct()
-    val sh = shingleRows(
-      Tables.documents(spark, sfDir).join(ids, Seq("doc_id"), "left_semi")).distinct()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // only implicated docs re-shingle for the exact verify (semi-join
+    // pushdown): batch side from the arriving text, catalog side from the
+    // corpus — identical shingle sets for identical text
+    val batchSh = shingleRows(
+      batchDocs.join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+      .distinct()
+    val catSh = shingleRows(
+      Tables.documents(spark, sfDir).join(
+        cand.select(col("cat_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+      .distinct()
+    val nB = batchSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    val nC = catSh.groupBy(col("doc_id").as("cat_id")).agg(count(lit(1)).as("n_c"))
     val inter = cand.as("c")
-      .join(sh.as("sa"), col("c.doc_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("c.cat_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .join(batchSh.as("sa"), col("c.doc_id") === col("sa.doc_id"))
+      .join(catSh.as("sb"), col("c.cat_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("c.doc_id").as("doc_id"), col("c.cat_id").as("cat_id"))
       .agg(count(lit(1)).as("n_inter"))
     val verified = cand
       .join(inter, Seq("doc_id", "cat_id"), "left")
-      .join(counts.withColumnRenamed("n_sh", "n_b"), Seq("doc_id"))
-      .join(counts.withColumnRenamed("doc_id", "cat_id").withColumnRenamed("n_sh", "n_c"),
-        Seq("cat_id"))
+      .join(nB, Seq("doc_id"))
+      .join(nC, Seq("cat_id"))
       .filter(
         (coalesce(col("n_inter"), lit(0L)).cast("double") /
           (col("n_b") + col("n_c") - coalesce(col("n_inter"), lit(0L))).cast("double")) >= 0.5)
     val perDoc = verified.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_near_dups"), min(col("cat_id")).as("best_match"))
-    Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 5 === 4)
+    batchDocs
       .select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(
@@ -1016,7 +1051,6 @@ object TextOps {
         when(col("n_near_dups").isNotNull, "dup").otherwise("new").as("status"),
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
         coalesce(col("best_match"), lit(-1L)).as("best_match"))
-      .orderBy(col("doc_id"))
   }
 
   /** V+: dedup CLUSTERS — connected components over the MinHash candidate

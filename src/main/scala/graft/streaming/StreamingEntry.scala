@@ -10,6 +10,9 @@ import graft.sources.Tables
 case class StreamEvent(
     event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
 
+/** Arriving-document row for the streaming near-dup ingest entry. */
+case class DocEvent(doc_id: Long, text: String)
+
 /** The DECLARED streaming entry (SURVEY.md §2.2-S): runs the watermarked
   * tumbling-window pipeline of [[StreamingQueries]] as a real Structured
   * Streaming query — MemoryStream source, three micro-batches, memory sink —
@@ -472,6 +475,54 @@ object StreamingEntry {
         col("last.event_id").as("last_event_id"),
         col("last.cents").as("last_value_cents"))
       .orderBy(col("user_id"))
+  }
+
+  /** DECLARED streaming NEAR-DUP INGEST — the LLM-pipeline admission loop
+    * as a live query: arriving documents stream in over three
+    * micro-batches, and each batch runs
+    * [[graft.operators.TextOps.admitAgainstCatalog]] — MinHash signatures
+    * computed on the arriving rows, banded join against the STAGED catalog
+    * signature table (batch × catalog only, never catalog²), exact 3-gram
+    * Jaccard verify ≥ 0.5 — emitting per-doc dup/new decisions to a
+    * batchId-keyed parquet dir (idempotent under micro-batch retry, the
+    * foreachBatch exactly-once contract). Decisions are batching-invariant
+    * because an arrival is only ever compared against the catalog, so the
+    * declared output (union of all batch decisions) is oracled against the
+    * same SQL as the batch form, restricted to the bounded arrival slice.
+    *
+    * Scale posture: the per-batch plan cost scales with |batch| and its
+    * collisions — the catalog side is the standing staged signature table
+    * a 100 TB corpus maintains anyway, and only implicated docs
+    * re-shingle. MemoryStream + the first-2000-docs cap is harness, not
+    * operator: production runs the identical foreachBatch body over
+    * `readStream` on Kafka/files.
+    */
+  def streamDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File("target/graft-stream-dedup").getAbsoluteFile
+    wipeDir(base)
+    base.mkdirs()
+    val slice = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(2000)
+      .as[DocEvent].collect().toSeq
+    val stream = MemoryStream[DocEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = stream.toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val docs = batch.select(col("doc_id"), col("text"))
+          val decisions = graft.operators.TextOps.admitAgainstCatalog(
+            batch.sparkSession, sfDir, docs, graft.operators.TextOps.signatures(docs))
+          decisions.write.mode("overwrite")
+            .parquet(new java.io.File(base, s"b$batchId").getPath)
+        }
+        .start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+    spark.read.parquet(new java.io.File(base, "b*").getPath)
+      .orderBy(col("doc_id"))
   }
 
   /** DECLARED stateful-coreset entry (reference operator R6 as a LIVE

@@ -515,4 +515,17 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     // on-time event (id 1); the late event (id 3) is dropped
     assert(h0.forall(_.getLong(1) == 1L), s"late event leaked into closed window: ${counts.mkString(",")}")
   }
+
+  test("stream_dedup_minhash: per-micro-batch admission == batch incremental gate") {
+    // decisions must be batching-invariant (arrivals only compare against
+    // the catalog), so the three-chunk streaming ingest must reproduce the
+    // one-shot batch form row for row — including at least one real dup
+    // decision, or the test proves nothing
+    val streamed = graft.streaming.StreamingEntry.streamDedupMinhash(spark, sf0001)
+      .collect().toSeq
+    val batch = graft.operators.TextOps.dedupIncrementalMinhash(spark, sf0001)
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
