@@ -200,47 +200,114 @@ object VectorOps {
   }
 
   /** V+: RANDOM-HYPERPLANE (sign) LSH ANN — the DATA-INDEPENDENT
-    * complement of the IVF variants: L=8 hash tables of B=5 sign bits each
-    * (the SimHash family for cosine distance), hyperplane components drawn
-    * deterministically from a seeded integer hash of (table, bit, dim), so
-    * the index needs NO training pass over the corpus — the property that
-    * matters when the corpus drifts and re-clustering is expensive.
-    * Signatures are computed MAP-SIDE (L·B codegen dot products per row);
-    * the 50 queries' signatures are broadcast, so candidate generation is
-    * a broadcast hash join on (table, signature) — the target side never
-    * shuffles, and OR-ing the 8 tables trades precision for recall exactly
-    * like the MinHash b×r bands. (L, B) sizing is the collision calculus:
-    * a band collides with probability (1−θ/π)^B, so B sets per-table
-    * selectivity (candidates ≈ L·n/2^B — grow B with the corpus) and L
-    * buys recall ≈ 1−(1−p^B)^L; this fixture's true top-5 sit at cos
-    * ≈ 0.32 (p ≈ 0.6), giving ~0.45 expected recall here vs ~0.07 at the
-    * (4, 8) sizing a tighter corpus would want. Candidate pairs dedup (a
-    * pair can collide in several tables), then exact-rescore + rank: same
-    * output shape as [[cosTopk]]. Rows-only (the hyperplane draws are not
-    * SQL-expressible); recall vs the exact top-5 is pinned in
-    * PipelineOpsSpec.
+    * complement of the IVF variants: L=6 hash tables of B=9 sign bits each
+    * (the SimHash family for cosine distance) with QUERY-DIRECTED
+    * MULTIPROBE, hyperplane components drawn deterministically from a
+    * seeded integer hash of (table, bit, dim), so the index needs NO
+    * training pass over the corpus — the property that matters when the
+    * corpus drifts and re-clustering is expensive. Signatures are computed
+    * MAP-SIDE (L·B dot products per row); each of the 50 queries probes,
+    * per table, its own signature PLUS the B single-bit flips PLUS all
+    * C(7,2)=21 pair flips of the 7 bits whose hyperplane margin |dot| is
+    * smallest — the Lv et al. multiprobe idea: a true neighbor that landed
+    * in another bucket most plausibly differs on the LOW-MARGIN bits, so
+    * the directed hamming-≤2 shell buys most of the recall of more tables
+    * at zero corpus-side cost (probe rows live on the tiny broadcast
+    * side; the corpus computes exactly L signatures and never shuffles).
+    * Candidate generation stays one broadcast hash join on
+    * (table, signature).
+    *
+    * (L, B, probes) is the collision calculus: one band collides with
+    * probability p^B where p = 1−θ/π; probing lifts the per-table hit
+    * rate toward P(hamming(sig_q, sig_t) ≤ 2 on directed bits), and L
+    * tables OR to recall ≈ 1−(1−hit)^L, while random-pair candidate
+    * volume is ≈ L·probes·n/2^B (probes = 31 here → ~0.3·n at fixture
+    * scale, vs ~0.22·n for the old (8, 5) single-probe sizing). Measured
+    * (EXPERIMENTS.md r12 grid): recall@5 0.692 / 0.784 / 0.868 at
+    * sf0.001 / sf0.1 / sf1 vs 0.468 / 0.576 / 0.636 for the old sizing —
+    * the floor is pinned ≥ 0.5 in PipelineOpsSpec. At corpus scale, grow
+    * B with log₂(n) to hold per-table selectivity (the sf1 grid also
+    * proves the sized-up (6, 11) point stays above the floor) and buy
+    * recall with probes first (broadcast-side rows), L second
+    * (corpus-side dots). Candidate pairs dedup (a pair can collide in
+    * several tables/probes), then exact-rescore + rank: same output shape
+    * as [[cosTopk]]. Rows-only (the hyperplane draws are not
+    * SQL-expressible).
     */
-  def cosTopkRplsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def cosTopkRplsh(spark: SparkSession, sfDir: String): DataFrame =
+    cosTopkRplshTuned(spark, sfDir, L = 6, B = 9, probeBits = 9, pairBits = 7)
+
+  /** Parametrized RP-LSH kernel — public form above pins the shipped
+    * (L, B, probeBits) point; specs sweep the grid to measure the recall
+    * curve (EXPERIMENTS.md r12). `probeBits` = 0 probes only the query's
+    * own signature; k > 0 additionally probes the k QUERY-DIRECTED 1-bit
+    * flips per table — the bits whose hyperplane margin |dot| is smallest,
+    * i.e. where a true neighbor most plausibly landed on the other side.
+    */
+  private[graft] def cosTopkRplshTuned(
+      spark: SparkSession, sfDir: String,
+      L: Int, B: Int, probeBits: Int, pairBits: Int = 0): DataFrame = {
     graft.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
     val dims = emb.select(size(col("embedding")).as("d")).first().getInt(0)
-    val L = 8
-    val B = 5
     // Hyperplane component in (-1, 1): fixed across sessions/partitions.
     def comp(l: Int, j: Int, d: Int): Float = {
       val h = scala.util.hashing.MurmurHash3.productHash(("rplsh", l, j, d))
       (h.toDouble / Int.MaxValue).toFloat
     }
+    def hpLit(l: Int, j: Int) = typedLit((0 until dims).map(d => comp(l, j, d)))
     def sig(l: Int) = (0 until B).map { j =>
-      val hp = typedLit((0 until dims).map(d => comp(l, j, d)))
-      when(call_function("dot_f32", col("embedding"), hp) > 0, lit(1 << j)).otherwise(lit(0))
+      when(call_function("dot_f32", col("embedding"), hpLit(l, j)) > 0, lit(1 << j))
+        .otherwise(lit(0))
     }.reduce(_ + _)
     val sigs = array((0 until L).map(sig): _*)
     def signed(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
         posexplode(sigs).as(Seq("tbl", "sig")))
     val t = signed(emb, "t_id", "t_emb")
-    val q = signed(emb.filter(col("vec_id") < 50), "q_id", "q_emb")
+    // query side: per (query, table) keep the raw per-bit dots so the
+    // probe set can be QUERY-DIRECTED — broadcast-side rows only, the
+    // corpus side computes exactly L signatures and never shuffles
+    val q =
+      if (probeBits == 0) signed(emb.filter(col("vec_id") < 50), "q_id", "q_emb")
+      else {
+        val perTbl = array((0 until L).map { l =>
+          val dots = array((0 until B).map(j =>
+            call_function("dot_f32", col("q_emb"), hpLit(l, j))): _*)
+          struct(
+            (0 until B).map(j =>
+              when(element_at(dots, j + 1) > 0, lit(1 << j)).otherwise(lit(0)))
+              .reduce(_ + _).as("sig"),
+            dots.as("dots"))
+        }: _*)
+        // probes = own signature + flips of the probeBits lowest-|margin|
+        // bits (struct sort orders by (|dot|, bit), so ties are
+        // deterministic)
+        // hamming-2 extension: pair flips over the pairBits lowest-margin
+        // bits (all C(pairBits, 2) combinations) — the directed slice of
+        // the hamming-2 shell, still broadcast-side-only rows
+        val pairExpr =
+          if (pairBits < 2) "CAST(array() AS ARRAY<INT>)"
+          else {
+            val combos = for {
+              i <- 1 to pairBits; j <- (i + 1) to pairBits
+            } yield s"CAST(sd.sig ^ shiftleft(1, element_at(low, $i))" +
+              s" ^ shiftleft(1, element_at(low, $j)) AS INT)"
+            s"array(${combos.mkString(", ")})"
+          }
+        emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          .select(col("q_id"), col("q_emb"), posexplode(perTbl).as(Seq("tbl", "sd")))
+          // bit indexes ranked by |margin| ascending (ties -> lower bit)
+          .withColumn("low", expr(
+            "transform(array_sort(transform(sd.dots, (d, j) -> struct(abs(d) AS a, j AS j))), s -> s.j)"))
+          .withColumn("probes", expr(
+            s"""concat(array(sd.sig),
+               |  transform(slice(low, 1, $probeBits),
+               |    jj -> CAST(sd.sig ^ shiftleft(1, jj) AS INT)),
+               |  $pairExpr)""".stripMargin))
+          .select(col("q_id"), col("q_emb"), col("tbl"), explode(col("probes")).as("sig"))
+      }
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))
     // Score BEFORE the cross-table dedup: sim is deterministic per pair, so
     // duplicates carry equal values and dropDuplicates exchanges only

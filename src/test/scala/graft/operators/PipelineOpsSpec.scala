@@ -132,12 +132,12 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     val b = VectorOps.cosTopkRplsh(spark, sf0001).collect()
     assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
-    // L=8 tables × B=5 sign bits (VectorOps.cosTopkRplsh derives the 0.25
-    // floor from exactly these); chance would be ~5/500. No training pass —
-    // recall rides only on the hyperplane draws, so it sits below the
-    // learned-quantizer IVF but must stay far above chance.
+    // L=6 tables × B=9 sign bits with query-directed multiprobe (9 single
+    // flips + C(7,2)=21 pair flips of the lowest-|margin| bits); measured
+    // 0.692 at sf0.001 / 0.784 at sf0.1 / 0.868 at sf1 (EXPERIMENTS.md
+    // r12 grid) — the floor is 0.5 with a real margin; chance is ~5/500.
     val hits = a.count(r => exact.contains((r.getLong(0), r.getLong(2))))
-    assert(hits.toDouble / a.length > 0.25, s"RP-LSH recall ${hits.toDouble / a.length}")
+    assert(hits.toDouble / a.length > 0.5, s"RP-LSH recall ${hits.toDouble / a.length}")
   }
 
   test("cos_topk_pq: ADC re-rank recall beats the LSH floor, deterministic") {
