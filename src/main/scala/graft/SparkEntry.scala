@@ -44,6 +44,7 @@ object SparkEntry {
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
     "stream_dedup_minhash" -> graft.streaming.StreamingEntry.streamDedupMinhash _,
+    "stream_ann_topk" -> graft.streaming.StreamingEntry.streamAnnTopk _,
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
     "stream_observe_metrics" -> graft.streaming.StreamingEntry.streamObserveMetrics _,
     "stream_chained_agg" -> graft.streaming.StreamingEntry.streamChainedAgg _,
@@ -2532,6 +2533,21 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "cos_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 50),
+        |t AS (SELECT vec_id AS t_id, CAST(embedding AS DOUBLE[]) AS t_emb FROM embeddings),
+        |s AS (SELECT q_id, t_id, round(list_dot_product(q_emb, t_emb), 6) AS sim
+        |  FROM t CROSS JOIN q WHERE t_id <> q_id),
+        |r AS (SELECT q_id, t_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, t_id) AS rnk FROM s)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS "rank", t_id, sim
+        |FROM r WHERE rnk <= 5
+        |ORDER BY q_id, "rank"""".stripMargin,
+
+    // Streaming ANN ingest: per-micro-batch exact top-5 over the corpus —
+    // answers depend only on (query, corpus), never on co-arrivals, so the
+    // union of batch answers equals the one-shot cos_topk and shares its
+    // oracle verbatim.
+    "stream_ann_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 50),
         |t AS (SELECT vec_id AS t_id, CAST(embedding AS DOUBLE[]) AS t_emb FROM embeddings),
         |s AS (SELECT q_id, t_id, round(list_dot_product(q_emb, t_emb), 6) AS sim

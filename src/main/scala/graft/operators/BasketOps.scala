@@ -73,6 +73,14 @@ object BasketOps {
     * N is a 1-row cross join. Output ≤ |types|·(|types|−1) rows.
     */
   def basketRulesLift(spark: SparkSession, sfDir: String): DataFrame = {
+    // localCheckpoint pins the user×day basket table (fact-scale) so the
+    // three consumers below reuse ONE exchange. Memory contract: the
+    // blocks are MEMORY_AND_DISK executor-distributed — under pressure
+    // they spill, never OOM — but they DO occupy the executors for the
+    // query's lifetime; a pipeline running this against a 100 TB fact
+    // would stage the basket table to parquet instead (Materialize.stage,
+    // the dedup family's pattern) and trade the rewrite for zero pinned
+    // state.
     val b = baskets(spark, sfDir).localCheckpoint(true)
     val pairs = b
       .select(explode(expr(pairGen)).as("p"))

@@ -50,6 +50,29 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Exact top-5 for an ARBITRARY batch of query vectors against the
+    * corpus — the per-micro-batch kernel of the streaming ANN ingest entry
+    * (`stream_ann_topk`): broadcast the (small) arriving batch, one corpus
+    * scan per batch, codegen dot products, per-query rank. Identical
+    * ranking protocol to [[cosTopk]] (rounded sim desc, t_id tie-break),
+    * so a query's answer is independent of which batch carried it.
+    * Output is UNORDERED; callers order.
+    */
+  private[graft] def topkForQueries(
+      spark: SparkSession, sfDir: String, queries: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val t = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("t_id"))
+    t.crossJoin(broadcast(
+        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .filter(col("t_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("dot_f32(q_emb, t_emb)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("t_id"), col("sim"))
+  }
+
   /** Sign-LSH coarse bucket: 4 sign bits of the first 4 dimensions →
     * 16 buckets. Exact float-vs-zero comparisons are engine-portable.
     */

@@ -13,6 +13,9 @@ case class StreamEvent(
 /** Arriving-document row for the streaming near-dup ingest entry. */
 case class DocEvent(doc_id: Long, text: String)
 
+/** Arriving-query-vector row for the streaming ANN ingest entry. */
+case class VecQuery(vec_id: Long, embedding: Array[Float])
+
 /** The DECLARED streaming entry (SURVEY.md §2.2-S): runs the watermarked
   * tumbling-window pipeline of [[StreamingQueries]] as a real Structured
   * Streaming query — MemoryStream source, three micro-batches, memory sink —
@@ -523,6 +526,48 @@ object StreamingEntry {
     }
     spark.read.parquet(new java.io.File(base, "b*").getPath)
       .orderBy(col("doc_id"))
+  }
+
+  /** DECLARED streaming ANN ingest — the similarity-search sibling of
+    * [[streamDedupMinhash]]: query vectors arrive over three
+    * micro-batches, and each batch is answered exactly by
+    * [[graft.operators.VectorOps.topkForQueries]] — the arriving batch
+    * broadcasts, the corpus scans once per batch, per-query top-5 by the
+    * cosTopk ranking protocol — with answers written to batchId-keyed
+    * parquet (idempotent under retry). A query's answer depends only on
+    * the query and the corpus, never on co-arrivals, so the union of all
+    * batch answers is oracled against the SAME SQL as `cos_topk`.
+    *
+    * Scale posture: per-batch cost = one corpus scan × |batch| broadcast
+    * queries; at real volume the identical foreachBatch body runs over
+    * `readStream`, and the corpus side would swap in the staged IVF/LSH
+    * index (cos_topk_ivf's plan) — the exact kernel here keeps the
+    * declared entry oracle-checkable.
+    */
+  def streamAnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File("target/graft-stream-ann").getAbsoluteFile
+    wipeDir(base)
+    base.mkdirs()
+    val slice = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .as[VecQuery].collect().toSeq
+    val stream = MemoryStream[VecQuery](spark)
+    withStatePartitions(spark, 4) {
+      val q = stream.toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.operators.VectorOps.topkForQueries(batch.sparkSession, sfDir, batch)
+            .write.mode("overwrite")
+            .parquet(new java.io.File(base, s"b$batchId").getPath)
+        }
+        .start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+    spark.read.parquet(new java.io.File(base, "b*").getPath)
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** DECLARED stateful-coreset entry (reference operator R6 as a LIVE

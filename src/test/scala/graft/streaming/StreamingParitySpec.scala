@@ -516,6 +516,15 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(h0.forall(_.getLong(1) == 1L), s"late event leaked into closed window: ${counts.mkString(",")}")
   }
 
+  test("stream_ann_topk: per-micro-batch top-5 == one-shot cos_topk") {
+    val streamed = graft.streaming.StreamingEntry.streamAnnTopk(spark, sf0001)
+      .collect().toSeq
+    val batch = graft.operators.VectorOps.cosTopk(spark, sf0001)
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 250) // 50 queries x top-5
+  }
+
   test("stream_dedup_minhash: per-micro-batch admission == batch incremental gate") {
     // decisions must be batching-invariant (arrivals only compare against
     // the catalog), so the three-chunk streaming ingest must reproduce the
