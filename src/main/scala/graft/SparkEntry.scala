@@ -218,6 +218,12 @@ object SparkEntry {
     "norm2_profile_label" -> VectorOps.norm2ProfileLabel _,
     "vector_source_agg" -> VectorOps.vectorSourceAgg _,
     "embedding_near_dup" -> VectorOps.embeddingNearDup _,
+    "semdedup_decisions" -> VectorOps.semdedupDecisions _,
+    "ann_recall_ivf" -> VectorOps.annRecallIvf _,
+    "stream_quality_gate" -> graft.streaming.StreamingEntry.streamQualityGate _,
+    "phrase_search_pos" -> CurationOps.phraseSearchPositional _,
+    "gopher_rules_source" -> CurationOps.gopherRulesSource _,
+    "dup_token_coverage" -> CurationOps.dupTokenCoverage _,
     "dedup_docs_exact" -> TextOps.dedupDocsExact _,
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
     "jaccard_join_exact" -> TextOps.jaccardJoinExact _,
@@ -3927,6 +3933,64 @@ object SparkEntry {
          |  FROM cand c JOIN e ea ON c.v1 = ea.vec_id JOIN e eb ON c.v2 = eb.vec_id)
          |SELECT v1, v2, sim FROM r WHERE sim >= 0.3
          |ORDER BY v1, v2""".stripMargin,
+
+    // Same banded-candidate + rescore CTE as embedding_near_dup, then the
+    // min-id-survivor decision: v2 is dominated by its max-sim (min-id
+    // tie-break) earlier near-dup, everything undominated is kept.
+    "semdedup_decisions" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |n AS (SELECT GREATEST(4, LEAST(14, length(bin(count(*))) - 1 - 6)) AS b FROM e),
+         |s AS (SELECT vec_id, ${duckSig(0)} AS g0, ${duckSig(16)} AS g1,
+         |    ${duckSig(32)} AS g2, ${duckSig(48)} AS g3 FROM e),
+         |k AS (SELECT vec_id, band, substr(sig, 1, (SELECT b FROM n)) AS key FROM (
+         |    SELECT vec_id, 0 AS band, g0 AS sig FROM s
+         |    UNION ALL SELECT vec_id, 1, g1 FROM s
+         |    UNION ALL SELECT vec_id, 2, g2 FROM s
+         |    UNION ALL SELECT vec_id, 3, g3 FROM s)),
+         |cand AS (SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
+         |  FROM k a JOIN k b2 ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
+         |r AS (SELECT c.v1, c.v2,
+         |    round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+         |  FROM cand c JOIN e ea ON c.v1 = ea.vec_id JOIN e eb ON c.v2 = eb.vec_id),
+         |dom AS (SELECT v2 AS vec_id, v1 AS dominated_by, sim AS dom_sim FROM (
+         |  SELECT v1, v2, sim,
+         |    row_number() OVER (PARTITION BY v2 ORDER BY sim DESC, v1) AS rn
+         |  FROM r WHERE sim >= 0.3) WHERE rn = 1)
+         |SELECT e.vec_id, dom.dominated_by IS NULL AS kept,
+         |  dom.dominated_by, dom.dom_sim
+         |FROM e LEFT JOIN dom ON e.vec_id = dom.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+
+    "phrase_search_pos" -> CurationOps.Oracle.phraseSearchPositional,
+    "gopher_rules_source" -> CurationOps.Oracle.gopherRulesSource,
+    "dup_token_coverage" -> CurationOps.Oracle.dupTokenCoverage,
+    "stream_quality_gate" -> CurationOps.Oracle.streamQualityGate,
+
+    // Exact and 5-probe IVF rankings composed in one statement; recall@5
+    // is a LEFT JOIN hit count per query — both rankings deterministic,
+    // so the eval itself is exact.
+    "ann_recall_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS qb FROM e WHERE vec_id < 50),
+        |ex AS (SELECT q_id, t.vec_id AS t_id, round(list_dot_product(q_emb, t.emb), 6) AS sim
+        |  FROM e t CROSS JOIN q WHERE t.vec_id <> q.q_id),
+        |exr AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, t_id) AS rnk FROM ex) WHERE rnk <= 5),
+        |qp AS (SELECT q_id, q_emb, probe
+        |  FROM q, UNNEST([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS u(probe)),
+        |ap AS (SELECT q_id, t.vec_id AS t_id, round(list_dot_product(q_emb, t.emb), 6) AS sim
+        |  FROM qp JOIN e t ON t.bucket = qp.probe AND t.vec_id <> qp.q_id),
+        |apr AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, t_id) AS rnk FROM ap) WHERE rnk <= 5)
+        |SELECT exr.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN apr.t_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN apr.t_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM exr LEFT JOIN apr ON exr.q_id = apr.q_id AND exr.t_id = apr.t_id
+        |GROUP BY exr.q_id
+        |ORDER BY exr.q_id""".stripMargin,
 
     "cos_topk_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -122,7 +122,15 @@ object VectorOps {
     * per-bucket pair emission is bounded, and the rescore joins ship only
     * candidate ids back to the 64-float vectors.
     */
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupScoredPairs(spark, sfDir).orderBy(col("v1"), col("v2"))
+
+  /** The banded-LSH candidate + exact-rescore stage of [[embeddingNearDup]]
+    * without the presentation sort: (v1 < v2, sim ≥ 0.3) pairs. Shared with
+    * [[semdedupDecisions]], which consumes the pair relation rather than
+    * presenting it.
+    */
+  private[operators] def nearDupScoredPairs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val bBits = nearDupBits(Tables.rowCount(spark, sfDir, "embeddings"))
@@ -148,7 +156,38 @@ object VectorOps {
       .withColumn("sim", round(expr("dot_f32(e1, e2)"), 6))
       .filter(col("sim") >= 0.3)
       .select(col("v1"), col("v2"), col("sim"))
-      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** V+: SemDeDup-style keep/drop DECISIONS over the [[embeddingNearDup]]
+    * pair relation — the pipeline-facing motion: every vector gets a
+    * verdict, not just the near-dup pairs a human would audit. The rule is
+    * min-id-survivor on the pair relation: vector v is DROPPED iff some
+    * kept-or-not earlier vector u < v is a banded near-dup of v (sim ≥
+    * 0.3); its `dominated_by` is the strongest such u (max sim, then min
+    * id) — deterministic, single-pass, and exactly the semantics of
+    * [[TextOps.dedupDocsExact]]'s min-doc_id survivor lifted to the
+    * approximate relation. (Deliberately NOT the greedy transitive chain —
+    * that is sequential by construction; the ∃-earlier-neighbor rule is a
+    * parallel one-join decision with the same catalog-style contract as
+    * [[TextOps.dedupIncremental]].) Plan: the pair relation's window picks
+    * each v's dominator (shuffle keyed by v2, bounded by the candidate
+    * pairs, NOT the corpus), then one left join marks the full id set.
+    */
+  def semdedupDecisions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("v2")).orderBy(col("sim").desc, col("v1"))
+    val dom = nearDupScoredPairs(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("v2").as("vec_id"), col("v1").as("dominated_by"),
+        col("sim").as("dom_sim"))
+    Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      .join(dom, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("dominated_by").isNull.as("kept"),
+        col("dominated_by"),
+        col("dom_sim"))
+      .orderBy(col("vec_id"))
   }
 
   /** V+: IVF-style approximate top-k — probe the query's sign-LSH bucket
@@ -173,6 +212,32 @@ object VectorOps {
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("t_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** V+: per-query ANN RECALL EVAL — the index-quality audit as a declared
+    * query: recall@5 of [[cosTopkIvf]] against the exact [[cosTopk]],
+    * joined on (q_id, t_id). Both sides are fully deterministic (6-dp
+    * rounding, id tie-breaks), so the recall itself is exact and
+    * DuckDB-oracle-able — unlike the trained-component variants
+    * (ivf_kmeans/pq/rplsh) whose recall is spec-measured instead
+    * (PipelineOpsSpec floors, EXPERIMENTS.md curves). This is the query a
+    * pipeline runs after (re)building an index and before swapping it into
+    * serving. Cost is the two bounded query-side plans plus a 250-row
+    * join — evaluation, not serving.
+    */
+  def annRecallIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = cosTopk(spark, sfDir).select(col("q_id"), col("t_id"))
+    val approx = cosTopkIvf(spark, sfDir).select(col("q_id"), col("t_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("q_id", "t_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(
+        col("q_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+      .orderBy(col("q_id"))
   }
 
   /** V+: IVF with a LEARNED coarse quantizer — the composition SCALING.md

@@ -13,6 +13,9 @@ case class StreamEvent(
 /** Arriving-document row for the streaming near-dup ingest entry. */
 case class DocEvent(doc_id: Long, text: String)
 
+/** Arriving-document row (with source) for the streaming quality gate. */
+case class DocSrcEvent(doc_id: Long, text: String, source: String)
+
 /** Arriving-query-vector row for the streaming ANN ingest entry. */
 case class VecQuery(vec_id: Long, embedding: Array[Float])
 
@@ -568,6 +571,48 @@ object StreamingEntry {
     }
     spark.read.parquet(new java.io.File(base, "b*").getPath)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DECLARED streaming QUALITY GATE — the admission filter of the
+    * LLM-ingest loop as a live query: arriving documents stream in over
+    * three micro-batches and each batch runs
+    * [[graft.operators.CurationOps.gopherPerDoc]] — the four Gopher drop
+    * rules as map-side higher-order expressions on the arriving rows —
+    * writing per-doc verdicts to batchId-keyed parquet (idempotent under
+    * retry). The verdict map is STATELESS, so the union of batch outputs
+    * is batching-invariant by construction and oracled against the
+    * per-doc SQL on the same bounded arrival slice.
+    *
+    * Scale posture: per-batch cost is one scan of the batch — no state
+    * store, no shuffle; the production form is the identical foreachBatch
+    * body over `readStream`, usually fused in front of the
+    * [[streamDedupMinhash]] admission join so rejected docs never reach
+    * the signature computation.
+    */
+  def streamQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File("target/graft-stream-quality").getAbsoluteFile
+    wipeDir(base)
+    base.mkdirs()
+    val slice = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"), col("source"))
+      .orderBy(col("doc_id")).limit(2000)
+      .as[DocSrcEvent].collect().toSeq
+    val stream = MemoryStream[DocSrcEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = stream.toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.operators.CurationOps.gopherPerDoc(batch.toDF())
+            .write.mode("overwrite")
+            .parquet(new java.io.File(base, s"b$batchId").getPath)
+        }
+        .start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+    spark.read.parquet(new java.io.File(base, "b*").getPath)
+      .orderBy(col("doc_id"))
   }
 
   /** DECLARED stateful-coreset entry (reference operator R6 as a LIVE

@@ -683,4 +683,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val pw = plan(graft.operators.CausalOps.winsorizedStats(spark, sf0001))
     assert(!pw.contains("CartesianProduct") && !pw.contains("BroadcastNestedLoopJoin"), pw)
   }
+
+  test("phrase_search_pos: term filters before any exchange, equi joins only") {
+    val p = plan(graft.operators.CurationOps.phraseSearchPositional(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-term predicate must sit under Generate (on the exploded map
+    // side), so only the queried terms' postings reach the join exchange
+    assert(p.contains("Filter"), p)
+  }
+
+  test("gopher_rules_source: map-side rules, exactly the per-source rollup exchange") {
+    val p = plan(graft.operators.CurationOps.gopherRulesSource(spark, sf0001))
+    assert(!p.contains("Join"), p) // no join of any kind — pure scan+agg
+    // partial+final aggregate around ONE shuffle (plus the presentation sort)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("dup_token_coverage: gram exchanges carry the 8-byte hash, never gram text") {
+    val p = plan(graft.operators.CurationOps.dupTokenCoverage(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every hash exchange is keyed on the xxhash64 gram or doc_id — the
+    // gram STRING column must not appear in any Exchange's partitioning
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("gram"), l)
+    }
+  }
+
+  test("semdedup_decisions / ann_recall_ivf: no cartesian anywhere in the eval paths") {
+    val ps = plan(graft.operators.VectorOps.semdedupDecisions(spark, sf0001))
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
+    val pa = plan(graft.operators.VectorOps.annRecallIvf(spark, sf0001))
+    assert(!pa.contains("CartesianProduct"), pa)
+    // cos_topk's query side broadcasts by design; the only nested loop is
+    // that bounded 50-query broadcast
+    assert(pa.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, pa)
+  }
 }
