@@ -150,9 +150,16 @@ object VectorOps {
         .as("p"))
       .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
       .distinct()
+    // The vector table must NEVER broadcast: its in-memory row form is
+    // several times its parquet footprint (64 floats + Row overhead), and
+    // at catalog scale no driver holds it. SHUFFLE_HASH pins both rescore
+    // joins to shuffled hash joins keyed on the 8-byte ids — candidate ids
+    // and vectors exchange, nothing builds on the driver. (Found the hard
+    // way: the sf10 campaign OOMed the driver broadcasting the 200k-row
+    // table; small-SF plans were identical either way.)
     cand
-      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
-      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")).hint("shuffle_hash"), "v1")
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")).hint("shuffle_hash"), "v2")
       .withColumn("sim", round(expr("dot_f32(e1, e2)"), 6))
       .filter(col("sim") >= 0.3)
       .select(col("v1"), col("v2"), col("sim"))
@@ -181,7 +188,7 @@ object VectorOps {
       .select(col("v2").as("vec_id"), col("v1").as("dominated_by"),
         col("sim").as("dom_sim"))
     Tables.embeddings(spark, sfDir).select(col("vec_id"))
-      .join(dom, Seq("vec_id"), "left")
+      .join(dom.hint("shuffle_hash"), Seq("vec_id"), "left")
       .select(
         col("vec_id"),
         col("dominated_by").isNull.as("kept"),
