@@ -218,15 +218,25 @@ object EvalOps {
           .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("x"), col("o_custkey"))
-    rev.withColumn("i", row_number().over(w).cast("long"))
+    // Σ i·x and the Gini numerator/denominator exceed 2^63 once n_customers
+    // × per-customer cents passes ~10^18 (hit at the sf10 campaign: ANSI
+    // long overflow). All rank-moment arithmetic therefore runs in exact
+    // DECIMAL(38,0) — the engine twin of DuckDB's HUGEINT sum (the oracle
+    // casts its per-row product to HUGEINT so both engines stay exact to
+    // ~10^38 and fail at the same point beyond it). Outputs are unchanged:
+    // BIGINT counts/totals, one double division of exact integers.
+    rev.withColumn("i", row_number().over(w).cast("decimal(19,0)"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("total_cents"),
-        sum(col("i") * col("x")).as("six"))
+        sum(col("i") * col("x").cast("decimal(19,0)")).as("six"))
       .select(
         col("c_mktsegment"), col("n_customers"), col("total_cents"),
-        ((lit(2L) * col("six") - (col("n_customers") + lit(1L)) * col("total_cents"))
+        ((lit(2L).cast("decimal(19,0)") * col("six")
+          - (col("n_customers") + lit(1L)).cast("decimal(19,0)")
+            * col("total_cents").cast("decimal(19,0)"))
           .cast("double") /
-          (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
+          (col("n_customers").cast("decimal(19,0)")
+            * col("total_cents").cast("decimal(19,0)")).cast("double")).as("gini"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -458,8 +468,8 @@ object EvalOps {
         |  FROM rev JOIN customer ON o_custkey = c_custkey)
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(x) AS BIGINT) AS total_cents,
-        |  CAST(2*sum(i*x) - (count(*) + 1)*sum(x) AS DOUBLE)
-        |    / CAST(count(*)*sum(x) AS DOUBLE) AS gini
+        |  CAST(2*sum(CAST(i AS HUGEINT)*x) - (count(*) + 1)*sum(CAST(x AS HUGEINT)) AS DOUBLE)
+        |    / CAST(count(*)*sum(CAST(x AS HUGEINT)) AS DOUBLE) AS gini
         |FROM seg GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin
   }
