@@ -203,6 +203,8 @@ object SparkEntry {
     // objective-monotone + bit-stability invariants in PipelineOpsSpec
     "kmeans_lloyd" -> VectorOps.kmeansLloyd _,
     "bm25_topk" -> TextAnalysisOps.bm25Topk _,
+    "hybrid_rrf_topk" -> RetrievalOps.hybridRrfTopk _,
+    "mmr_rerank_k8" -> RetrievalOps.mmrRerankK8 _,
     "mad_outliers" -> EventOps.madOutliers _,
     "band_join_auto" -> EventOps.bandJoinAuto _,
     "link_predict_cn" -> GraphOps.linkPredictCn _,
@@ -3003,6 +3005,118 @@ object SparkEntry {
         |        AS rnk FROM qd)
         |SELECT qid, CAST(rnk AS BIGINT) AS "rank", doc_id, score_micro, n_terms_hit
         |FROM r WHERE rnk <= 10 ORDER BY qid, "rank"""".stripMargin,
+
+    // Reciprocal-rank fusion of the BM25 top-10 and a query-term-set
+    // Jaccard top-10: rrf = Σ_r 1000000 DIV (60 + rank_r), an exact
+    // integer; a doc absent from a ranker's list contributes 0.
+    "hybrid_rrf_topk" ->
+      """WITH q(qid, q_term) AS (VALUES (1, 'scan'), (1, 'filter'), (1, 'fast'),
+        |  (2, 'join'), (2, 'key'), (2, 'merge'),
+        |  (3, 'stream'), (3, 'window'), (3, 'batch')),
+        |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |      FROM documents WHERE lang = 'en'),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |sc AS (
+        |  SELECT qid, tfc.doc_id,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) +
+        |      1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) * 1000000 + 0.5) AS BIGINT)
+        |      AS score_micro
+        |  FROM tfc JOIN q ON term = q_term JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = tfc.doc_id CROSS JOIN st),
+        |bm AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+        |              row_number() OVER (PARTITION BY qid ORDER BY sum(score_micro) DESC, doc_id)
+        |                AS bm25_rank
+        |       FROM sc GROUP BY qid, doc_id
+        |       QUALIFY bm25_rank <= 10),
+        |dset AS (SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_set
+        |         FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1),
+        |qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_q FROM q GROUP BY 1),
+        |inter AS (SELECT qid, doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_inter
+        |          FROM (SELECT doc_id, unnest(toks) AS term FROM d) t JOIN q ON term = q_term
+        |          GROUP BY 1, 2),
+        |jc AS (SELECT CAST(i.qid AS BIGINT) AS qid, i.doc_id,
+        |              row_number() OVER (PARTITION BY i.qid ORDER BY
+        |                CAST(floor(1000000.0 * n_inter / (n_set + n_q - n_inter) + 0.5) AS BIGINT) DESC,
+        |                i.doc_id) AS jacc_rank
+        |       FROM inter i JOIN dset USING (doc_id) JOIN qn ON qn.qid = i.qid
+        |       QUALIFY jacc_rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(bm.qid, jc.qid) AS qid, coalesce(bm.doc_id, jc.doc_id) AS doc_id,
+        |         CAST(coalesce(1000000 // (60 + bm.bm25_rank), 0) +
+        |              coalesce(1000000 // (60 + jc.jacc_rank), 0) AS BIGINT) AS rrf_micro,
+        |         CAST(bm.bm25_rank AS BIGINT) AS bm25_rank, CAST(jc.jacc_rank AS BIGINT) AS jacc_rank
+        |  FROM bm FULL OUTER JOIN jc ON bm.qid = jc.qid AND bm.doc_id = jc.doc_id)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+        |         AS "rank",
+        |       doc_id, rrf_micro, bm25_rank, jacc_rank
+        |FROM fused
+        |QUALIFY "rank" <= 10
+        |ORDER BY qid, "rank"""".stripMargin,
+
+    // MMR greedy replayed EXACTLY in SQL: a recursive CTE carries the
+    // selected set as an array and a LATERAL argmax picks each next
+    // candidate by (rel_micro − max selected-Jaccard, low doc_id) — the
+    // same integer lattice the Spark mapGroups walks, so the selection
+    // is hash-exact.
+    "mmr_rerank_k8" ->
+      """WITH RECURSIVE q(qid, q_term) AS (VALUES (1, 'scan'), (1, 'filter'), (1, 'fast'),
+        |  (2, 'join'), (2, 'key'), (2, 'merge'),
+        |  (3, 'stream'), (3, 'window'), (3, 'batch')),
+        |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |      FROM documents WHERE lang = 'en'),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |        FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |sc AS (
+        |  SELECT qid, tfc.doc_id,
+        |    CAST(floor(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) +
+        |      1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) * 1000000 + 0.5) AS BIGINT)
+        |      AS score_micro
+        |  FROM tfc JOIN q ON term = q_term JOIN dfc USING (term)
+        |  JOIN dl ON dl.doc_id = tfc.doc_id CROSS JOIN st),
+        |cand AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(sum(score_micro) AS BIGINT) AS rel_micro
+        |         FROM sc GROUP BY qid, doc_id
+        |         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel_micro DESC, doc_id) <= 10),
+        |ctok AS (SELECT DISTINCT c.qid, c.doc_id, t.term
+        |         FROM cand c JOIN (SELECT doc_id, unnest(toks) AS term FROM d) t USING (doc_id)),
+        |csz AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_set FROM ctok GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT p.qid, p.da AS a, p.db AS b,
+        |    CAST(floor(1000000.0 * cnt / (sa.n_set + sb.n_set - cnt) + 0.5) AS BIGINT) AS jac_micro
+        |  FROM (SELECT x.qid, x.doc_id AS da, y.doc_id AS db, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM ctok x JOIN ctok y ON x.qid = y.qid AND x.term = y.term AND x.doc_id < y.doc_id
+        |        GROUP BY 1, 2, 3) p
+        |  JOIN csz sa ON sa.qid = p.qid AND sa.doc_id = p.da
+        |  JOIN csz sb ON sb.qid = p.qid AND sb.doc_id = p.db),
+        |simsym AS (SELECT qid, a, b, jac_micro FROM sims
+        |           UNION ALL SELECT qid, b, a, jac_micro FROM sims),
+        |sel(qid, step, picked, mmr_micro, sel_list) AS (
+        |  (SELECT qid, CAST(1 AS BIGINT), doc_id, rel_micro, [doc_id]
+        |   FROM cand QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel_micro DESC, doc_id) = 1)
+        |  UNION ALL
+        |  SELECT s.qid, s.step + 1, p.doc_id, p.mmr, list_append(s.sel_list, p.doc_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.doc_id,
+        |      c.rel_micro - coalesce((SELECT max(j.jac_micro) FROM simsym j
+        |        WHERE j.qid = s.qid AND j.a = c.doc_id AND list_contains(s.sel_list, j.b)), 0) AS mmr
+        |    FROM cand c
+        |    WHERE c.qid = s.qid AND NOT list_contains(s.sel_list, c.doc_id)
+        |    ORDER BY mmr DESC, c.doc_id
+        |    LIMIT 1) p
+        |  WHERE s.step < 8
+        |)
+        |SELECT qid, step AS "rank", picked AS doc_id, CAST(mmr_micro AS BIGINT) AS mmr_micro
+        |FROM sel ORDER BY qid, "rank"""".stripMargin,
 
     // Exact medians over integer cents (quantile_cont ≡ Spark percentile):
     // interpolated midpoints are exact .5-step doubles, so med/MAD/compare

@@ -719,4 +719,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // that bounded 50-query broadcast
     assert(pa.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, pa)
   }
+
+  test("hybrid_rrf_topk: query terms broadcast into both rankers, fusion is an equi join") {
+    val p = plan(graft.operators.RetrievalOps.hybridRrfTopk(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop is bm25's intentional 1-row corpus-stats
+    // broadcast (N, avgdl) — bounded by construction
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    // the postings joins against the query-term literal must broadcast —
+    // the corpus-side tf/term relations never shuffle FOR the query join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("mmr_rerank_k8: pair generation is within-qid equi, no cartesian, no corpus-scale pairs") {
+    val p = plan(graft.operators.RetrievalOps.mmrRerankK8(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the bm25 candidate subtree appears in several branches (cands, pair
+    // sides, sizes), each carrying its 1-row corpus-stats cross broadcast
+    // — every nested loop must be exactly that bounded Cross, nothing
+    // condition-less at corpus scale
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), l)
+    }
+    // the candidate-pair self-join is equi on (qid, term); da<db is a
+    // post-join filter of a key-partitioned join, never a nested loop
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }
