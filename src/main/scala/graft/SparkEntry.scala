@@ -226,6 +226,8 @@ object SparkEntry {
     "phrase_search_pos" -> CurationOps.phraseSearchPositional _,
     "gopher_rules_source" -> CurationOps.gopherRulesSource _,
     "dup_token_coverage" -> CurationOps.dupTokenCoverage _,
+    "epoch_shuffle_manifest" -> CurationOps.epochShuffleManifest _,
+    "epoch_shard_balance" -> CurationOps.epochShardBalance _,
     "dedup_docs_exact" -> TextOps.dedupDocsExact _,
     "dedup_docs_minhash" -> TextOps.dedupDocsMinhash _,
     "jaccard_join_exact" -> TextOps.jaccardJoinExact _,
@@ -4078,6 +4080,43 @@ object SparkEntry {
     "phrase_search_pos" -> CurationOps.Oracle.phraseSearchPositional,
     "gopher_rules_source" -> CurationOps.Oracle.gopherRulesSource,
     "dup_token_coverage" -> CurationOps.Oracle.dupTokenCoverage,
+
+    // Seeded deterministic epoch shuffle: md5(epoch ':' doc_id) is the
+    // engine-portable shuffle key; the shard is its first hex DIGIT mod 8
+    // (16 uniform values fold evenly onto 8); position is per-(epoch,
+    // shard) — no global order anywhere.
+    "epoch_shuffle_manifest" ->
+      """WITH e(epoch) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))),
+        |k AS (SELECT epoch, doc_id,
+        |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM e CROSS JOIN (SELECT doc_id FROM documents)),
+        |s AS (SELECT epoch, doc_id, h,
+        |    CAST((CASE WHEN ascii(substr(h, 1, 1)) < 58 THEN ascii(substr(h, 1, 1)) - 48
+        |      ELSE ascii(substr(h, 1, 1)) - 87 END) % 8 AS BIGINT) AS shard
+        |  FROM k),
+        |r AS (SELECT epoch, shard, doc_id,
+        |    row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS position
+        |  FROM s)
+        |SELECT epoch, shard, CAST(position AS BIGINT) AS position, doc_id
+        |FROM r WHERE position <= 25
+        |ORDER BY epoch, shard, position""".stripMargin,
+
+    "epoch_shard_balance" ->
+      """WITH e(epoch) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))),
+        |k AS (SELECT epoch, doc_id,
+        |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM e CROSS JOIN (SELECT doc_id FROM documents)),
+        |s AS (SELECT epoch,
+        |    CAST((CASE WHEN ascii(substr(h, 1, 1)) < 58 THEN ascii(substr(h, 1, 1)) - 48
+        |      ELSE ascii(substr(h, 1, 1)) - 87 END) % 8 AS BIGINT) AS shard
+        |  FROM k),
+        |c AS (SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY 1, 2),
+        |t AS (SELECT epoch, CAST(sum(n_docs) AS BIGINT) AS n_total FROM c GROUP BY 1)
+        |SELECT c.epoch, c.shard, c.n_docs,
+        |  CAST(floor((CAST(n_docs AS DOUBLE) * 8.0 / n_total - 1.0) * 1000 + 0.5) AS BIGINT)
+        |    AS dev_permille
+        |FROM c JOIN t ON c.epoch = t.epoch
+        |ORDER BY c.epoch, c.shard""".stripMargin,
     "stream_quality_gate" -> CurationOps.Oracle.streamQualityGate,
 
     // Exact and 5-probe IVF rankings composed in one statement; recall@5

@@ -158,6 +158,70 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-(epoch, doc) deterministic shuffle key + shard: the key is
+    * md5(epoch ':' doc_id) — the engine-portable seeded hash the sampling
+    * family already uses — and the shard is the key's FIRST hex digit
+    * mod 8 (hex digits are uniform over 0..15, so 16→8 folds perfectly
+    * evenly). Changing the epoch reshuffles everything; same epoch always
+    * replays bit-identically — the reproducible-data-order contract.
+    */
+  private def epochShuffleKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq(1L, 2L).toDF("epoch")
+      .crossJoin(Tables.documents(spark, sfDir).select(col("doc_id")))
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard", expr(
+        "CAST((CASE WHEN ascii(substr(h, 1, 1)) < 58 THEN ascii(substr(h, 1, 1)) - 48 " +
+          "ELSE ascii(substr(h, 1, 1)) - 87 END) % 8 AS BIGINT)"))
+  }
+
+  /** V+: EPOCH SHUFFLE MANIFEST — the reproducible data-order plan a
+    * training run needs to RESUME mid-epoch: every document is assigned a
+    * deterministic seeded shuffle key and a shard per epoch, and the
+    * declared output is the head (first 25 positions) of each of the
+    * 2 epochs × 8 shards — "what exactly does shard 5 read first in
+    * epoch 2" answered identically on every run and every engine.
+    *
+    * Scale posture: no GLOBAL order anywhere — position is a window
+    * PARTITIONED by (epoch, shard), so each window partition holds
+    * corpus/n_shards rows and n_shards scales with the corpus (8 here,
+    * 10⁴ in production); the rank≤25 filter pushes into WindowGroupLimit
+    * so nothing beyond each shard's head is ever materialized or sorted
+    * to one place. The shard assignment itself is embarrassingly
+    * parallel map-side arithmetic on the md5.
+    */
+  def epochShuffleManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    epochShuffleKeys(spark, sfDir)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .filter(col("position") <= 25)
+      .select(col("epoch"), col("shard"), col("position"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("position"))
+  }
+
+  /** V+: EPOCH SHARD BALANCE — the audit beside the manifest: per
+    * (epoch, shard) document count plus its deviation from the ideal
+    * corpus/8, proving the hex-digit fold distributes evenly enough to
+    * keep worker loads balanced. Pure groupBy count — one exchange of
+    * 16 rows.
+    */
+  def epochShardBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = epochShuffleKeys(spark, sfDir)
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.groupBy(col("epoch"))
+      .agg(sum(col("n_docs")).as("n_total"))
+    counts.join(broadcast(totals), Seq("epoch"))
+      // deviation in per-mille of the ideal share, one exact division
+      .withColumn("dev_permille", expr(
+        "CAST(floor((CAST(n_docs AS DOUBLE) * 8.0 / n_total - 1.0) * 1000 + 0.5) AS BIGINT)"))
+      .select(col("epoch"), col("shard"), col("n_docs"), col("dev_permille"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   object Oracle {
     val phraseSearchPositional: String = {
       val parts = CurationOps.PhraseTokens.zipWithIndex.map { case (t, i) =>

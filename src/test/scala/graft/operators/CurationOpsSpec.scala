@@ -141,4 +141,43 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.toSeq == batch.toSeq)
     assert(batch.nonEmpty)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("epoch_shuffle_manifest equals the in-JVM md5 replay; heads bounded and ordered") {
+    val ids = docs.map(_._1)
+    val expected = Seq(1L, 2L).flatMap { epoch =>
+      ids.map { id =>
+        val h = md5Hex(s"$epoch:$id")
+        val d = h.charAt(0)
+        val shard = (if (d <= '9') d - '0' else d - 'a' + 10) % 8
+        (epoch, shard.toLong, h, id)
+      }.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+        rows.sortBy(r => (r._3, r._4)).take(25).zipWithIndex
+          .map { case ((e, s, _, id), i) => (e, s, i + 1L, id) }
+      }
+    }.sorted
+    val out = CurationOps.epochShuffleManifest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(out == expected)
+    // epochs shuffle INDEPENDENTLY: the two epochs' shard-1 heads differ
+    val byEpoch = out.groupBy(_._1).map { case (e, rs) =>
+      e -> rs.filter(_._2 == 1L).map(_._4).toSeq
+    }
+    assert(byEpoch(1L) != byEpoch(2L))
+  }
+
+  test("epoch_shard_balance: counts partition the corpus, deviations recomputed exactly") {
+    val out = CurationOps.epochShardBalance(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = docs.length.toLong
+    for ((epoch, rows) <- out.groupBy(_._1)) {
+      assert(rows.map(_._3).sum == n, s"epoch $epoch counts must sum to corpus")
+      for ((_, _, nd, dev) <- rows)
+        assert(dev == math.floor((nd.toDouble * 8.0 / n - 1.0) * 1000 + 0.5).toLong)
+    }
+    assert(out.map(t => (t._1, t._2)).distinct.length == out.length)
+  }
 }

@@ -746,4 +746,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("epoch_shuffle_manifest: head limit pushes into WindowGroupLimit, window keyed by shard") {
+    val p = plan(graft.operators.CurationOps.epochShuffleManifest(spark, sf0001))
+    // position<=25 must prune inside each (epoch, shard) partition — no
+    // shard's full order is ever materialized
+    assert(p.contains("WindowGroupLimit"), p)
+    // the window is PARTITIONED (epoch, shard) — a global single-partition
+    // window would print 'Window [...]' with an empty partition spec;
+    // assert the partition keys are present on the Window operator
+    val winLine = p.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(winLine.contains("epoch") && winLine.contains("shard"), winLine)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
