@@ -44,6 +44,7 @@ object SparkEntry {
     "pii_scrub_stats" -> TextAnalysisOps.piiScrubStats _,
     "stream_upsert_foreachbatch" -> graft.streaming.StreamingEntry.streamUpsertForeachBatch _,
     "stream_dedup_minhash" -> graft.streaming.StreamingEntry.streamDedupMinhash _,
+    "stream_dedup_growing" -> graft.streaming.StreamingEntry.streamDedupGrowing _,
     "stream_ann_topk" -> graft.streaming.StreamingEntry.streamAnnTopk _,
     "stream_topk_tws" -> graft.streaming.StreamingEntry.streamTopkTws _,
     "stream_observe_metrics" -> graft.streaming.StreamingEntry.streamObserveMetrics _,
@@ -236,6 +237,7 @@ object SparkEntry {
     "minhash_containment" -> TextOps.minhashContainment _,
     "minhash_jaccard_audit" -> TextOps.minhashJaccardAudit _,
     "minhash_pr_eval" -> TextOps.minhashPrEval _,
+    "minhash_pr_planted" -> TextOps.minhashPrPlanted _,
     "dedup_clusters" -> TextOps.dedupClusters _,
     "dedup_keep_best" -> TextOps.dedupKeepBest _,
     "split_no_leakage" -> TextOps.splitNoLeakage _,
@@ -2830,6 +2832,85 @@ object SparkEntry {
         |FROM batch d LEFT JOIN m ON d.doc_id = m.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // GROWING-catalog streaming ingest replayed as sequential batch CTEs:
+    // the arrival slice splits into the harness' 3 chunks (chunk size
+    // c = max(1, (n+2) DIV 3) over the doc_id-ordered slice, exactly
+    // feedChunks' split); batch b admits against static-catalog ∪ the
+    // ADMITTED docs of batches < b, so the recursion unrolls as
+    // d0 → adm0 → d1 → adm1 → d2. Verified pairs are computed ONCE over
+    // the union of possible (arrival, catalog-or-earlier-arrival) pairs;
+    // admission then just filters which pairs QUALIFY at each step.
+    "stream_dedup_growing" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |arr0 AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 4 ORDER BY doc_id LIMIT 2000),
+        |prm AS (SELECT greatest(1, (count(*) + 2) // 3) AS c FROM arr0),
+        |bat AS (SELECT doc_id,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) // c AS b
+        |  FROM arr0, prm),
+        |sh0 AS (SELECT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |g AS (SELECT doc_id,
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
+        |  FROM sh0 GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS cat_id,
+        |    bx.b AS bx, byt.b AS by_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.doc_id <> b.doc_id
+        |  JOIN bat bx ON a.doc_id = bx.doc_id
+        |  LEFT JOIN bat byt ON b.doc_id = byt.doc_id
+        |  WHERE b.doc_id % 5 <> 4 OR (byt.b IS NOT NULL AND byt.b < bx.b)),
+        |shd AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        |inter AS (SELECT c.doc_id, c.cat_id, count(*) AS n_inter
+        |  FROM cand c JOIN shd a ON c.doc_id = a.doc_id
+        |  JOIN shd b ON c.cat_id = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY c.doc_id, c.cat_id),
+        |ver AS (SELECT c.doc_id, c.cat_id, c.bx, c.by_b
+        |  FROM cand c
+        |  LEFT JOIN inter i ON c.doc_id = i.doc_id AND c.cat_id = i.cat_id
+        |  JOIN cnt na ON c.doc_id = na.doc_id
+        |  JOIN cnt nb ON c.cat_id = nb.doc_id
+        |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / CAST(na.n_sh + nb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) >= 0.5),
+        |d0 AS (SELECT a.doc_id, count(v.cat_id) AS nd, min(v.cat_id) AS bm
+        |  FROM bat a LEFT JOIN ver v ON a.doc_id = v.doc_id AND v.by_b IS NULL
+        |  WHERE a.b = 0 GROUP BY a.doc_id),
+        |adm0 AS (SELECT doc_id FROM d0 WHERE nd = 0),
+        |d1 AS (SELECT a.doc_id, count(v.cat_id) AS nd, min(v.cat_id) AS bm
+        |  FROM bat a LEFT JOIN ver v ON a.doc_id = v.doc_id
+        |    AND (v.by_b IS NULL OR v.cat_id IN (SELECT doc_id FROM adm0))
+        |  WHERE a.b = 1 GROUP BY a.doc_id),
+        |adm1 AS (SELECT doc_id FROM d1 WHERE nd = 0),
+        |d2 AS (SELECT a.doc_id, count(v.cat_id) AS nd, min(v.cat_id) AS bm
+        |  FROM bat a LEFT JOIN ver v ON a.doc_id = v.doc_id
+        |    AND (v.by_b IS NULL OR v.cat_id IN (
+        |      SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1))
+        |  WHERE a.b = 2 GROUP BY a.doc_id),
+        |alls AS (SELECT * FROM d0
+        |  UNION ALL SELECT * FROM d1
+        |  UNION ALL SELECT * FROM d2)
+        |SELECT doc_id,
+        |  CASE WHEN nd = 0 THEN 'new' ELSE 'dup' END AS status,
+        |  CAST(nd AS BIGINT) AS n_near_dups,
+        |  CAST(coalesce(bm, -1) AS BIGINT) AS best_match
+        |FROM alls
+        |ORDER BY doc_id""".stripMargin,
+
     // Batch (doc_id%5=4) admitted against the catalog's minhash bands,
     // exact-Jaccard verified at >= 0.5 — the incremental near-dup gate.
     "dedup_incremental_minhash" ->
@@ -2982,9 +3063,7 @@ object SparkEntry {
     // scores quantized to BIGINT micro-units BEFORE the per-doc sum, so the
     // ranking key is an exact integer in both engines.
     "bm25_topk" ->
-      """WITH q(qid, q_term) AS (VALUES (1, 'scan'), (1, 'filter'), (1, 'fast'),
-        |  (2, 'join'), (2, 'key'), (2, 'merge'),
-        |  (3, 'stream'), (3, 'window'), (3, 'batch')),
+      s"""WITH ${TextAnalysisOps.queryWorkloadValuesSql},
         |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |      FROM documents WHERE lang = 'en'),
         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
@@ -3012,9 +3091,7 @@ object SparkEntry {
     // Jaccard top-10: rrf = Σ_r 1000000 DIV (60 + rank_r), an exact
     // integer; a doc absent from a ranker's list contributes 0.
     "hybrid_rrf_topk" ->
-      """WITH q(qid, q_term) AS (VALUES (1, 'scan'), (1, 'filter'), (1, 'fast'),
-        |  (2, 'join'), (2, 'key'), (2, 'merge'),
-        |  (3, 'stream'), (3, 'window'), (3, 'batch')),
+      s"""WITH ${TextAnalysisOps.queryWorkloadValuesSql},
         |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |      FROM documents WHERE lang = 'en'),
         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
@@ -3067,9 +3144,7 @@ object SparkEntry {
     // same integer lattice the Spark mapGroups walks, so the selection
     // is hash-exact.
     "mmr_rerank_k8" ->
-      """WITH RECURSIVE q(qid, q_term) AS (VALUES (1, 'scan'), (1, 'filter'), (1, 'fast'),
-        |  (2, 'join'), (2, 'key'), (2, 'merge'),
-        |  (3, 'stream'), (3, 'window'), (3, 'batch')),
+      s"""WITH RECURSIVE ${TextAnalysisOps.queryWorkloadValuesSql},
         |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |      FROM documents WHERE lang = 'en'),
         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
@@ -3392,6 +3467,112 @@ object SparkEntry {
         |    / CAST((SELECT count(*) FROM cand) AS DOUBLE) AS precision,
         |  CAST((SELECT count(*) FROM hit) AS DOUBLE)
         |    / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall""".stripMargin,
+
+    // Planted-truth P/R: probes = 1% sample with md5-coin token drops in
+    // three severity bands; truth = the planted (probe, source) list,
+    // exact-verified pair-by-pair (linear at any SF — no all-pairs join).
+    "minhash_pr_planted" ->
+      """WITH pr0 AS (SELECT doc_id AS src_id, (doc_id // 100) % 3 AS band,
+        |    string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 100 = 7),
+        |pr AS (SELECT src_id, band, src_id + 1000000000000 AS probe_id,
+        |    list_filter(t, tok -> md5('e:' || tok) >=
+        |      CASE WHEN band = 0 THEN '1' WHEN band = 1 THEN '18' ELSE '2' END) AS m
+        |  FROM pr0),
+        |psh AS (SELECT DISTINCT probe_id, shingle
+        |  FROM pr, UNNEST(list_transform(generate_series(1, len(m) - 2),
+        |    i -> m[i] || ' ' || m[i + 1] || ' ' || m[i + 2])) AS u(shingle)
+        |  WHERE len(m) >= 3),
+        |pcnt AS (SELECT probe_id, count(*) AS n_p FROM psh GROUP BY probe_id),
+        |pg AS (SELECT probe_id,
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
+        |  FROM psh GROUP BY probe_id),
+        |psig AS (
+        |  SELECT probe_id, 0 AS lsh_band, s0 || s1 AS sig FROM pg
+        |  UNION ALL SELECT probe_id, 1, s2 || s3 FROM pg
+        |  UNION ALL SELECT probe_id, 2, s4 || s5 FROM pg
+        |  UNION ALL SELECT probe_id, 3, s6 || s7 FROM pg),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |shl AS (SELECT doc_id, shingle
+        |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
+        |g AS (SELECT doc_id,
+        |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
+        |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
+        |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
+        |    min(substr(md5('mh1:' || shingle), 17, 16)) AS s3,
+        |    min(substr(md5('mh2:' || shingle), 1, 16)) AS s4,
+        |    min(substr(md5('mh2:' || shingle), 17, 16)) AS s5,
+        |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
+        |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
+        |  FROM shl GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, 0 AS lsh_band, s0 || s1 AS sig FROM g
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
+        |cand AS (SELECT DISTINCT p.probe_id, c.doc_id AS cat_id
+        |  FROM psig p JOIN sig c ON p.lsh_band = c.lsh_band AND p.sig = c.sig),
+        |shd AS (SELECT DISTINCT doc_id, shingle FROM shl),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        |interc AS (SELECT c.probe_id, c.cat_id, count(*) AS n_inter
+        |  FROM cand c JOIN psh a ON c.probe_id = a.probe_id
+        |  JOIN shd b ON c.cat_id = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |candv AS (SELECT c.probe_id, c.cat_id, coalesce(i.n_inter, 0) AS n_inter,
+        |    pc.n_p, cc.n_sh AS n_c
+        |  FROM cand c
+        |  LEFT JOIN interc i ON c.probe_id = i.probe_id AND c.cat_id = i.cat_id
+        |  JOIN pcnt pc ON c.probe_id = pc.probe_id
+        |  JOIN cnt cc ON c.cat_id = cc.doc_id),
+        |interp AS (SELECT a.probe_id, count(*) AS n_inter
+        |  FROM psh a JOIN pr p ON a.probe_id = p.probe_id
+        |  JOIN shd b ON b.doc_id = p.src_id AND b.shingle = a.shingle
+        |  GROUP BY 1),
+        |planted AS (SELECT p.probe_id, p.src_id, p.band,
+        |    coalesce(ip.n_inter, 0) AS n_inter,
+        |    coalesce(pc.n_p, 0) AS n_p, cc.n_sh AS n_c
+        |  FROM pr p
+        |  JOIN cnt cc ON p.src_id = cc.doc_id
+        |  LEFT JOIN pcnt pc ON p.probe_id = pc.probe_id
+        |  LEFT JOIN interp ip ON p.probe_id = ip.probe_id),
+        |pla AS (SELECT band, count(*) AS n_planted,
+        |    sum(CASE WHEN 3 * n_inter >= n_p + n_c THEN 1 ELSE 0 END) AS n_true
+        |  FROM planted GROUP BY band),
+        |reca AS (SELECT pl.band, count(*) AS n_recovered
+        |  FROM planted pl
+        |  JOIN cand c ON pl.probe_id = c.probe_id AND pl.src_id = c.cat_id
+        |  WHERE 3 * pl.n_inter >= pl.n_p + pl.n_c
+        |  GROUP BY pl.band),
+        |ca AS (SELECT p.band, count(*) AS n_cand,
+        |    sum(CASE WHEN 3 * v.n_inter >= v.n_p + v.n_c THEN 1 ELSE 0 END)
+        |      AS n_cand_true
+        |  FROM candv v JOIN pr p ON v.probe_id = p.probe_id
+        |  GROUP BY p.band)
+        |SELECT CAST(pla.band AS BIGINT) AS band,
+        |  CAST(n_planted AS BIGINT) AS n_planted,
+        |  CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(coalesce(n_recovered, 0) AS BIGINT) AS n_recovered,
+        |  CASE WHEN n_true = 0 THEN NULL
+        |    ELSE CAST(coalesce(n_recovered, 0) AS DOUBLE) / CAST(n_true AS DOUBLE)
+        |  END AS recall,
+        |  CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(n_cand_true, 0) AS BIGINT) AS n_cand_true,
+        |  CASE WHEN coalesce(n_cand, 0) = 0 THEN NULL
+        |    ELSE CAST(coalesce(n_cand_true, 0) AS DOUBLE) / CAST(n_cand AS DOUBLE)
+        |  END AS precision
+        |FROM pla
+        |LEFT JOIN reca ON pla.band = reca.band
+        |LEFT JOIN ca ON pla.band = ca.band
+        |ORDER BY band""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -22,18 +22,12 @@ import graft.sources.Tables
   */
 object RetrievalOps {
 
-  /** The fixed keyword workload shared with bm25_topk (3 queries × 3
-    * terms). At production scale this is a query table of millions of
-    * rows; every plan below keys its joins on (qid, doc_id) or `term`,
-    * so nothing degrades when the literal becomes a table.
+  /** The fixed keyword workload shared with bm25_topk — delegated to the
+    * single source of truth [[TextAnalysisOps.queryWorkload]] so the BM25
+    * and Jaccard sides of the fusion can never desynchronize.
     */
-  private def queryTerms(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq(
-      (1L, "scan"), (1L, "filter"), (1L, "fast"),
-      (2L, "join"), (2L, "key"), (2L, "merge"),
-      (3L, "stream"), (3L, "window"), (3L, "batch")).toDF("qid", "q_term")
-  }
+  private def queryTerms(spark: SparkSession): DataFrame =
+    TextAnalysisOps.queryTerms(spark)
 
   /** English docs → (doc_id, term) with per-doc DISTINCT terms — the
     * set-semantics token view both Jaccard sides use. One corpus scan,
@@ -103,8 +97,11 @@ object RetrievalOps {
   /** V+: MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein,
     * SIGIR'98) — greedy de-redundancy of the BM25 top-10 down to k=8:
     * pick the most relevant candidate, then repeatedly the candidate
-    * maximizing `rel_micro − max_{s∈selected} jaccard_micro(c, s)`
-    * (λ=½ with both terms on the same micro scale), ties → low doc_id.
+    * maximizing `rel_micro − max_{s∈selected} jaccard_micro(c, s)`,
+    * ties → low doc_id. The emitted `mmr_micro` is this UNWEIGHTED
+    * rel−sim margin (both terms on the same micro scale) — 2× the λ=½
+    * MMR value, so the argmax (and therefore the selection order) is
+    * identical to λ=½ while every score stays an exact integer.
     * The step between "retrieval found 10 near-duplicates" and "the
     * context window holds 8 DISTINCT passages".
     *

@@ -16,6 +16,34 @@ object TextAnalysisOps {
     */
   val FuzzyBlockCap = 256L
 
+  /** THE fixed retrieval workload (3 queries × 3 terms) — single source
+    * of truth shared by `bm25_topk`, `hybrid_rrf_topk`, `mmr_rerank_k8`
+    * and their oracle SQLs (SparkEntry interpolates
+    * [[queryWorkloadValuesSql]] so the engine and oracle sides cannot
+    * drift). At production scale this literal becomes a query TABLE of
+    * millions of rows; every consuming plan keys its joins on (qid,
+    * doc_id) or `term`, so nothing degrades when it does.
+    */
+  val queryWorkload: Seq[(Long, String)] = Seq(
+    1L -> "scan", 1L -> "filter", 1L -> "fast",
+    2L -> "join", 2L -> "key", 2L -> "merge",
+    3L -> "stream", 3L -> "window", 3L -> "batch")
+
+  /** [[queryWorkload]] as a DataFrame — the broadcast side of every
+    * retrieval plan.
+    */
+  private[graft] def queryTerms(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    queryWorkload.toDF("qid", "q_term")
+  }
+
+  /** [[queryWorkload]] as an ANSI `q(qid, q_term) AS (VALUES ...)` CTE
+    * body fragment for the oracle SQLs.
+    */
+  val queryWorkloadValuesSql: String =
+    "q(qid, q_term) AS (VALUES " +
+      queryWorkload.map { case (q, t) => s"($q, '$t')" }.mkString(", ") + ")"
+
   /** Fixed keyword lists for the unigram language-ID heuristic. On real
     * corpora these would be per-language stopword lists; the synthetic
     * fixture shares one vocabulary across langs, so accuracy is chance —
@@ -500,11 +528,7 @@ object TextAnalysisOps {
     * classic "search engine as a join" plan, never a corpus × query scan.
     */
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val queries = Seq(
-      (1L, "scan"), (1L, "filter"), (1L, "fast"),
-      (2L, "join"), (2L, "key"), (2L, "merge"),
-      (3L, "stream"), (3L, "window"), (3L, "batch")).toDF("qid", "q_term")
+    val queries = queryTerms(spark)
     val docToks = Tables.documents(spark, sfDir)
       .filter(col("lang") === "en")
       .select(col("doc_id"),

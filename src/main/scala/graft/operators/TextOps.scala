@@ -882,6 +882,122 @@ object TextOps {
         (col("n_hit").cast("double") / col("n_truth").cast("double")).as("recall"))
   }
 
+  /** V+: PLANTED-TRUTH MinHash precision/recall eval — the scale-safe
+    * sibling of [[minhashPrEval]], whose exact all-pairs truth set is
+    * cluster-quadratic and spilled >80 GB at sf10 (EXPERIMENTS.md). Here
+    * the truth is PLANTED at query time, deterministically: every doc in
+    * the 1% `doc_id % 100 = 7` sample spawns one probe — the doc with
+    * tokens dropped by a salted-md5 coin (`md5('e:' || tok)` below a
+    * band threshold), in three severity bands by `(doc_id DIV 100) % 3`
+    * (hex thresholds '1'/'18'/'2' ≈ 1/16, 3/32, 1/8 of token TYPES
+    * dropped — measured planted J averages 0.85/0.52/0.34 at sf0.1,
+    * straddling the J = 0.5 operating point so the three rows trace the
+    * LSH S-curve). The truth set is the planted
+    * (probe, source) list itself: ONE exact-Jaccard verification per
+    * probe, linear at any SF. Recall = recovered planted-true pairs /
+    * planted-true pairs; precision is measured on the banded candidates
+    * the probes produce against the corpus, exact-verified candidate-by-
+    * candidate (the dedup family's bounded verify economics — probes are
+    * 1% of the corpus and fan out only to their LSH buckets, never
+    * corpus²). Truth gate is the house integer comparison
+    * 3·|∩| ≥ n1+n2 (⟺ J ≥ 0.5, float-free); the surfaced ratios are
+    * single class-2 divisions, NULL on a 0 denominator.
+    */
+  def minhashPrPlanted(spark: SparkSession, sfDir: String): DataFrame = {
+    val off = 1000000000000L
+    val thr = "CASE WHEN band = 0 THEN '1' WHEN band = 1 THEN '18' ELSE '2' END"
+    // probes: same whitespace tokenization as [[shingleRows]] (split on
+    // ' ', no empty-token filter), so an undropped probe would shingle
+    // identically to its source
+    val pr = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("src_id"),
+        expr("(doc_id DIV 100) % 3").as("band"),
+        split(col("text"), " ").as("t"))
+      .select(col("src_id"), col("band"),
+        (col("src_id") + lit(off)).as("probe_id"),
+        expr(s"filter(t, tok -> md5(concat('e:', tok)) >= $thr)").as("m"))
+    val psh = pr.filter(size(col("m")) >= 3)
+      .select(col("probe_id"), explode(expr(
+        "transform(sequence(0, size(m) - 3), i -> concat(m[i], ' ', m[i+1], ' ', m[i+2]))")).as("sh"))
+      .distinct()
+    val pcnt = psh.groupBy(col("probe_id")).agg(count(lit(1)).as("n_p"))
+    val psig = psh.groupBy(col("probe_id")).agg(signatureColumns.head, signatureColumns.tail: _*)
+    def toBands(sigs: DataFrame, id: String): DataFrame = sigs.selectExpr(
+      id,
+      """stack(4,
+        |  0, concat(s0, s1),
+        |  1, concat(s2, s3),
+        |  2, concat(s4, s5),
+        |  3, concat(s6, s7)) AS (lsh_band, sig)""".stripMargin)
+    val cand = toBands(psig, "probe_id")
+      .join(toBands(minhashSignatures(spark, sfDir), "doc_id"), Seq("lsh_band", "sig"))
+      .select(col("probe_id"), col("doc_id").as("cat_id"))
+      .distinct()
+    // corpus shingles only for docs the eval touches: LSH-implicated
+    // candidates plus the planted sources (semi-join pushdown)
+    val needed = cand.select(col("cat_id").as("doc_id"))
+      .unionByName(pr.select(col("src_id").as("doc_id")))
+      .distinct()
+    val shd = shingleRows(
+      Tables.documents(spark, sfDir).join(needed, Seq("doc_id"), "left_semi"))
+      .distinct()
+    val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val interC = cand.as("c")
+      .join(psh.as("pa"), col("c.probe_id") === col("pa.probe_id"))
+      .join(shd.as("cb"), col("c.cat_id") === col("cb.doc_id") && col("pa.sh") === col("cb.sh"))
+      .groupBy(col("c.probe_id").as("probe_id"), col("c.cat_id").as("cat_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val candV = cand
+      .join(interC, Seq("probe_id", "cat_id"), "left")
+      .join(pcnt, Seq("probe_id"))
+      .join(cnt.select(col("doc_id").as("cat_id"), col("n_sh").as("n_c")), Seq("cat_id"))
+      .select(col("probe_id"), col("cat_id"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_p"), col("n_c"))
+    // the planted pair's exact intersection: probe shingles joined to its
+    // OWN source's shingles, keyed (src_id, sh) — one pair per probe
+    val interP = psh
+      .join(pr.select(col("probe_id"), col("src_id")), Seq("probe_id"))
+      .join(shd.select(col("doc_id").as("src_id"), col("sh")), Seq("src_id", "sh"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val planted = pr.select(col("probe_id"), col("src_id"), col("band"))
+      .join(cnt.select(col("doc_id").as("src_id"), col("n_sh").as("n_c")), Seq("src_id"))
+      .join(pcnt, Seq("probe_id"), "left")
+      .join(interP, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("src_id"), col("band"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_p"), lit(0L)).as("n_p"), col("n_c"))
+      .withColumn("is_true", lit(3L) * col("n_inter") >= col("n_p") + col("n_c"))
+    val recAgg = planted.filter(col("is_true"))
+      .join(cand.select(col("probe_id"), col("cat_id").as("src_id")),
+        Seq("probe_id", "src_id"), "left_semi")
+      .groupBy(col("band")).agg(count(lit(1)).as("n_recovered"))
+    val plAgg = planted.groupBy(col("band")).agg(
+      count(lit(1)).as("n_planted"),
+      sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"))
+    val cAgg = candV
+      .join(pr.select(col("probe_id"), col("band")), Seq("probe_id"))
+      .withColumn("is_true", lit(3L) * col("n_inter") >= col("n_p") + col("n_c"))
+      .groupBy(col("band")).agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_cand_true"))
+    plAgg
+      .join(recAgg, Seq("band"), "left")
+      .join(cAgg, Seq("band"), "left")
+      .select(col("band"), col("n_planted"), col("n_true"),
+        coalesce(col("n_recovered"), lit(0L)).as("n_recovered"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("n_recovered"), lit(0L)).cast("double") /
+            col("n_true").cast("double")).as("recall"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_cand_true"), lit(0L)).as("n_cand_true"),
+        when(coalesce(col("n_cand"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(coalesce(col("n_cand_true"), lit(0L)).cast("double") /
+            col("n_cand").cast("double")).as("precision"))
+      .orderBy(col("band"))
+  }
+
   /** Shared verify-stage kernel for [[ngramJaccard]] / [[minhashContainment]]:
     * per banded candidate pair, the exact shingle-set intersection size and
     * both set sizes — (doc1, doc2, n_inter, n1, n2).
@@ -999,10 +1115,22 @@ object TextOps {
     * from the staged table, a stream computes them from the arriving rows
     * — same deterministic salted-md5 values either way). Output is
     * UNORDERED (doc_id, status, n_near_dups, best_match); callers order.
+    *
+    * `extraCatalog` is the GROWING-catalog extension
+    * (`stream_dedup_growing`): previously-ADMITTED arrivals that have
+    * joined the standing catalog, as (doc_id, text, s0..s7) rows — their
+    * bands extend the banded-join catalog side and their text extends the
+    * exact-verify side, so a later arrival duplicating an earlier admitted
+    * one IS caught. When the extension's docs also live in the corpus
+    * table (the declared entry's arrivals do), the verify side's
+    * `.distinct()` collapses the duplicated shingle rows, so the union is
+    * harmless. Static-catalog callers pass None and get the
+    * batching-invariant semantics above.
     */
   private[graft] def admitAgainstCatalog(
       spark: SparkSession, sfDir: String,
-      batchDocs: DataFrame, batchSigs: DataFrame): DataFrame = {
+      batchDocs: DataFrame, batchSigs: DataFrame,
+      extraCatalog: Option[DataFrame] = None): DataFrame = {
     def toBands(sigs: DataFrame): DataFrame = sigs.selectExpr(
       "doc_id",
       """stack(4,
@@ -1010,8 +1138,13 @@ object TextOps {
         |  1, concat(s2, s3),
         |  2, concat(s4, s5),
         |  3, concat(s6, s7)) AS (band, sig)""".stripMargin)
-    val catBands = toBands(
+    val staticBands = toBands(
       minhashSignatures(spark, sfDir).filter(col("doc_id") % 5 =!= 4))
+    val catBands = extraCatalog match {
+      case None => staticBands
+      case Some(x) => staticBands.unionByName(
+        toBands(x.select((col("doc_id") +: (0 until 8).map(i => col(s"s$i"))): _*)))
+    }
     val cand = toBands(batchSigs).as("a")
       .join(catBands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
@@ -1023,8 +1156,13 @@ object TextOps {
     val batchSh = shingleRows(
       batchDocs.join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
       .distinct()
+    val catDocs = extraCatalog match {
+      case None => Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      case Some(x) => Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .unionByName(x.select(col("doc_id"), col("text")))
+    }
     val catSh = shingleRows(
-      Tables.documents(spark, sfDir).join(
+      catDocs.join(
         cand.select(col("cat_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
       .distinct()
     val nB = batchSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))

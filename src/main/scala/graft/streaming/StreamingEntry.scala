@@ -531,6 +531,70 @@ object StreamingEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DECLARED streaming NEAR-DUP INGEST with a GROWING catalog — the
+    * continuous-ingest contract [[streamDedupMinhash]] deliberately does
+    * not make: each micro-batch's ADMITTED documents' signatures (and
+    * text, the exact-verify asset) are appended to the catalog BEFORE the
+    * next trigger, so an arrival duplicating an earlier-admitted arrival
+    * from a PREVIOUS batch is caught as a dup — the leak the static form
+    * has by design (two identical new docs in different micro-batches are
+    * both "new" there). Same-batch co-arrivals are still not compared to
+    * each other: the catalog grows per TRIGGER, the transactional unit of
+    * Structured Streaming, which keeps decisions deterministic given the
+    * batch split and lets DuckDB replay the three batches as sequential
+    * CTEs (batch b admits against static ∪ admitted₀..b₋₁) for a full
+    * hash oracle. Appends are batchId-keyed parquet (overwrite per
+    * batch), so a micro-batch RETRY rewrites rather than double-appends —
+    * the same idempotence contract as the decision sink.
+    *
+    * Scale posture: identical per-trigger economics to the static form —
+    * banded batch × catalog join, exact verify on implicated docs only —
+    * plus one |admitted|-row append per trigger; the catalog side is the
+    * standing signature asset a production ingest maintains anyway, and
+    * its growth is exactly the corpus' growth.
+    */
+  def streamDedupGrowing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File("target/graft-stream-dedup-growing").getAbsoluteFile
+    wipeDir(base)
+    base.mkdirs()
+    val slice = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(2000)
+      .as[DocEvent].collect().toSeq
+    val stream = MemoryStream[DocEvent](spark)
+    withStatePartitions(spark, 4) {
+      val q = stream.toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val ss = batch.sparkSession
+          val docs = batch.select(col("doc_id"), col("text"))
+          val sigs = graft.operators.TextOps.signatures(docs)
+          val catGlob = new java.io.File(base, "catalog/b*").getPath
+          val extra =
+            if (batchId == 0L) None
+            else Some(ss.read.parquet(catGlob))
+          val decisions = graft.operators.TextOps.admitAgainstCatalog(
+            ss, sfDir, docs, sigs, extra)
+          val decPath = new java.io.File(base, s"decisions/b$batchId").getPath
+          decisions.write.mode("overwrite").parquet(decPath)
+          // admitted docs JOIN the catalog for the next trigger (read the
+          // just-written decisions back instead of recomputing the plan)
+          val admitted = ss.read.parquet(decPath)
+            .filter(col("status") === "new").select(col("doc_id"))
+          docs.join(sigs, Seq("doc_id"))
+            .join(admitted, Seq("doc_id"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(new java.io.File(base, s"catalog/b$batchId").getPath)
+        }
+        .start()
+      try feedChunks(stream, q, slice) finally q.stop()
+    }
+    spark.read.parquet(new java.io.File(base, "decisions/b*").getPath)
+      .orderBy(col("doc_id"))
+  }
+
   /** DECLARED streaming ANN ingest — the similarity-search sibling of
     * [[streamDedupMinhash]]: query vectors arrive over three
     * micro-batches, and each batch is answered exactly by

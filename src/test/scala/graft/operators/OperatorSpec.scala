@@ -760,6 +760,30 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(rc >= 0.8, s"LSH config should catch most true near-dups, got $rc")
   }
 
+  test("minhash_pr_planted: planted universe complete; counts consistent; light band recovered") {
+    val rows = TextOps.minhashPrPlanted(spark, sf0001).collect().toSeq
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 2))
+    // planted universe = every %100==7 doc with >= 3 tokens, across bands
+    val expected = graft.sources.Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.expr(
+        "doc_id % 100 = 7 AND size(split(text, ' ')) >= 3"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum == expected)
+    rows.foreach { r =>
+      val (planted, tru, rec, cand, candTrue) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))
+      assert(rec <= tru && tru <= planted, s"band ${r.getLong(0)}: counts inconsistent")
+      assert(candTrue <= cand)
+      if (tru > 0) assert(r.getDouble(4) == rec.toDouble / tru.toDouble) else assert(r.isNullAt(4))
+      if (cand > 0) assert(r.getDouble(7) == candTrue.toDouble / cand.toDouble) else assert(r.isNullAt(7))
+    }
+    // the light band (~1/16 token types dropped, planted J ~ 0.85) must
+    // exist, be all-true, and be fully recovered by the 4x2 LSH here
+    val b0 = rows.find(_.getLong(0) == 0L).get
+    assert(b0.getLong(2) == b0.getLong(1) && b0.getLong(1) > 0)
+    assert(b0.getDouble(4) == 1.0, s"light-band recall ${b0.getDouble(4)} < 1 at sf0.001")
+  }
+
   test("quantile_drift_weekly: 5 types x 3 consecutive weeks; delta identity exact") {
     val rows = EventOps.quantileDriftWeekly(spark, sf0001).collect()
     assert(rows.length == 15)

@@ -537,4 +537,52 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("growing catalog catches a cross-batch dup the static form misses") {
+    // The admission-loop semantics stream_dedup_growing adds: an arrival
+    // duplicating an earlier-ADMITTED arrival from a previous micro-batch
+    // is a dup, where the static-catalog form admits both as 'new'. Drive
+    // the shared kernel exactly as the entry's foreachBatch does — batch 0
+    // admits doc 900004 (text alien to the corpus → admitted 'new'),
+    // batch 1 presents the identical text as doc 900009.
+    val spark2 = spark
+    import spark2.implicits._
+    val alien = "zqa zqb zqc zqd zqe zqf zqg zqh"
+    val b0 = Seq((900004L, alien)).toDF("doc_id", "text")
+    val b1 = Seq((900009L, alien)).toDF("doc_id", "text")
+    val s0 = graft.operators.TextOps.signatures(b0)
+    val s1 = graft.operators.TextOps.signatures(b1)
+    val d0 = graft.operators.TextOps.admitAgainstCatalog(spark, sf0001, b0, s0, None)
+      .collect().toSeq
+    assert(d0.map(r => (r.getLong(0), r.getString(1))) == Seq((900004L, "new")))
+    // static form: batch 1 compared against the UNCHANGED catalog → 'new'
+    val dStatic = graft.operators.TextOps.admitAgainstCatalog(spark, sf0001, b1, s1, None)
+      .collect().toSeq
+    assert(dStatic.map(r => (r.getLong(0), r.getString(1))) == Seq((900009L, "new")),
+      "static catalog unexpectedly knows the first-batch arrival")
+    // growing form: batch 0's admitted doc joined the catalog → 'dup'
+    val extra = b0.join(s0, Seq("doc_id"))
+    val dGrow = graft.operators.TextOps.admitAgainstCatalog(spark, sf0001, b1, s1, Some(extra))
+      .collect().toSeq
+    assert(dGrow.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))) ==
+      Seq((900009L, "dup", 1L, 900004L)))
+  }
+
+  test("stream_dedup_growing vs static: dup decisions grow monotonically") {
+    // On any slice the growing form can only ADD dup verdicts relative to
+    // the static form (its catalog is a superset at every trigger):
+    // status flips are new→dup only, n_near_dups never decreases, and a
+    // shared dup's best_match can only move down (min over a larger set).
+    val g = graft.streaming.StreamingEntry.streamDedupGrowing(spark, sf0001)
+      .collect().toSeq.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val s = graft.streaming.StreamingEntry.streamDedupMinhash(spark, sf0001)
+      .collect().toSeq.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(g.keySet == s.keySet && g.nonEmpty)
+    g.keySet.foreach { id =>
+      val (gs, gn, gb) = g(id); val (ss, sn, sb) = s(id)
+      if (ss == "dup") assert(gs == "dup", s"doc $id: growing lost a static dup")
+      assert(gn >= sn, s"doc $id: n_near_dups shrank $sn -> $gn")
+      if (ss == "dup" && gs == "dup") assert(gb <= sb, s"doc $id: best_match rose")
+    }
+  }
 }
