@@ -30,8 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object GenData {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, copiesStr) = args
+    val (srcDir, outDir, copiesStr) = (args(0), args(1), args(2))
     val copies = copiesStr.toInt
+    // optional 4th arg: comma-separated table subset (e.g.
+    // "documents,embeddings" for a doc/vector-axis-only scale probe —
+    // r13's sf100 dedup/ANN band) — empty = all tables
+    val only: Set[String] = args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,7 +50,8 @@ object GenData {
 
     def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
     def write(name: String, df: DataFrame, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      if (only.isEmpty || only(name))
+        df.repartition(files).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     // Dims: fixed, like TPC-H.
     write("region", src("region"), 1)

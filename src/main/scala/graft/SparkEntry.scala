@@ -2846,13 +2846,13 @@ object SparkEntry {
         |arr0 AS (SELECT doc_id FROM documents
         |  WHERE doc_id % 5 = 4 ORDER BY doc_id LIMIT 2000),
         |prm AS (SELECT greatest(1, (count(*) + 2) // 3) AS c FROM arr0),
-        |bat AS (SELECT doc_id,
+        |bat AS MATERIALIZED (SELECT doc_id,
         |    (row_number() OVER (ORDER BY doc_id) - 1) // c AS b
         |  FROM arr0, prm),
-        |sh0 AS (SELECT doc_id, shingle
+        |sh0 AS MATERIALIZED (SELECT doc_id, shingle
         |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
-        |g AS (SELECT doc_id,
+        |g AS MATERIALIZED (SELECT doc_id,
         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
         |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
         |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
@@ -2862,44 +2862,52 @@ object SparkEntry {
         |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
         |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
         |  FROM sh0 GROUP BY doc_id),
-        |sig AS (
+        |sig AS MATERIALIZED (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS sig FROM g
         |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
         |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
         |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS cat_id,
-        |    bx.b AS bx, byt.b AS by_b
-        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        |asig AS MATERIALIZED (SELECT s.doc_id, s.band, s.sig, bx.b
+        |  FROM sig s JOIN bat bx ON s.doc_id = bx.doc_id),
+        |bsig AS MATERIALIZED (SELECT s.doc_id, s.band, s.sig, byt.b AS by_b
+        |  FROM sig s LEFT JOIN bat byt ON s.doc_id = byt.doc_id
+        |  WHERE s.doc_id % 5 <> 4 OR byt.doc_id IS NOT NULL),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS cat_id,
+        |    a.b AS bx, b.by_b
+        |  FROM asig a JOIN bsig b ON a.band = b.band AND a.sig = b.sig
         |    AND a.doc_id <> b.doc_id
-        |  JOIN bat bx ON a.doc_id = bx.doc_id
-        |  LEFT JOIN bat byt ON b.doc_id = byt.doc_id
-        |  WHERE b.doc_id % 5 <> 4 OR (byt.b IS NOT NULL AND byt.b < bx.b)),
-        |shd AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
-        |inter AS (SELECT c.doc_id, c.cat_id, count(*) AS n_inter
-        |  FROM cand c JOIN shd a ON c.doc_id = a.doc_id
+        |  WHERE b.by_b IS NULL OR b.by_b < a.b),
+        |shd AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh0),
+        |bshd AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM shd s JOIN bat USING (doc_id)),
+        |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        |inter AS MATERIALIZED (SELECT c.doc_id, c.cat_id, count(*) AS n_inter
+        |  FROM cand c JOIN bshd a ON c.doc_id = a.doc_id
         |  JOIN shd b ON c.cat_id = b.doc_id AND a.shingle = b.shingle
         |  GROUP BY c.doc_id, c.cat_id),
-        |ver AS (SELECT c.doc_id, c.cat_id, c.bx, c.by_b
+        |ver AS MATERIALIZED (SELECT c.doc_id, c.cat_id, c.bx, c.by_b
         |  FROM cand c
         |  LEFT JOIN inter i ON c.doc_id = i.doc_id AND c.cat_id = i.cat_id
         |  JOIN cnt na ON c.doc_id = na.doc_id
         |  JOIN cnt nb ON c.cat_id = nb.doc_id
         |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
         |    / CAST(na.n_sh + nb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) >= 0.5),
-        |d0 AS (SELECT a.doc_id, count(v.cat_id) AS nd, min(v.cat_id) AS bm
+        |d0 AS MATERIALIZED (SELECT a.doc_id, count(v.cat_id) AS nd, min(v.cat_id) AS bm
         |  FROM bat a LEFT JOIN ver v ON a.doc_id = v.doc_id AND v.by_b IS NULL
         |  WHERE a.b = 0 GROUP BY a.doc_id),
-        |adm0 AS (SELECT doc_id FROM d0 WHERE nd = 0),
-        |d1 AS (SELECT a.doc_id, count(v.cat_id) AS nd, min(v.cat_id) AS bm
-        |  FROM bat a LEFT JOIN ver v ON a.doc_id = v.doc_id
-        |    AND (v.by_b IS NULL OR v.cat_id IN (SELECT doc_id FROM adm0))
+        |adm0 AS MATERIALIZED (SELECT doc_id FROM d0 WHERE nd = 0),
+        |v1 AS MATERIALIZED (SELECT v.doc_id, v.cat_id FROM ver v
+        |  LEFT JOIN adm0 q ON v.cat_id = q.doc_id
+        |  WHERE v.by_b IS NULL OR q.doc_id IS NOT NULL),
+        |d1 AS MATERIALIZED (SELECT a.doc_id, count(v.cat_id) AS nd, min(v.cat_id) AS bm
+        |  FROM bat a LEFT JOIN v1 v ON a.doc_id = v.doc_id
         |  WHERE a.b = 1 GROUP BY a.doc_id),
-        |adm1 AS (SELECT doc_id FROM d1 WHERE nd = 0),
-        |d2 AS (SELECT a.doc_id, count(v.cat_id) AS nd, min(v.cat_id) AS bm
-        |  FROM bat a LEFT JOIN ver v ON a.doc_id = v.doc_id
-        |    AND (v.by_b IS NULL OR v.cat_id IN (
-        |      SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1))
+        |adm1 AS MATERIALIZED (SELECT doc_id FROM d1 WHERE nd = 0),
+        |adm01 AS MATERIALIZED (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1),
+        |v2 AS MATERIALIZED (SELECT v.doc_id, v.cat_id FROM ver v
+        |  LEFT JOIN adm01 q ON v.cat_id = q.doc_id
+        |  WHERE v.by_b IS NULL OR q.doc_id IS NOT NULL),
+        |d2 AS MATERIALIZED (SELECT a.doc_id, count(v.cat_id) AS nd, min(v.cat_id) AS bm
+        |  FROM bat a LEFT JOIN v2 v ON a.doc_id = v.doc_id
         |  WHERE a.b = 2 GROUP BY a.doc_id),
         |alls AS (SELECT * FROM d0
         |  UNION ALL SELECT * FROM d1
@@ -3475,16 +3483,16 @@ object SparkEntry {
       """WITH pr0 AS (SELECT doc_id AS src_id, (doc_id // 100) % 3 AS band,
         |    string_split(text, ' ') AS t
         |  FROM documents WHERE doc_id % 100 = 7),
-        |pr AS (SELECT src_id, band, src_id + 1000000000000 AS probe_id,
+        |pr AS MATERIALIZED (SELECT src_id, band, src_id + 1000000000000 AS probe_id,
         |    list_filter(t, tok -> md5('e:' || tok) >=
         |      CASE WHEN band = 0 THEN '1' WHEN band = 1 THEN '18' ELSE '2' END) AS m
         |  FROM pr0),
-        |psh AS (SELECT DISTINCT probe_id, shingle
+        |psh AS MATERIALIZED (SELECT DISTINCT probe_id, shingle
         |  FROM pr, UNNEST(list_transform(generate_series(1, len(m) - 2),
         |    i -> m[i] || ' ' || m[i + 1] || ' ' || m[i + 2])) AS u(shingle)
         |  WHERE len(m) >= 3),
-        |pcnt AS (SELECT probe_id, count(*) AS n_p FROM psh GROUP BY probe_id),
-        |pg AS (SELECT probe_id,
+        |pcnt AS MATERIALIZED (SELECT probe_id, count(*) AS n_p FROM psh GROUP BY probe_id),
+        |pg AS MATERIALIZED (SELECT probe_id,
         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
         |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
         |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
@@ -3494,17 +3502,17 @@ object SparkEntry {
         |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
         |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
         |  FROM psh GROUP BY probe_id),
-        |psig AS (
+        |psig AS MATERIALIZED (
         |  SELECT probe_id, 0 AS lsh_band, s0 || s1 AS sig FROM pg
         |  UNION ALL SELECT probe_id, 1, s2 || s3 FROM pg
         |  UNION ALL SELECT probe_id, 2, s4 || s5 FROM pg
         |  UNION ALL SELECT probe_id, 3, s6 || s7 FROM pg),
         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
-        |shl AS (SELECT doc_id, shingle
+        |shl AS MATERIALIZED (SELECT doc_id, shingle
         |  FROM tok, UNNEST(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(shingle)),
-        |g AS (SELECT doc_id,
+        |g AS MATERIALIZED (SELECT doc_id,
         |    min(substr(md5('mh0:' || shingle), 1, 16)) AS s0,
         |    min(substr(md5('mh0:' || shingle), 17, 16)) AS s1,
         |    min(substr(md5('mh1:' || shingle), 1, 16)) AS s2,
@@ -3514,30 +3522,32 @@ object SparkEntry {
         |    min(substr(md5('mh3:' || shingle), 1, 16)) AS s6,
         |    min(substr(md5('mh3:' || shingle), 17, 16)) AS s7
         |  FROM shl GROUP BY doc_id),
-        |sig AS (
+        |sig AS MATERIALIZED (
         |  SELECT doc_id, 0 AS lsh_band, s0 || s1 AS sig FROM g
         |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM g
         |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM g
         |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM g),
-        |cand AS (SELECT DISTINCT p.probe_id, c.doc_id AS cat_id
+        |cand AS MATERIALIZED (SELECT DISTINCT p.probe_id, c.doc_id AS cat_id
         |  FROM psig p JOIN sig c ON p.lsh_band = c.lsh_band AND p.sig = c.sig),
-        |shd AS (SELECT DISTINCT doc_id, shingle FROM shl),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
-        |interc AS (SELECT c.probe_id, c.cat_id, count(*) AS n_inter
+        |shd AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM shl),
+        |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        |interc AS MATERIALIZED (SELECT c.probe_id, c.cat_id, count(*) AS n_inter
         |  FROM cand c JOIN psh a ON c.probe_id = a.probe_id
         |  JOIN shd b ON c.cat_id = b.doc_id AND a.shingle = b.shingle
         |  GROUP BY 1, 2),
-        |candv AS (SELECT c.probe_id, c.cat_id, coalesce(i.n_inter, 0) AS n_inter,
+        |candv AS MATERIALIZED (SELECT c.probe_id, c.cat_id, coalesce(i.n_inter, 0) AS n_inter,
         |    pc.n_p, cc.n_sh AS n_c
         |  FROM cand c
         |  LEFT JOIN interc i ON c.probe_id = i.probe_id AND c.cat_id = i.cat_id
         |  JOIN pcnt pc ON c.probe_id = pc.probe_id
         |  JOIN cnt cc ON c.cat_id = cc.doc_id),
-        |interp AS (SELECT a.probe_id, count(*) AS n_inter
+        |sshd AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM shd s
+        |  JOIN (SELECT DISTINCT src_id FROM pr) u ON s.doc_id = u.src_id),
+        |interp AS MATERIALIZED (SELECT a.probe_id, count(*) AS n_inter
         |  FROM psh a JOIN pr p ON a.probe_id = p.probe_id
-        |  JOIN shd b ON b.doc_id = p.src_id AND b.shingle = a.shingle
+        |  JOIN sshd b ON b.doc_id = p.src_id AND b.shingle = a.shingle
         |  GROUP BY 1),
-        |planted AS (SELECT p.probe_id, p.src_id, p.band,
+        |planted AS MATERIALIZED (SELECT p.probe_id, p.src_id, p.band,
         |    coalesce(ip.n_inter, 0) AS n_inter,
         |    coalesce(pc.n_p, 0) AS n_p, cc.n_sh AS n_c
         |  FROM pr p

@@ -31,6 +31,10 @@ object SpillExperiment {
     // while an AQE broadcast build is a hard OOM — capping the threshold
     // flips those joins to SMJ, which spills instead.
     val bcast = sys.env.getOrElse("GRAFT_BROADCAST_THRESHOLD", "10485760")
+    // r13: optional extra pressure — shrink the unified-memory region so
+    // execution memory starves even under a roomier heap (the r12 verdict's
+    // spill prescription for the exchange-heavy dedup/ANN band)
+    val memFraction = sys.env.getOrElse("GRAFT_MEMORY_FRACTION", "0.6")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
@@ -40,6 +44,7 @@ object SpillExperiment {
       .config("spark.sql.files.minPartitionNum", "1")
       .config("spark.sql.autoBroadcastJoinThreshold", bcast)
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
+      .config("spark.memory.fraction", memFraction)
       .getOrCreate()
 
     val memSpilled = new java.util.concurrent.atomic.AtomicLong
@@ -54,7 +59,20 @@ object SpillExperiment {
       }
     })
 
-    val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    // r13: GRAFT_SPILL_BAND=dedup runs the exchange-heaviest dedup/ANN
+    // plans instead (the shuffle-hash rescore pins from the sf10 OOM fix
+    // made these the most exchange-intensive subplans in the repo); their
+    // results are written to GRAFT_SPILL_OUT for value-equality comparison
+    // against an unforced Verify run — "completes" is not enough, the
+    // spilled plans must MATCH.
+    val band = sys.env.getOrElse("GRAFT_SPILL_BAND", "relational")
+    val outDir = sys.env.get("GRAFT_SPILL_OUT")
+    val dedupQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "dedup_docs_minhash" -> operators.TextOps.dedupDocsMinhash _,
+      "jaccard_join_exact" -> operators.TextOps.jaccardJoinExact _,
+      "embedding_near_dup" -> operators.VectorOps.embeddingNearDup _,
+      "semdedup_decisions" -> operators.VectorOps.semdedupDecisions _)
+    val relationalQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "q1_pricing_summary" -> operators.Relational.q1PricingSummary _,
       "join_nation_revenue" -> operators.Relational.joinNationRevenue _,
       "q3_top_orders" -> operators.Relational.q3TopOrders _,
@@ -71,12 +89,18 @@ object SpillExperiment {
       "table_profile_lineitem" -> operators.Relational.tableProfileLineitem _,
       "band_join_auto" -> operators.EventOps.bandJoinAuto _,
       "mad_outliers" -> operators.EventOps.madOutliers _)
+    val queries = if (band == "dedup") dedupQueries else relationalQueries
 
     var totalSec = 0.0
     val lines = queries.map { case (name, q) =>
       memSpilled.set(0); diskSpilled.set(0)
       val t0 = System.nanoTime()
-      val n = q(spark, sfDir).collect().length
+      val n = outDir match {
+        case Some(dir) =>
+          q(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+          spark.read.parquet(s"$dir/$name").count().toInt
+        case None => q(spark, sfDir).collect().length
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are posted async; drain before reading counters
       org.apache.spark.sql.graftbridge.GraftListenerBridge.drain(spark.sparkContext)

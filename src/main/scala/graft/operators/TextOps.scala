@@ -215,16 +215,24 @@ object TextOps {
       bpeTrainRun(spark, sfDir)
     }.orderBy(col("rank"))
 
-  private def bpeTrainRun(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val rounds = 8
-    val vocab = Tables.documents(spark, sfDir)
+  /** The (count, symbol-sequence) vocabulary table every BPE round
+    * iterates over — the corpus collapsed ONCE to distinct [a-z0-9]+
+    * words. Shared by [[bpeTrainRun]] and BpeFloorExperiment (the
+    * stage_bpe cost-attribution probe).
+    */
+  private[graft] def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .filter(col("lang") === "en")
       .select(explode(tokens).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), filter(split(col("w"), ""), s => length(s) > 0).as("syms"))
+
+  private def bpeTrainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rounds = 8
+    val vocab = bpeVocab(spark, sfDir)
     // Exactly ONE Spark action per round (the argmax collect): round r's
     // table is persist()ed lazily and MATERIALIZES inside round r+1's
     // argmax job, so the cache still bounds lineage to one round's fold —
