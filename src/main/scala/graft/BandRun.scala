@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-band driver: run a named subset of SparkEntry.queries against an
+  * arbitrary fixture and force full execution with count() instead of
+  * Verify's coalesce(1) parquet write — at probe scales (r13: the 1000×
+  * doc/vector-axis sf100 fixture) some outputs are tens of GB
+  * (jaccard_join_exact's pair table), and funneling that through one
+  * write task measures the harness, not the plan. count() executes every
+  * exchange/join/aggregate of the plan; the row count and wall seconds
+  * per key are the completion evidence EXPERIMENTS.md tables record.
+  *
+  * Usage: runMain graft.BandRun <sfDir> <key> [key ...]
+  */
+object BandRun {
+  def main(args: Array[String]): Unit = {
+    // NO tmpfs scratch here (unlike Verify): probe-scale spills are tens
+    // of GB and belong on disk — the first sf100 drive OOM-killed the JVM
+    // with /dev/shm spill stacked on top of the heap
+    val sfDir = args(0)
+    val keys = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    keys.foreach { k =>
+      val t0 = System.nanoTime()
+      val line = try {
+        val n = SparkEntry.queries(k)(spark, sfDir).count()
+        f"""{"query":"$k","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}"""
+      } catch {
+        case e: Throwable =>
+          val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}").take(2).mkString(" <- ")
+          s"""{"query":"$k","err":"${causes.replace("\"", "'").take(300)}"}"""
+      }
+      println(s"[band] $line")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming-ingest load scaling (r12 verdict task: the declared
+  * stream_dedup_minhash / stream_ann_topk entries ride bounded 2000-row
+  * harness slices — measure how the PER-TRIGGER cost actually grows with
+  * |batch|, the claimed contract of SCALING.md's ingest section).
+  *
+  * Times the exact foreachBatch bodies the streaming entries run —
+  * [[graft.operators.TextOps.admitAgainstCatalog]] (signatures computed
+  * on the arriving rows, banded batch × STAGED-catalog join, exact verify
+  * on implicated docs) and cos_topk's broadcast-queries kernel — at
+  * doubling batch sizes against the same standing catalog/corpus. The
+  * MemoryStream plumbing is deliberately excluded: it is harness, its
+  * cost is per-trigger-constant, and the production contract is about the
+  * admission JOIN's growth, which these bodies are.
+  *
+  * Usage: runMain graft.IngestLoadExperiment [sfDir] [maxDocs]
+  */
+object IngestLoadExperiment {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxDocs = args.lift(1).map(_.toInt).getOrElse(16000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.minPartitionNum", "1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(body: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = body; (n, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // the standing assets a production ingest maintains: staged signature
+    // catalog (dedup) — built once, untimed, like the entries do
+    graft.operators.TextOps.stageDedupInputs(spark, sfDir)
+
+    val arrivals = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+    val available = arrivals.count()
+
+    println(s"== dedup admission per-trigger cost, sf=$sfDir, catalog staged, " +
+      s"${available} arrival docs available ==")
+    println(f"${"batch"}%8s ${"decisions"}%10s ${"dups"}%6s ${"sec"}%8s ${"sec/1k"}%8s")
+    var size = 500
+    while (size <= maxDocs && size <= available * 2) {
+      val n = math.min(size.toLong, available).toInt
+      val batch = arrivals.limit(n)
+      val sigs = graft.operators.TextOps.signatures(batch)
+      val (dups, t) = timed {
+        val d = graft.operators.TextOps
+          .admitAgainstCatalog(spark, sfDir, batch, sigs)
+          .groupBy(col("status")).agg(count(lit(1)).as("c"))
+          .collect()
+        d.find(_.getString(0) == "dup").map(_.getLong(1)).getOrElse(0L)
+      }
+      println(f"$n%8d ${n}%10d $dups%6d $t%8.2f ${t * 1000 / n}%8.3f")
+      size *= 2
+    }
+
+    // ANN sibling: per-trigger cost = one corpus scan x |batch| broadcast
+    // queries (the stream_ann_topk body)
+    val queries = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+    println(s"== ann top-k per-trigger cost (broadcast queries x corpus scan) ==")
+    println(f"${"batch"}%8s ${"answers"}%10s ${"sec"}%8s ${"sec/query"}%10s")
+    Seq(50, 100, 200, 400).foreach { q =>
+      val batch = queries.limit(q)
+      val (rows, t) = timed {
+        graft.operators.VectorOps.topkForQueries(spark, sfDir, batch).count()
+      }
+      println(f"$q%8d $rows%10d $t%8.2f ${t / q}%10.4f")
+    }
+    spark.stop()
+  }
+}

@@ -4225,7 +4225,7 @@ object SparkEntry {
     // per-slice sign strings built by duckSig.
     "embedding_near_dup" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |n AS (SELECT GREATEST(4, LEAST(14, length(bin(count(*))) - 1 - 6)) AS b FROM e),
+         |n AS (SELECT GREATEST(4, LEAST(16, length(bin(count(*))) - 1 - 6)) AS b FROM e),
          |s AS (SELECT vec_id, ${duckSig(0)} AS g0, ${duckSig(16)} AS g1,
          |    ${duckSig(32)} AS g2, ${duckSig(48)} AS g3 FROM e),
          |k AS (SELECT vec_id, band, substr(sig, 1, (SELECT b FROM n)) AS key FROM (
@@ -4246,7 +4246,7 @@ object SparkEntry {
     // tie-break) earlier near-dup, everything undominated is kept.
     "semdedup_decisions" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |n AS (SELECT GREATEST(4, LEAST(14, length(bin(count(*))) - 1 - 6)) AS b FROM e),
+         |n AS (SELECT GREATEST(4, LEAST(16, length(bin(count(*))) - 1 - 6)) AS b FROM e),
          |s AS (SELECT vec_id, ${duckSig(0)} AS g0, ${duckSig(16)} AS g1,
          |    ${duckSig(32)} AS g2, ${duckSig(48)} AS g3 FROM e),
          |k AS (SELECT vec_id, band, substr(sig, 1, (SELECT b FROM n)) AS key FROM (

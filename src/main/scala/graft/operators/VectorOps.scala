@@ -91,7 +91,7 @@ object VectorOps {
     * in both engines, no libm log.
     */
   private[operators] def nearDupBits(n: Long): Int =
-    math.max(4, math.min(14, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 6))
+    math.max(4, math.min(16, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 6))
 
   /** 64-char sign signature of all dims — each band's join key is a B-char
     * substring of its 16-char slice. Exact float-vs-zero comparisons are
@@ -135,34 +135,42 @@ object VectorOps {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val bBits = nearDupBits(Tables.rowCount(spark, sfDir, "embeddings"))
     val keys = emb
-      .select(col("vec_id"), signSig64.as("sig"))
-      .select(col("vec_id"), explode(array((0 until 4).map(i =>
+      .select(col("vec_id"), col("embedding"), signSig64.as("sig"))
+      .select(col("vec_id"), col("embedding"), explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           substring(col("sig"), i * 16 + 1, bBits).as("key"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = keys
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // Pairs AND their exact rescore are emitted map-side inside the bucket
+    // explode: each bucket's sorted (id, vector) list computes the dot for
+    // its own pairs and drops sub-threshold ones before anything reaches
+    // an exchange. The ONLY corpus-scale shuffle is therefore the (band,
+    // key) bucketing — 4 rows per vector, linear in n — and pair-sized
+    // data never ships. (The previous shape exchanged the candidate-pair
+    // relation through two SHUFFLE_HASH rescore joins — linear-in-PAIRS,
+    // which the r13 sf100 probe measured filling 71 GB of shuffle disk at
+    // 2 M vectors: with bucket occupancy pinned ~2^6 by nearDupBits, pairs
+    // ≈ 2·n·occupancy, and each pair carried two 64-float vectors. The
+    // vector table must still never broadcast; now it never re-joins at
+    // all.) A pair colliding in k ≤ 4 bands computes its dot k times
+    // map-side — cheaper than exchanging it even once — and the final
+    // distinct() dedups survivors only. Skew note: a bucket of identical
+    // vectors holds its members' vectors in one aggregation row (~264 B
+    // each); mass-identical clusters belong to exact dedup upstream, and
+    // the size-adaptive key keeps uniform occupancy ~2^6.
+    keys
       .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("xs"))
+      .filter(size(col("xs")) > 1)
       .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS v1, y AS v2))))"))
+        "flatten(transform(xs, (x, i) -> " +
+          "filter(transform(slice(xs, i + 2, size(xs)), y -> " +
+          "struct(x.vec_id AS v1, y.vec_id AS v2, " +
+          "round(dot_f32(x.embedding, y.embedding), 6) AS sim)), " +
+          "p -> p.sim >= 0.3)))"))
         .as("p"))
-      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"), col("p.sim").as("sim"))
       .distinct()
-    // The vector table must NEVER broadcast: its in-memory row form is
-    // several times its parquet footprint (64 floats + Row overhead), and
-    // at catalog scale no driver holds it. SHUFFLE_HASH pins both rescore
-    // joins to shuffled hash joins keyed on the 8-byte ids — candidate ids
-    // and vectors exchange, nothing builds on the driver. (Found the hard
-    // way: the sf10 campaign OOMed the driver broadcasting the 200k-row
-    // table; small-SF plans were identical either way.)
-    cand
-      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")).hint("shuffle_hash"), "v1")
-      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")).hint("shuffle_hash"), "v2")
-      .withColumn("sim", round(expr("dot_f32(e1, e2)"), 6))
-      .filter(col("sim") >= 0.3)
-      .select(col("v1"), col("v2"), col("sim"))
   }
 
   /** V+: SemDeDup-style keep/drop DECISIONS over the [[embeddingNearDup]]

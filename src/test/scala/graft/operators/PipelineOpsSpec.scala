@@ -408,11 +408,13 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.subsetOf(brute))
     assert(brute.nonEmpty && got.size.toDouble / brute.size > 0.30,
       s"recall ${got.size.toDouble / brute.size} over ${brute.size} true pairs")
-    // The width knob: ⌊log₂ n⌋ − 6 clamped to [4, 14] pins expected
-    // bucket occupancy near 2^6 across decades of n.
+    // The width knob: ⌊log₂ n⌋ − 6 clamped to [4, 16] pins expected
+    // bucket occupancy near 2^6 across decades of n (16 = the full sign
+    // entropy of a band's 16-dim slice; raised from 14 in r13 when the
+    // sf100 probe showed the clamp doubling occupancy at 2M vectors).
     assert(VectorOps.nearDupBits(500L) == 4)
     assert(VectorOps.nearDupBits(20000L) == 8)
-    assert(VectorOps.nearDupBits(100000000L) == 14)
+    assert(VectorOps.nearDupBits(100000000L) == 16)
   }
 
   test("split_no_leakage: deterministic; near-dup clusters never straddle splits; masses sane") {

@@ -364,15 +364,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!rewrite.contains("Exchange"), s"compaction must not shuffle:\n$rewrite")
   }
 
-  test("embedding_near_dup: one signature scan (bucket groupBy), no self-join double-sign") {
+  test("embedding_near_dup: ONE embedding scan, map-side in-bucket rescore, no pair exchange") {
     val p = plan(VectorOps.embeddingNearDup(spark, sf0001))
-    // r10 shape: candidates come from ONE grouped aggregation over the
-    // signature projection — the r9 self-join computed the 64-CASE
-    // signature once per join side (two scans of embeddings before the
-    // rescore; now exactly the 1 + the 2 rescore fetches)
+    // r13 shape: buckets carry (id, vector) structs and emit scored,
+    // threshold-filtered pairs inside the bucket explode — the rescore
+    // joins are GONE (their pair-sized exchange filled 71 GB of shuffle
+    // disk at the sf100 probe), so exactly one scan of embeddings feeds
+    // exactly one corpus-scale exchange (the (band, key) bucketing).
     val scans = p.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("embedding"))
-    assert(scans <= 3, s"expected <= 3 embedding scans (1 sign + 2 rescore), got $scans:\n$p")
+    assert(scans == 1, s"expected exactly 1 embedding scan (bucketing carries vectors), got $scans:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"), s"pair relation must not re-join the vector table:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
 
