@@ -111,24 +111,30 @@ object VectorOps {
     * pairs map-side (the token_cooccurrence pattern) — never a crossJoin,
     * and never the self-join that would compute the signature projection
     * twice (the r9 plan scanned + signed the table once per join side; this
-    * one does it once total, r10). Pairs are deduped across bands, then
-    * exact-rescored and thresholded. Recall per the rplsh (L,B) calculus: a
-    * pair at angle θ agrees per bit w.p. 1 − θ/π, so union-over-4-bands
-    * recall at the fixture's B=4 is ≈ 1 − (1 − p⁴)⁴ (spec-pinned floor
-    * 0.30 vs the brute-force oracle); B grows with n, concentrating the
-    * budget on the high-sim pairs a near-dup pass is for. Scale posture:
-    * n comes from parquet footer metadata ([[Tables.rowCount]] — no sizing
-    * job), bucket occupancy is pinned near 2^6 by [[nearDupBits]] so
-    * per-bucket pair emission is bounded, and the rescore joins ship only
-    * candidate ids back to the 64-float vectors.
+    * one does it once total, r10). Since r13, the exact rescore also
+    * happens INSIDE the bucket emission: buckets carry (id, vector)
+    * structs, the dot computes map-side, sub-threshold pairs die before
+    * any exchange — the r13 sf100 probe measured the old rescore-join
+    * shape (pair relation × vector table, ~2·n·occupancy pairs each
+    * carrying two 64-float vectors) filling 71 GB of shuffle disk at 2 M
+    * vectors. Survivor pairs are deduped across bands. Recall per the
+    * rplsh (L,B) calculus: a pair at angle θ agrees per bit w.p. 1 − θ/π,
+    * so union-over-4-bands recall at the fixture's B=4 is ≈ 1 − (1 − p⁴)⁴
+    * (spec-pinned floor 0.30 vs the brute-force oracle); B grows with n,
+    * concentrating the budget on the high-sim pairs a near-dup pass is
+    * for. Scale posture: n comes from parquet footer metadata
+    * ([[Tables.rowCount]] — no sizing job), bucket occupancy is pinned
+    * near 2^6 by [[nearDupBits]] up to the 16-bit slice-entropy limit,
+    * and the ONLY corpus-scale exchange is the (band, key) bucketing —
+    * 4 rows per vector, linear in n.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
     nearDupScoredPairs(spark, sfDir).orderBy(col("v1"), col("v2"))
 
-  /** The banded-LSH candidate + exact-rescore stage of [[embeddingNearDup]]
-    * without the presentation sort: (v1 < v2, sim ≥ 0.3) pairs. Shared with
-    * [[semdedupDecisions]], which consumes the pair relation rather than
-    * presenting it.
+  /** The banded-LSH bucket + in-bucket exact-rescore stage of
+    * [[embeddingNearDup]] without the presentation sort: (v1 < v2,
+    * sim ≥ 0.3) pairs. Shared with [[semdedupDecisions]], which consumes
+    * the pair relation rather than presenting it.
     */
   private[operators] def nearDupScoredPairs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
