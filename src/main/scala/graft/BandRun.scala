@@ -39,7 +39,10 @@ object BandRun {
         case e: Throwable =>
           val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
             .map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}").take(2).mkString(" <- ")
-          s"""{"query":"$k","err":"${causes.replace("\"", "'").take(300)}"}"""
+          // JSON-safe: quotes, backslashes, and control chars all become
+          // spaces (the harness parses these lines; a raw \ or newline in
+          // an exception message must not produce an invalid line)
+          s"""{"query":"$k","err":"${causes.replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(300)}"}"""
       }
       println(s"[band] $line")
     }

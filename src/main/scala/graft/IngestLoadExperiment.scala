@@ -66,6 +66,42 @@ object IngestLoadExperiment {
       size *= 2
     }
 
+    // Growing-catalog maintenance (r13 verdict task #1): the r13 shape
+    // re-read the FULL catalog/b* glob every trigger and added one dir
+    // per trigger, so per-trigger cost grew with trigger COUNT. Drive the
+    // r14 bucketed+compacted catalog (GrowingCatalog) over 24 triggers of
+    // FIXED batch size and a steady-state catalog (each trigger re-feeds
+    // the same texts under fresh doc_ids, so trigger 0 admits them and
+    // every later trigger resolves them as dups of the trigger-0
+    // admissions — catalog content stops growing, isolating the
+    // trigger-COUNT axis, exactly the axis the old shape degraded on).
+    // Evidence = per-trigger seconds flat from trigger 2 to trigger 23,
+    // and catalog data-file count sawtoothing within O(buckets), not
+    // O(triggers).
+    val growRoot = new java.io.File("target/graft-ingest-growing").getAbsoluteFile
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe); f.delete(): Unit
+    }
+    wipe(growRoot); growRoot.mkdirs()
+    val triggers = args.lift(2).map(_.toInt).getOrElse(24)
+    val perTrigger = 500
+    val feed = arrivals.limit(perTrigger)
+      .select(col("doc_id"), col("text")).cache()
+    feed.count(): Unit
+    println(s"== growing-catalog per-trigger cost over $triggers triggers " +
+      s"($perTrigger docs/trigger, compaction every 4) ==")
+    println(f"${"trigger"}%8s ${"decisions"}%10s ${"sec"}%8s ${"cat_files"}%10s")
+    (0 until triggers).foreach { t =>
+      val batch = feed.select(
+        (col("doc_id") + lit(t.toLong * 10000000L)).as("doc_id"), col("text"))
+      val (n, sec) = timed {
+        graft.streaming.GrowingCatalog.processTrigger(
+          spark, sfDir, growRoot, batch, t.toLong, compactEvery = 4)
+      }
+      println(f"$t%8d $n%10d $sec%8.2f ${graft.streaming.GrowingCatalog.dataFileCount(growRoot)}%10d")
+    }
+    feed.unpersist(): Unit
+
     // ANN sibling: per-trigger cost = one corpus scan x |batch| broadcast
     // queries (the stream_ann_topk body)
     val queries = graft.sources.Tables.embeddings(spark, sfDir)

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tiny dev tool: print the executed plan of one SparkEntry query.
+  * Usage: PlanDump <sfDir> <key>. Kept in-tree because plan-reading is a
+  * per-round protocol step (the bench audit) and sbt is the only compiler
+  * in the environment.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(args(1))(spark, args(0))
+    df.collect(): Unit
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

@@ -84,7 +84,7 @@ object TextOps {
     *  - P(candidate) = 1-(1-J²)⁴ for Jaccard J: exact dups always collide,
     *    random pairs essentially never.
     */
-  private[operators] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
     Materialize.stage(spark, s"minhash_cand_$sfDir", sfDir) {
       val sigs = minhashSignatures(spark, sfDir).selectExpr(
         "doc_id",
@@ -868,6 +868,20 @@ object TextOps {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** V+: LSH quality gate — precision/recall of the banded-MinHash
+    * candidate generator against the EXACT shared-shingle truth set.
+    *
+    * **FIXTURE-BOUND ORACLE (≤ sf1) — do not drive this key's DuckDB
+    * oracle at sf10+.** The truth side enumerates all J ≥ ½ pairs from
+    * the shared-shingle universe; on this ~90%-near-dup fixture corpus
+    * that is cluster-quadratic on BOTH engines, and the r12 sf10 campaign
+    * measured the DuckDB side spilling >80 GB before being killed (the
+    * ENGINE side completed). The scale-proof form of this eval is
+    * [[minhashPrPlanted]] — linear planted truth, oracle-PASS at sf10 —
+    * which is what any 10×+ campaign should run; this key stays declared
+    * as the exact-truth audit at fixture SFs. COVERAGE.md records the
+    * same fence next to the key's row.
+    */
   def minhashPrEval(spark: SparkSession, sfDir: String): DataFrame = {
     val cand = minhashCandidates(spark, sfDir).select(col("doc1"), col("doc2"))
     val sh = shingleRows(Tables.documents(spark, sfDir)).distinct()
@@ -1107,6 +1121,22 @@ object TextOps {
     admitAgainstCatalog(spark, sfDir, batchDocs, batchSigs).orderBy(col("doc_id"))
   }
 
+  /** The LSH band rows of a (doc_id, s0..s7) signature relation:
+    * (doc_id, band ∈ 0..3, sig = the band's concatenated 2-hash slice).
+    * THE band derivation of the near-dup gate — [[admitAgainstCatalog]]
+    * derives both join sides with it, and the growing catalog
+    * ([[graft.streaming.GrowingCatalog]]) stores admitted docs' bands in
+    * exactly this layout, so catalog rows join arrivals with zero
+    * re-derivation and the two can never drift.
+    */
+  private[graft] def signatureBands(sigs: DataFrame): DataFrame = sigs.selectExpr(
+    "doc_id",
+    """stack(4,
+      |  0, concat(s0, s1),
+      |  1, concat(s2, s3),
+      |  2, concat(s4, s5),
+      |  3, concat(s6, s7)) AS (band, sig)""".stripMargin)
+
   /** The shared admission KERNEL of the incremental/streaming near-dup
     * gate: decide dup/new for a batch of arriving documents against the
     * standing catalog (docs with doc_id % 5 != 4, whose staged MinHash
@@ -1124,38 +1154,42 @@ object TextOps {
     * — same deterministic salted-md5 values either way). Output is
     * UNORDERED (doc_id, status, n_near_dups, best_match); callers order.
     *
-    * `extraCatalog` is the GROWING-catalog extension
+    * `extraBands`/`extraDocs` are the GROWING-catalog extension
     * (`stream_dedup_growing`): previously-ADMITTED arrivals that have
-    * joined the standing catalog, as (doc_id, text, s0..s7) rows — their
-    * bands extend the banded-join catalog side and their text extends the
-    * exact-verify side, so a later arrival duplicating an earlier admitted
-    * one IS caught. When the extension's docs also live in the corpus
-    * table (the declared entry's arrivals do), the verify side's
-    * `.distinct()` collapses the duplicated shingle rows, so the union is
-    * harmless. Static-catalog callers pass None and get the
+    * joined the standing catalog — `extraBands` as (doc_id, band, sig)
+    * rows in [[signatureBands]] layout (the band-key-bucketed catalog
+    * asset stores exactly these, so the caller reads the pruned buckets
+    * and passes them through with no re-derivation), `extraDocs` as
+    * (doc_id, text), the exact-verify asset. A later arrival duplicating
+    * an earlier admitted one IS caught. Duplicated rows in either
+    * extension (a retried trigger's delta overlapping an already-compacted
+    * base, or docs that also live in the corpus table) are harmless by
+    * construction: the candidate relation and both shingle sides are
+    * `.distinct()`. Static-catalog callers pass None and get the
     * batching-invariant semantics above.
+    *
+    * Invariant (not caller discipline): a doc is never compared against
+    * ITSELF — the candidate join excludes doc_id = cat_id, so a catalog
+    * that already contains the arriving batch (a micro-batch RETRY after a
+    * prior attempt's catalog append) cannot flip the batch's docs to dups
+    * of themselves.
     */
   private[graft] def admitAgainstCatalog(
       spark: SparkSession, sfDir: String,
       batchDocs: DataFrame, batchSigs: DataFrame,
-      extraCatalog: Option[DataFrame] = None): DataFrame = {
-    def toBands(sigs: DataFrame): DataFrame = sigs.selectExpr(
-      "doc_id",
-      """stack(4,
-        |  0, concat(s0, s1),
-        |  1, concat(s2, s3),
-        |  2, concat(s4, s5),
-        |  3, concat(s6, s7)) AS (band, sig)""".stripMargin)
-    val staticBands = toBands(
+      extraBands: Option[DataFrame] = None,
+      extraDocs: Option[DataFrame] = None): DataFrame = {
+    val staticBands = signatureBands(
       minhashSignatures(spark, sfDir).filter(col("doc_id") % 5 =!= 4))
-    val catBands = extraCatalog match {
+    val catBands = extraBands match {
       case None => staticBands
       case Some(x) => staticBands.unionByName(
-        toBands(x.select((col("doc_id") +: (0 until 8).map(i => col(s"s$i"))): _*)))
+        x.select(col("doc_id"), col("band"), col("sig")))
     }
-    val cand = toBands(batchSigs).as("a")
+    val cand = signatureBands(batchSigs).as("a")
       .join(catBands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("cat_id"))
       .distinct()
     // only implicated docs re-shingle for the exact verify (semi-join
@@ -1164,7 +1198,7 @@ object TextOps {
     val batchSh = shingleRows(
       batchDocs.join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
       .distinct()
-    val catDocs = extraCatalog match {
+    val catDocs = extraDocs match {
       case None => Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
       case Some(x) => Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
         .unionByName(x.select(col("doc_id"), col("text")))
@@ -1289,7 +1323,7 @@ object TextOps {
     *    checkpointed to files and every intermediate unpersisted — callers
     *    get a plain scan, not a leaked cache entry.
     */
-  private[operators] def componentLabels(
+  private[graft] def componentLabels(
       spark: SparkSession,
       pairDf: DataFrame,
       smallLimit: Long = 1000000L): DataFrame = {

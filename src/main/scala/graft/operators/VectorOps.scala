@@ -93,6 +93,16 @@ object VectorOps {
   private[operators] def nearDupBits(n: Long): Int =
     math.max(4, math.min(16, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 6))
 
+  /** Degenerate-bucket fence for the in-bucket rescore: an LSH bucket
+    * with more members than this (64× the ~2^6 occupancy [[nearDupBits]]
+    * pins) is excluded from pair emission — it can only arise from
+    * mass-identical/near-zero vectors, which are exact-dedup's job
+    * upstream, and without the fence one such bucket buffers all member
+    * vectors in a single aggregation row (unbounded) and emits O(m²)
+    * pairs. 4096 members ≈ 1 MB/row buffered, ≤ 8.4 M map-side pairs.
+    */
+  private[operators] val NearDupBucketCap = 4096L
+
   /** 64-char sign signature of all dims — each band's join key is a B-char
     * substring of its 16-char slice. Exact float-vs-zero comparisons are
     * engine-portable (no arithmetic), and building the whole signature in
@@ -160,14 +170,25 @@ object VectorOps {
     // vector table must still never broadcast; now it never re-joins at
     // all.) A pair colliding in k ≤ 4 bands computes its dot k times
     // map-side — cheaper than exchanging it even once — and the final
-    // distinct() dedups survivors only. Skew note: a bucket of identical
-    // vectors holds its members' vectors in one aggregation row (~264 B
-    // each); mass-identical clusters belong to exact dedup upstream, and
-    // the size-adaptive key keeps uniform occupancy ~2^6.
+    // distinct() dedups survivors only. Skew fence (r14): a bucket of
+    // identical vectors would hold its members' vectors in one
+    // aggregation row (~264 B each) and emit O(m²) pairs — so buckets
+    // over NearDupBucketCap (64× the ~2^6 design occupancy; caps the
+    // buffer at ~1 MB/row) are EXCLUDED before the collect_list, by a
+    // count over the same (band, key) grouping. Both the count and the
+    // list aggregate hang off the SAME exchange of `keys` (ReusedExchange
+    // — pinned in PlanAuditSpec: still one scan, one corpus-scale
+    // shuffle), so the fence costs no extra pass. Mass-identical clusters
+    // belong to exact dedup upstream (dedup_docs_exact's contract), and
+    // the size-adaptive key keeps honest occupancy ~2^6 — the cap is the
+    // FuzzyBlockCap-style degenerate-input fence, not a tuning knob.
     keys
+      .join(
+        keys.groupBy(col("band"), col("key")).agg(count(lit(1)).as("n_bkt")),
+        Seq("band", "key"))
+      .filter(col("n_bkt").between(2, NearDupBucketCap))
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("xs"))
-      .filter(size(col("xs")) > 1)
       .select(explode(expr(
         "flatten(transform(xs, (x, i) -> " +
           "filter(transform(slice(xs, i + 2, size(xs)), y -> " +
@@ -355,7 +376,8 @@ object VectorOps {
     */
   private[graft] def cosTopkRplshTuned(
       spark: SparkSession, sfDir: String,
-      L: Int, B: Int, probeBits: Int, pairBits: Int = 0): DataFrame = {
+      L: Int, B: Int, probeBits: Int, pairBits: Int = 0,
+      nQueries: Int = 50): DataFrame = {
     graft.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
     val dims = emb.select(size(col("embedding")).as("d")).first().getInt(0)
@@ -378,7 +400,7 @@ object VectorOps {
     // probe set can be QUERY-DIRECTED — broadcast-side rows only, the
     // corpus side computes exactly L signatures and never shuffles
     val q =
-      if (probeBits == 0) signed(emb.filter(col("vec_id") < 50), "q_id", "q_emb")
+      if (probeBits == 0) signed(emb.filter(col("vec_id") < nQueries), "q_id", "q_emb")
       else {
         val perTbl = array((0 until L).map { l =>
           val dots = array((0 until B).map(j =>
@@ -404,7 +426,7 @@ object VectorOps {
               s" ^ shiftleft(1, element_at(low, $j)) AS INT)"
             s"array(${combos.mkString(", ")})"
           }
-        emb.filter(col("vec_id") < 50)
+        emb.filter(col("vec_id") < nQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
           .select(col("q_id"), col("q_emb"), posexplode(perTbl).as(Seq("tbl", "sd")))
           // bit indexes ranked by |margin| ascending (ties -> lower bit)

@@ -543,15 +543,26 @@ object StreamingEntry {
     * Structured Streaming, which keeps decisions deterministic given the
     * batch split and lets DuckDB replay the three batches as sequential
     * CTEs (batch b admits against static ∪ admitted₀..b₋₁) for a full
-    * hash oracle. Appends are batchId-keyed parquet (overwrite per
-    * batch), so a micro-batch RETRY rewrites rather than double-appends —
-    * the same idempotence contract as the decision sink.
+    * hash oracle. The catalog is a MAINTAINED asset
+    * ([[GrowingCatalog]], r14): admitted band rows live in a
+    * band-key-BUCKETED layout (compacted base partitioned by
+    * `pmod(xxhash64(band, sig), 64)` + per-trigger deltas, folded every 2
+    * triggers), so each admission reads only the partitions matching the
+    * arriving batch's own band keys and catalog file count stays
+    * O(buckets), not O(triggers). Every catalog row carries the trigger
+    * id that admitted it (`src_b`) and admission filters `src_b <
+    * batchId`, so a micro-batch RETRY — even one that already appended
+    * and compacted — admits against exactly the pre-batch catalog and
+    * reproduces its first attempt's decisions; all sinks are
+    * batchId-keyed overwrites (rewrite, never double-append).
     *
     * Scale posture: identical per-trigger economics to the static form —
     * banded batch × catalog join, exact verify on implicated docs only —
-    * plus one |admitted|-row append per trigger; the catalog side is the
-    * standing signature asset a production ingest maintains anyway, and
-    * its growth is exactly the corpus' growth.
+    * plus one |admitted|-row delta append per trigger and an
+    * O(catalog)/K amortized compaction fold (the local-parquet stand-in
+    * for a table format's size-tiered rewrite). Per-trigger cost is flat
+    * in trigger COUNT — measured over 24 triggers in
+    * [[graft.IngestLoadExperiment]].
     */
   def streamDedupGrowing(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -568,25 +579,9 @@ object StreamingEntry {
       val q = stream.toDF()
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          val ss = batch.sparkSession
-          val docs = batch.select(col("doc_id"), col("text"))
-          val sigs = graft.operators.TextOps.signatures(docs)
-          val catGlob = new java.io.File(base, "catalog/b*").getPath
-          val extra =
-            if (batchId == 0L) None
-            else Some(ss.read.parquet(catGlob))
-          val decisions = graft.operators.TextOps.admitAgainstCatalog(
-            ss, sfDir, docs, sigs, extra)
-          val decPath = new java.io.File(base, s"decisions/b$batchId").getPath
-          decisions.write.mode("overwrite").parquet(decPath)
-          // admitted docs JOIN the catalog for the next trigger (read the
-          // just-written decisions back instead of recomputing the plan)
-          val admitted = ss.read.parquet(decPath)
-            .filter(col("status") === "new").select(col("doc_id"))
-          docs.join(sigs, Seq("doc_id"))
-            .join(admitted, Seq("doc_id"), "left_semi")
-            .write.mode("overwrite")
-            .parquet(new java.io.File(base, s"catalog/b$batchId").getPath)
+          GrowingCatalog.processTrigger(
+            batch.sparkSession, sfDir, base,
+            batch.select(col("doc_id"), col("text")), batchId): Unit
         }
         .start()
       try feedChunks(stream, q, slice) finally q.stop()

@@ -364,18 +364,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!rewrite.contains("Exchange"), s"compaction must not shuffle:\n$rewrite")
   }
 
-  test("embedding_near_dup: ONE embedding scan, map-side in-bucket rescore, no pair exchange") {
+  test("embedding_near_dup: map-side in-bucket rescore behind the pre-shuffle bucket fence") {
     val p = plan(VectorOps.embeddingNearDup(spark, sf0001))
     // r13 shape: buckets carry (id, vector) structs and emit scored,
     // threshold-filtered pairs inside the bucket explode — the rescore
     // joins are GONE (their pair-sized exchange filled 71 GB of shuffle
-    // disk at the sf100 probe), so exactly one scan of embeddings feeds
-    // exactly one corpus-scale exchange (the (band, key) bucketing).
-    val scans = p.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("embedding"))
-    assert(scans == 1, s"expected exactly 1 embedding scan (bucketing carries vectors), got $scans:\n$p")
+    // disk at the sf100 probe). r14 adds the degenerate-bucket fence: a
+    // SLIM second scan (embedding column only — no ids, no payload)
+    // counts per-bucket membership, and the [2, NearDupBucketCap] filter
+    // joins the main side on (band, key) BEFORE the bucketing exchange —
+    // so singleton and degenerate buckets never enter the corpus-scale
+    // shuffle at all. At fixture scale AQE broadcasts the qualifying
+    // keys; at corpus scale the same join falls back to shuffling on
+    // (band, key), the partitioning the downstream collect_list needs
+    // anyway — either way, no second corpus-scale exchange.
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("embedding")).toSeq
+    assert(scanLines.size == 2,
+      s"expected the vector-carrying scan + the slim fence scan, got ${scanLines.size}:\n$p")
+    assert(scanLines.exists(_.contains("ReadSchema: struct<embedding:array<float>>")),
+      s"fence scan must read ONLY the embedding column:\n$p")
+    assert(p.contains("n_bkt") && p.contains("4096"),
+      s"bucket-cap fence missing from the plan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
-      !p.contains("BroadcastHashJoin"), s"pair relation must not re-join the vector table:\n$p")
+    // the PAIR relation (everything above the flatten-explode emission)
+    // must not re-join the vector table — joins may appear only below it,
+    // on the (band, key) fence
+    val lines = p.linesIterator.toSeq
+    val gen = lines.indexWhere(_.contains("Generate explode(flatten"))
+    assert(gen >= 0, s"expected the in-bucket pair emission explode:\n$p")
+    assert(!lines.take(gen).exists(_.contains("Join")),
+      s"pair relation must not re-join the vector table:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
 

@@ -561,11 +561,105 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestBase {
     assert(dStatic.map(r => (r.getLong(0), r.getString(1))) == Seq((900009L, "new")),
       "static catalog unexpectedly knows the first-batch arrival")
     // growing form: batch 0's admitted doc joined the catalog → 'dup'
-    val extra = b0.join(s0, Seq("doc_id"))
-    val dGrow = graft.operators.TextOps.admitAgainstCatalog(spark, sf0001, b1, s1, Some(extra))
+    // (band rows + verify text, the two catalog assets)
+    val dGrow = graft.operators.TextOps.admitAgainstCatalog(spark, sf0001, b1, s1,
+      Some(graft.operators.TextOps.signatureBands(s0)), Some(b0))
       .collect().toSeq
     assert(dGrow.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))) ==
       Seq((900009L, "dup", 1L, 900004L)))
+  }
+
+  /** The growing-ingest trigger loop over explicit doc batches: the
+    * entry's foreachBatch body, driven directly so a spec can replay and
+    * interleave triggers. Chunks carry an injected cross-batch dup pair
+    * (alien text in chunk 0 re-arriving in chunk 1), so a broken catalog
+    * (self-matching retry, lost admission) flips at least one decision.
+    */
+  private def growChunks(): Seq[org.apache.spark.sql.DataFrame] = {
+    val spark2 = spark
+    import spark2.implicits._
+    val alien = "zqa zqb zqc zqd zqe zqf zqg zqh"
+    val base = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(60)
+      .as[(Long, String)].collect().toSeq
+    val chunks = base.grouped(20).toSeq
+    Seq(
+      (chunks(0) :+ ((900004L, alien))).toDF("doc_id", "text"),
+      (chunks(1) :+ ((900009L, alien))).toDF("doc_id", "text"),
+      chunks(2).toDF("doc_id", "text"))
+  }
+
+  private def runTriggers(root: java.io.File, plan: Seq[Long]): Map[Long, (String, Long, Long)] = {
+    val chunks = growChunks()
+    plan.foreach { b =>
+      GrowingCatalog.processTrigger(
+        spark, sf0001, root, chunks(b.toInt), b, compactEvery = 2): Unit
+    }
+    spark.read.parquet(new java.io.File(root, "decisions/b*").getPath)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  private def freshDir(name: String): java.io.File = {
+    val f = new java.io.File(s"target/graft-test-$name").getAbsoluteFile
+    def wipe(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(wipe); x.delete(): Unit
+    }
+    wipe(f); f.mkdirs(); f
+  }
+
+  test("growing ingest: micro-batch RETRY replays idempotently, incl. after compaction") {
+    // Structured Streaming re-invokes foreachBatch with the SAME batchId
+    // after a failure — possibly after the first attempt already appended
+    // its delta AND compacted it into the base (compactEvery=2 compacts
+    // at the end of trigger 1, so re-running trigger 1 is exactly the
+    // adversarial case: the catalog already contains batch 1's own rows).
+    // The src_b < batchId read fence + the kernel's doc_id ≠ cat_id
+    // invariant must make every replay reproduce the first attempt — the
+    // r13 shape failed this (self-match J=1 flips every admitted doc to
+    // dup of itself).
+    val clean = runTriggers(freshDir("grow-clean"), Seq(0L, 1L, 2L))
+    // the injected cross-batch dup must actually be exercised
+    assert(clean(900009L)._1 == "dup" && clean(900009L)._3 == 900004L)
+    val retried = runTriggers(freshDir("grow-retry"), Seq(0L, 0L, 1L, 1L, 2L, 2L))
+    assert(retried == clean, "retried triggers changed decisions")
+  }
+
+  test("growing ingest: kill after trigger 0, restart from checkpoint, decisions unchanged") {
+    // The catalog lives OUTSIDE Spark's state store, so checkpoint
+    // recovery is the untested seam: stop the query after the first
+    // trigger commits, start a NEW query on the same checkpoint + the
+    // same source, feed the remaining chunks — the restarted query must
+    // continue at batchId 1 against the batch-0 catalog and produce the
+    // uninterrupted run's decisions.
+    val spark2 = spark
+    import spark2.implicits._
+    val chunks = growChunks()
+    val clean = runTriggers(freshDir("grow-clean2"), Seq(0L, 1L, 2L))
+    val root = freshDir("grow-restart")
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val stream = MemoryStream[DocEvent](spark)
+    def startQ() = stream.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        GrowingCatalog.processTrigger(
+          batch.sparkSession, sf0001, root,
+          batch.select(col("doc_id"), col("text")), batchId, compactEvery = 2): Unit
+      }
+      .start()
+    def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      stream.addData(df.as[DocEvent].collect().toSeq)
+      q.processAllAvailable()
+    }
+    val q1 = startQ()
+    try feed(q1, chunks(0)) finally q1.stop()
+    val q2 = startQ() // the restart: same checkpoint, same source
+    try { feed(q2, chunks(1)); feed(q2, chunks(2)) } finally q2.stop()
+    val restarted = spark.read.parquet(new java.io.File(root, "decisions/b*").getPath)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(restarted == clean, "restart from checkpoint changed decisions")
   }
 
   test("stream_dedup_growing vs static: dup decisions grow monotonically") {
