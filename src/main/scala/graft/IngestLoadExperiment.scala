@@ -94,10 +94,12 @@ object IngestLoadExperiment {
     (0 until triggers).foreach { t =>
       val batch = feed.select(
         (col("doc_id") + lit(t.toLong * 10000000L)).as("doc_id"), col("text"))
-      val (n, sec) = timed {
+      val (_, sec) = timed {
         graft.streaming.GrowingCatalog.processTrigger(
           spark, sfDir, growRoot, batch, t.toLong, compactEvery = 4)
+        0L
       }
+      val n = spark.read.parquet(new java.io.File(growRoot, s"decisions/b$t").getPath).count()
       println(f"$t%8d $n%10d $sec%8.2f ${graft.streaming.GrowingCatalog.dataFileCount(growRoot)}%10d")
     }
     feed.unpersist(): Unit

@@ -114,20 +114,23 @@ private[graft] object GrowingCatalog {
     * recovery spec: admit `docs` against the pre-`batchId` catalog, write
     * decisions to `decisions/b<batchId>` (overwrite → retry-idempotent),
     * append the admitted docs' band rows and text as this trigger's
-    * deltas, and compact every `compactEvery` triggers. Returns the
-    * per-trigger decision count (one action the sink write pays anyway is
-    * NOT re-run; the count reads the written parquet footers).
+    * deltas, and compact every `compactEvery` triggers.
     */
   def processTrigger(
       spark: SparkSession, sfDir: String, root: File,
-      docs: DataFrame, batchId: Long, compactEvery: Int = 2): Long = {
+      docs: DataFrame, batchId: Long, compactEvery: Int = 2): Unit = {
     val sigs = graft.operators.TextOps.signatures(docs)
     val batchBands = graft.operators.TextOps.signatureBands(sigs)
       .withColumn("bkt", bktCol)
     // the arriving batch's own band buckets: ≤ Buckets values by
-    // construction (bounded collect — this is the pruning predicate)
-    val bkts = batchBands.select(col("bkt")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    // construction (bounded collect — this is the pruning predicate).
+    // Skipped while the catalog is still empty: the collect is only the
+    // read-side prune, and an empty catalog has nothing to prune.
+    val haveCatalog = liveBase(root, "bands").nonEmpty || deltas(root, "bands").nonEmpty
+    val bkts =
+      if (!haveCatalog) Seq.empty[Int]
+      else batchBands.select(col("bkt")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
     val cat = readFor(spark, root, batchId, bkts)
     val decisions = graft.operators.TextOps.admitAgainstCatalog(
       spark, sfDir, docs, sigs, cat.bands, cat.docs)
@@ -137,18 +140,19 @@ private[graft] object GrowingCatalog {
     // just-written decisions back rather than recomputing the plan
     val admitted = spark.read.parquet(decDir.getPath)
       .filter(col("status") === "new").select(col("doc_id"))
+    // one file per delta per asset (a trigger's admissions are batch-sized
+    // by construction; fewer files = cheaper readFor listings)
     batchBands.join(admitted, Seq("doc_id"), "left_semi")
       .withColumn("src_b", lit(batchId))
-      .write.mode("overwrite")
+      .coalesce(1).write.mode("overwrite")
       .parquet(dir(root, "bands", "delta", s"b$batchId").getPath)
     docs.select(col("doc_id"), col("text"))
       .join(admitted, Seq("doc_id"), "left_semi")
       .withColumn("src_b", lit(batchId))
-      .write.mode("overwrite")
+      .coalesce(1).write.mode("overwrite")
       .parquet(dir(root, "docs", "delta", s"b$batchId").getPath)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       compact(spark, root)
-    spark.read.parquet(decDir.getPath).count()
   }
 
   /** Fold base + all deltas into a fresh base: bands hash-clustered one
