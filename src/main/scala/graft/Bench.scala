@@ -137,14 +137,21 @@ object Bench {
     val errJson = failed.toSeq.sorted.map(k => jstr(k) + ":" + jstr(errs(k)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Regression visibility: diff this run against the committed per-SF
-    // BENCH_LOCAL artifact (read BEFORE it is overwritten below) and surface
-    // keys >1.5x their committed time in the metric line itself, so
+    // Regression visibility: diff this run against the PINNED per-SF
+    // baseline BENCH_BASE-<sf>.json when present (refreshed deliberately
+    // at round end, so every mid-round run diffs against the ROUND-START
+    // state — r13's only real mover hid because the diff base was a
+    // mid-round refresh of BENCH_LOCAL), else against the committed
+    // BENCH_LOCAL artifact (read BEFORE it is overwritten below). Keys
+    // >1.5x their baseline time surface in the metric line itself, so
     // ambient-vs-real is inspectable every run without cross-round
     // archaeology. Sub-0.5 s keys are skipped — at that scale the fixed
     // per-action scheduler cost dominates and 1.5x is pure jitter.
     val sfName = new java.io.File(sfDir).getName
-    val prevFile = java.nio.file.Paths.get(s"BENCH_LOCAL-$sfName.json")
+    val baseFile = java.nio.file.Paths.get(s"BENCH_BASE-$sfName.json")
+    val prevFile =
+      if (java.nio.file.Files.exists(baseFile)) baseFile
+      else java.nio.file.Paths.get(s"BENCH_LOCAL-$sfName.json")
     val regressions: Seq[(String, Double, Double)] =
       if (!java.nio.file.Files.exists(prevFile)) Seq.empty
       else try {

@@ -355,14 +355,22 @@ object VectorOps {
     * scale, vs ~0.22·n for the old (8, 5) single-probe sizing). Measured
     * (EXPERIMENTS.md r12 grid): recall@5 0.692 / 0.784 / 0.868 at
     * sf0.001 / sf0.1 / sf1 vs 0.468 / 0.576 / 0.636 for the old sizing —
-    * the floor is pinned ≥ 0.5 in PipelineOpsSpec. At corpus scale, grow
-    * B with log₂(n) to hold per-table selectivity (the sf1 grid also
-    * proves the sized-up (6, 11) point stays above the floor) and buy
-    * recall with probes first (broadcast-side rows), L second
-    * (corpus-side dots). Candidate pairs dedup (a pair can collide in
-    * several tables/probes), then exact-rescore + rank: same output shape
-    * as [[cosTopk]]. Rows-only (the hyperplane draws are not
-    * SQL-expressible).
+    * the floor is pinned ≥ 0.5 in PipelineOpsSpec. Candidate pairs dedup
+    * (a pair can collide in several tables/probes), then exact-rescore +
+    * rank: same output shape as [[cosTopk]]. Rows-only (the hyperplane
+    * draws are not SQL-expressible).
+    *
+    * At-scale contract (r14, MEASURED on the 2 M-vector sf100 grid —
+    * EXPERIMENTS.md; supersedes the r12 grow-B-with-log₂(n) guidance):
+    * this is the INDEX-FREE form, not the router. The corpus-scale cost
+    * is the L·B-signature pass itself — growing B per the occupancy rule
+    * moved wall time <12% and cost recall 0.96 → 0.43 on a weak-neighbor
+    * corpus — and that pass AMORTIZES across query batches (10× the
+    * queries for +7% wall; sec/query 17.2 → 1.84). [[cosTopkIvf]]'s plan
+    * is the at-scale router (10.3 s vs 957 s for the same 50-query
+    * workload); run rplsh while an index (re)builds, for one-shot
+    * batches, or when its higher recall (0.96 vs 0.68 untrained-probe
+    * IVF) is worth the corpus pass.
     */
   def cosTopkRplsh(spark: SparkSession, sfDir: String): DataFrame =
     cosTopkRplshTuned(spark, sfDir, L = 6, B = 9, probeBits = 9, pairBits = 7)
