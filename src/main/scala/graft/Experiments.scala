@@ -16,6 +16,13 @@ object Experiments {
     val spark = SparkSession.builder()
       .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") + "]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      // Spark 4.1 UnionExec can CLAIM its children's shared output
+      // partitioning while still executing as the plain concatenation
+      // (left-semi-join-shaped union children; see EXPERIMENTS.md r14
+      // "union output partitioning") — downstream operators then skip
+      // their exchanges and zip-crash (or worse, mis-aggregate). Pinned
+      // off in every session this library builds until fixed upstream.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

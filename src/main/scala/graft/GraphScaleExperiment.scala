@@ -26,6 +26,13 @@ object GraphScaleExperiment {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spark 4.1 UnionExec can CLAIM its children's shared output
+      // partitioning while still executing as the plain concatenation
+      // (left-semi-join-shaped union children; see EXPERIMENTS.md r14
+      // "union output partitioning") — downstream operators then skip
+      // their exchanges and zip-crash (or worse, mis-aggregate). Pinned
+      // off in every session this library builds until fixed upstream.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
