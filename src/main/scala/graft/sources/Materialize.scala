@@ -64,13 +64,20 @@ object Materialize {
 
   /** Monotonic per-session tag (never reused, unlike identityHashCode —
     * a GC'd session's hash could otherwise alias a live one's memo).
+    * PID-qualified: `target/graft-stage` is shared by every JVM running
+    * from this working directory, and each session's exit hook deletes
+    * its own `-<tag>` dirs — with a bare counter, two CONCURRENT JVMs
+    * both tag `-s1` and the first to exit deletes the other's staged
+    * files mid-read (observed: an experiment main exiting while sbt test
+    * ran killed one spec with FAILED_READ_FILE).
     */
   private def sessionTag(spark: SparkSession): String =
     sessionTags.synchronized {
       val t = sessionTags.get(spark)
       if (t != null) t
       else {
-        val fresh = "s" + tagCounter.incrementAndGet()
+        val fresh =
+          "p" + ProcessHandle.current().pid() + "s" + tagCounter.incrementAndGet()
         sessionTags.put(spark, fresh)
         registerCleanup(spark, fresh)
         fresh
