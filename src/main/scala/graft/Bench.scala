@@ -190,9 +190,13 @@ object Bench {
     // always the LATEST run and would otherwise silently replace it).
     // A filtered run is an iteration aid — never let it replace the
     // full-suite artifacts the rounds compare against.
+    // Write the per-SF BENCH_LOCAL artifact, NEVER the pinned BENCH_BASE
+    // (prevFile may point there — it is the round-start diff baseline and
+    // only round-end bookkeeping refreshes it).
     if (only.isEmpty) try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-      java.nio.file.Files.writeString(prevFile, line + "\n"): Unit
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_LOCAL-$sfName.json"), line + "\n"): Unit
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL write failed: $e") }
     spark.stop()
   }
