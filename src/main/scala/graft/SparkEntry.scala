@@ -4222,7 +4222,12 @@ object SparkEntry {
     // Banded adaptive sign-LSH (see VectorOps.embeddingNearDup): B =
     // clamp(floor(log2 n) - 6, 4, 14) computed integer-exactly as
     // length(bin(n)) - 1 - 6; band keys are B-char prefixes of the 16-char
-    // per-slice sign strings built by duckSig.
+    // per-slice sign strings built by duckSig. The kc CTE mirrors the
+    // engine's NearDupBucketCap fence (VectorOps.NearDupBucketCap): only
+    // buckets with 2..4096 members emit pairs, so the oracle and the
+    // engine agree BY CONSTRUCTION even on inputs with a mass-identical
+    // cluster that overflows a bucket (r14 advice: the uncapped oracle
+    // diverged on such inputs while fixtures never triggered it).
     "embedding_near_dup" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |n AS (SELECT GREATEST(4, LEAST(16, length(bin(count(*))) - 1 - 6)) AS b FROM e),
@@ -4233,15 +4238,19 @@ object SparkEntry {
          |    UNION ALL SELECT vec_id, 1, g1 FROM s
          |    UNION ALL SELECT vec_id, 2, g2 FROM s
          |    UNION ALL SELECT vec_id, 3, g3 FROM s)),
+         |kc AS (SELECT band, key FROM k GROUP BY band, key
+         |  HAVING count(*) BETWEEN 2 AND 4096),
          |cand AS (SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
-         |  FROM k a JOIN k b2 ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
+         |  FROM k a JOIN k b2 ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
+         |  JOIN kc ON a.band = kc.band AND a.key = kc.key),
          |r AS (SELECT c.v1, c.v2,
          |    round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS sim
          |  FROM cand c JOIN e ea ON c.v1 = ea.vec_id JOIN e eb ON c.v2 = eb.vec_id)
          |SELECT v1, v2, sim FROM r WHERE sim >= 0.3
          |ORDER BY v1, v2""".stripMargin,
 
-    // Same banded-candidate + rescore CTE as embedding_near_dup, then the
+    // Same banded-candidate + rescore CTE as embedding_near_dup (incl. the
+    // kc bucket-cap fence mirroring NearDupBucketCap), then the
     // min-id-survivor decision: v2 is dominated by its max-sim (min-id
     // tie-break) earlier near-dup, everything undominated is kept.
     "semdedup_decisions" ->
@@ -4254,8 +4263,11 @@ object SparkEntry {
          |    UNION ALL SELECT vec_id, 1, g1 FROM s
          |    UNION ALL SELECT vec_id, 2, g2 FROM s
          |    UNION ALL SELECT vec_id, 3, g3 FROM s)),
+         |kc AS (SELECT band, key FROM k GROUP BY band, key
+         |  HAVING count(*) BETWEEN 2 AND 4096),
          |cand AS (SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
-         |  FROM k a JOIN k b2 ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
+         |  FROM k a JOIN k b2 ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
+         |  JOIN kc ON a.band = kc.band AND a.key = kc.key),
          |r AS (SELECT c.v1, c.v2,
          |    round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS sim
          |  FROM cand c JOIN e ea ON c.v1 = ea.vec_id JOIN e eb ON c.v2 = eb.vec_id),

@@ -175,10 +175,18 @@ object VectorOps {
     // aggregation row (~264 B each) and emit O(m²) pairs — so buckets
     // over NearDupBucketCap (64× the ~2^6 design occupancy; caps the
     // buffer at ~1 MB/row) are EXCLUDED before the collect_list, by a
-    // count over the same (band, key) grouping. Both the count and the
-    // list aggregate hang off the SAME exchange of `keys` (ReusedExchange
-    // — pinned in PlanAuditSpec: still one scan, one corpus-scale
-    // shuffle), so the fence costs no extra pass. Mass-identical clusters
+    // count over the same (band, key) grouping. The fence is priced as a
+    // SLIM second pass: Catalyst plans the count side as its own
+    // embedding-only FileScan (the signature columns derive from
+    // `embedding` alone, so vec_id is pruned) + a partial-agg count whose
+    // (band, key) rows are tiny, joined to the list-aggregate side BEFORE
+    // its bucketing exchange — PlanAuditSpec pins exactly this shape (two
+    // FileScans, fence join upstream of the pair exchange). Measured at
+    // sf100 the fence is a net 1.66× WIN (95.3 → 57.4 s) because skipping
+    // degenerate buckets saves more than the slim rescan costs; at fixture
+    // SFs it costs ~1 s of duplicate signature work (EXPERIMENTS.md r14).
+    // The same [2, 4096] cap lives in the DuckDB oracle's kc CTE
+    // (SparkEntry), so capped inputs stay oracle-exact. Mass-identical clusters
     // belong to exact dedup upstream (dedup_docs_exact's contract), and
     // the size-adaptive key keeps honest occupancy ~2^6 — the cap is the
     // FuzzyBlockCap-style degenerate-input fence, not a tuning knob.

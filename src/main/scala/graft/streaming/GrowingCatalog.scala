@@ -56,7 +56,14 @@ private[graft] case class CatalogView(
   * how many triggers have run. The base swap is move-aside-then-rename
   * (`base` → `base_old` → delete), the local-fs stand-in for an atomic
   * manifest pointer swap; [[readFor]] falls back to `base_old` if a crash
-  * landed between the two moves.
+  * landed between the two moves, and the next [[compact]] HEALS either
+  * stale layout before folding: only-`base_old` → rename back to `base`;
+  * both present (died after swap-in, before the wipes) → drop the stale
+  * `base_old` and re-fold the not-yet-wiped deltas idempotently. The
+  * rows readFor may double-see in the both-present window are harmless
+  * because [[graft.operators.TextOps.admitAgainstCatalog]] dedups its
+  * candidate relation — an invariant GrowingCatalogSpec pins explicitly
+  * alongside both crash windows.
   */
 private[graft] object GrowingCatalog {
 
@@ -170,15 +177,30 @@ private[graft] object GrowingCatalog {
   private def compactAsset(
       spark: SparkSession, root: File, asset: String,
       writer: DataFrame => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
+    val base = dir(root, asset, "base")
+    val old = dir(root, asset, "base_old")
+    // Crash healing FIRST (r14 advice fix: the old code wiped `base_old`
+    // unconditionally, so when a prior crash between the two renames had
+    // left `base_old` as the ONLY live base, a second crash between that
+    // wipe and the swap-in lost the catalog). Two stale layouts exist:
+    //  - only `base_old` (died between swap-aside and swap-in): restore
+    //    the canonical name — from here the normal path applies, and
+    //    every subsequent window keeps a live base on disk;
+    //  - `base` AND `base_old` (died after swap-in, before the wipes):
+    //    `base` is the newer fold, `base_old` is stale — drop it. Deltas
+    //    possibly already folded into `base` are re-folded harmlessly
+    //    (`distinct()` below), and readFor's union of base + stale deltas
+    //    stays correct because admitAgainstCatalog dedups its candidate
+    //    relation (the pinned invariant, see GrowingCatalogSpec).
+    if (!base.exists() && old.exists())
+      require(old.renameTo(base), s"heal rename failed: $old")
+    else wipe(old)
     val ds = deltas(root, asset)
-    val parts = liveBase(root, asset).toSeq ++ ds.map(_._2)
+    val parts = (if (base.exists()) Seq(base) else Seq.empty) ++ ds.map(_._2)
     readParts(spark, parts).foreach { all =>
       val tmp = dir(root, asset, "base_tmp")
       wipe(tmp)
       writer(all.distinct()).mode("overwrite").parquet(tmp.getPath)
-      val base = dir(root, asset, "base")
-      val old = dir(root, asset, "base_old")
-      wipe(old)
       if (base.exists()) require(base.renameTo(old), s"swap aside failed: $base")
       require(tmp.renameTo(base), s"swap in failed: $tmp")
       wipe(old)
