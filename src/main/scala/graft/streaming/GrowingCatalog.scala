@@ -125,7 +125,12 @@ private[graft] object GrowingCatalog {
     */
   def processTrigger(
       spark: SparkSession, sfDir: String, root: File,
-      docs: DataFrame, batchId: Long, compactEvery: Int = 2): Unit = {
+      docs: DataFrame, batchId: Long, compactEvery: Int = 2,
+      phaseHook: (String, Double) => Unit = (_, _) => ()): Unit = {
+    def phase[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      phaseHook(name, (System.nanoTime() - t0) / 1e9); a
+    }
     val sigs = graft.operators.TextOps.signatures(docs)
     val batchBands = graft.operators.TextOps.signatureBands(sigs)
       .withColumn("bkt", bktCol)
@@ -134,32 +139,39 @@ private[graft] object GrowingCatalog {
     // Skipped while the catalog is still empty: the collect is only the
     // read-side prune, and an empty catalog has nothing to prune.
     val haveCatalog = liveBase(root, "bands").nonEmpty || deltas(root, "bands").nonEmpty
-    val bkts =
+    val bkts = phase("bkts_collect") {
       if (!haveCatalog) Seq.empty[Int]
       else batchBands.select(col("bkt")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
+    }
     val cat = readFor(spark, root, batchId, bkts)
     val decisions = graft.operators.TextOps.admitAgainstCatalog(
       spark, sfDir, docs, sigs, cat.bands, cat.docs)
     val decDir = new File(root, s"decisions/b$batchId")
-    decisions.write.mode("overwrite").parquet(decDir.getPath)
+    phase("admit_write") {
+      decisions.write.mode("overwrite").parquet(decDir.getPath)
+    }
     // admitted docs join the catalog for the next trigger — read the
     // just-written decisions back rather than recomputing the plan
     val admitted = spark.read.parquet(decDir.getPath)
       .filter(col("status") === "new").select(col("doc_id"))
     // one file per delta per asset (a trigger's admissions are batch-sized
     // by construction; fewer files = cheaper readFor listings)
-    batchBands.join(admitted, Seq("doc_id"), "left_semi")
-      .withColumn("src_b", lit(batchId))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(dir(root, "bands", "delta", s"b$batchId").getPath)
-    docs.select(col("doc_id"), col("text"))
-      .join(admitted, Seq("doc_id"), "left_semi")
-      .withColumn("src_b", lit(batchId))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(dir(root, "docs", "delta", s"b$batchId").getPath)
+    phase("delta_bands") {
+      batchBands.join(admitted, Seq("doc_id"), "left_semi")
+        .withColumn("src_b", lit(batchId))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir(root, "bands", "delta", s"b$batchId").getPath)
+    }
+    phase("delta_docs") {
+      docs.select(col("doc_id"), col("text"))
+        .join(admitted, Seq("doc_id"), "left_semi")
+        .withColumn("src_b", lit(batchId))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir(root, "docs", "delta", s"b$batchId").getPath)
+    }
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      compact(spark, root)
+      phase("compact") { compact(spark, root) }
   }
 
   /** Fold base + all deltas into a fresh base: bands hash-clustered one
