@@ -33,6 +33,12 @@ object GraphScaleExperiment {
       // their exchanges and zip-crash (or worse, mis-aggregate). Pinned
       // off in every session this library builds until fixed upstream.
       .config("spark.sql.unionOutputPartitioning", "false")
+      // Sorted bucketed scans (r15): bucket sort-order propagation is
+      // legacy-flagged since Spark 3.0; with Materialize.bucketedTable
+      // guaranteeing ONE file per bucket it is safe (Spark keeps the
+      // Sort for multi-file buckets even under the flag - verified) and
+      // it elides the per-task re-sort under every co-bucketed SMJ.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

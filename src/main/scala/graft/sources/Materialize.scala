@@ -159,7 +159,19 @@ object Materialize {
     memoized(tables, s"${sessionTag(spark)}:$tokenKey") {
       val name = s"graft_${slug(key).replace('-', '_')}_${sessionTag(spark)}"
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      df.write.mode("overwrite")
+      // Repartition on the bucket column (same Murmur3 hash as the bucket
+      // assignment) so each write task holds exactly ONE bucket → one
+      // file per bucket. Without this, every scan task writes into every
+      // bucket (tasks × buckets files — the r15 probe found 20
+      // files/bucket at sf1), and Spark only trusts per-bucket SORT
+      // order for single-file buckets: multi-file buckets silently
+      // re-add a per-task Sort under every downstream SMJ, wasting the
+      // sortBy. At 1000 executors × 1000 buckets the same mistake is
+      // also a million-file table. One extra exchange at WRITE time buys
+      // sort-free, exchange-free joins forever after (plan-pinned in
+      // PlanAuditSpec).
+      df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write.mode("overwrite")
         .format("parquet")
         .option("path", stageDir(spark, tokenKey))
         .bucketBy(buckets, bucketCol)

@@ -43,13 +43,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("bucketed_join_orders: co-bucketed SMJ, zero Exchange under the join") {
+  test("bucketed_join_orders: co-bucketed SMJ, zero Exchange AND zero Sort under the join") {
     val p = plan(Relational.bucketedJoinOrders(spark, sf0001))
     assert(p.contains("SortMergeJoin"), p)
     // the join's subtree (everything printed after the SMJ node) must read
-    // the bucketed files directly — no shuffle on either side
+    // the bucketed files directly — no shuffle on either side, and no
+    // re-sort either: Spark only trusts the written sortBy order when
+    // each bucket is ONE file, which the staged write guarantees by
+    // repartitioning on the bucket column first (r15 — multi-file
+    // buckets silently re-added a per-task Sort under the SMJ, wasting
+    // the sorted layout; see Materialize.bucketedTable).
     val subtree = p.substring(p.indexOf("SortMergeJoin"))
     assert(!subtree.contains("Exchange"), subtree)
+    assert(!subtree.contains("Sort "), subtree)
   }
 
   test("stats_broadcast_join: column stats flip the join to broadcast; without them it stays SMJ") {

@@ -48,6 +48,18 @@ class UnionPartitioningPinSpec extends AnyFunSuite with SparkTestBase {
     val spark2 = spark
     import spark2.implicits._
     if (!spark.catalog.tableExists("upin_static")) {
+      // the warehouse DIR outlives the in-memory catalog (fresh per JVM):
+      // drop any orphaned location from a previous test JVM or CTAS
+      // errors with LOCATION_ALREADY_EXISTS
+      Seq("upin_static", "upin_admit").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        def wipe(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe); f.delete(): Unit
+        }
+        wipe(loc)
+      }
       (0L until Rows).map(i => (i, s"s$i")).toDF("doc_id", "text")
         .write.mode("overwrite").bucketBy(4, "doc_id").saveAsTable("upin_static")
       (0L until Rows).map(i => (i, s"a$i")).toDF("doc_id", "text")
