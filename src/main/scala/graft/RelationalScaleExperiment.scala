@@ -160,6 +160,38 @@ object RelationalScaleExperiment {
         val want10 = x10(EventOps.skewJoinZipf(spark, sf10), Seq(1))
           .map(r => Seq(r(0), r(1))) // n_events scales x10; sum_k is offset-dependent
         cmp(got.map(r => Seq(r(0), r(1))), want10, "sf10 x10 (n only)")
+      // --- window band (r15 extension): per-user windows over 100 M
+      // events. GenData offsets user_id per copy, so user partitions are
+      // copy-disjoint and the sf100 result restricted to copy-0 users
+      // (user_id < sf10's max+1) must equal the sf10 result EXACTLY.
+      // Outputs are fact-sized (100 M rows), so the comparison is an
+      // aggregate: row count + unordered sum of xxhash64 over all
+      // columns (same engine both sides → a valid cross-SF hash), plus
+      // total rows == 10× the sf10 count.
+      case "winrun" | "winlag" | "sess" =>
+        val (qname, q) = key match {
+          case "winrun" => ("win_running_user", EventOps.winRunningUser _)
+          case "winlag" => ("win_lag_delta", EventOps.winLagDelta _)
+          case _ => ("sessionize", EventOps.sessionize _)
+        }
+        val nUser10 = graft.sources.Tables.events(spark, sf10)
+          .agg(max(col("user_id"))).head().getLong(0) + 1
+        def digest(df: DataFrame): (Long, String) = {
+          val cols = df.columns.map(col)
+          // decimal(38,0) sum: a Long sum of 100 M 64-bit hashes
+          // overflows immediately under ANSI mode
+          val r = df.agg(count(lit(1)),
+            sum(xxhash64(cols: _*).cast("decimal(38,0)"))).head()
+          (r.getLong(0), String.valueOf(r.getDecimal(1)))
+        }
+        val (big, t) = timed(digest(q(spark, sf100)))
+        println(f"$qname%-22s ${t}%8.1f s  ${big._1} rows (digest ${big._2})")
+        val small = digest(q(spark, sf10))
+        val c0 = digest(q(spark, sf100).filter(col("user_id") < nUser10))
+        println(if (c0 == small) s"  parity[copy-0 == sf10] PASS (${small._1} rows)"
+          else s"  parity[copy-0 == sf10] FAIL: sf100-copy0 $c0 vs sf10 $small")
+        println(if (big._1 == 10 * small._1) s"  parity[rows == 10x sf10] PASS"
+          else s"  parity[rows == 10x sf10] FAIL: ${big._1} vs 10*${small._1}")
       case "salted" =>
         val (got, t) = timed(rowsOf(Relational.saltedHeavyHitters(spark, sf100)))
         println(f"salted_heavy_hitters   ${t}%8.1f s  ${got.length} rows")
