@@ -160,6 +160,24 @@ object RelationalScaleExperiment {
         val want10 = x10(EventOps.skewJoinZipf(spark, sf10), Seq(1))
           .map(r => Seq(r(0), r(1))) // n_events scales x10; sum_k is offset-dependent
         cmp(got.map(r => Seq(r(0), r(1))), want10, "sf10 x10 (n only)")
+      // --- Expand band (r15 extension): rollup/grouping-sets push the
+      // 150 M-order / 600 M-lineitem facts through ×3 Expand projections.
+      // Groups key on replicated attributes → sf10 ×10 parity is exact
+      // (quantity sums are integral doubles, exact under ×10 to 2^53).
+      case "rollup" =>
+        val (got, t) = timed(rowsOf(Relational.rollupOrders(spark, sf100)))
+        println(f"rollup_orders          ${t}%8.1f s  ${got.length} rows")
+        cmp(got, x10(Relational.rollupOrders(spark, sf10), Seq(2, 3)), "sf10 x10")
+      case "gsets" =>
+        val (got, t) = timed(rowsOf(Relational.groupingSetsLineitem(spark, sf100)))
+        println(f"grouping_sets_lineitem ${t}%8.1f s  ${got.length} rows")
+        val want = rowsOf(Relational.groupingSetsLineitem(spark, sf10)).map(_.zipWithIndex.map {
+          case (v: Long, 2) => v * 10L
+          case (v: Double, 3) => v * 10.0
+          case (v, _) => v
+        })
+        cmp(got, want, "sf10 x10")
+
       // --- window band (r15 extension): per-user windows over 100 M
       // events. GenData offsets user_id per copy, so user partitions are
       // copy-disjoint and the sf100 result restricted to copy-0 users

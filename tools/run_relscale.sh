@@ -13,7 +13,7 @@
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/relscale
-for LEG in "q9 default" "q9 alt" "q18 default" "q18 alt" "q21 default" "q13 default" "outer default" "nullskew default" "nullskew alt" "zipf default" "salted default" "winrun default" "winlag default" "sess default"; do
+for LEG in "q9 default" "q9 alt" "q18 default" "q18 alt" "q21 default" "q13 default" "outer default" "nullskew default" "nullskew alt" "zipf default" "salted default" "winrun default" "winlag default" "sess default" "rollup default" "gsets default"; do
   set -- $LEG
   echo "--- leg: $1 $2 ($(date +%H:%M:%S), free $(df -h / | awk 'NR==2{print $4}'))"
   SPARK_GRAFT_CPUS=32 java -Xmx96g $OPENS -Dio.netty.tryReflectionSetAccessible=true \
