@@ -53,6 +53,18 @@ case class MediaFeatures(
   */
 object MultimodalOps {
 
+  // ImageIO defaults to a DISK-backed stream cache: every ImageIO.read /
+  // ImageIO.write on a raw stream creates (and deletes) a temp file under
+  // java.io.tmpdir. For this band's workload — millions of KB-sized
+  // in-memory images — that is two file-system round-trips per codec call
+  // for zero benefit (the bytes are already heap-resident). Memory-cached
+  // streams produce BIT-IDENTICAL codec output (the cache only backs
+  // stream seeking); oracle hashes unchanged. Executor JVMs initialize
+  // this object before first use of any codec helper, so the setting
+  // applies cluster-wide without a conf knob. (r15 optimization, guide
+  // §1.2 step 2: per-task work.)
+  ImageIO.setUseCache(false)
+
   /** The media table: (doc_id, mime, content: binary, n_bytes, content_hash). */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
@@ -74,12 +86,18 @@ object MultimodalOps {
   def pngRed(id: Long): Int = ((id * 7) % 256).toInt
   def wavFrames(id: Long): Int = 8 * (100 + (id % 200).toInt) // @8kHz → 100..299 ms
 
-  /** Encode a constant-fill RGB image as genuine PNG bytes (javax.imageio). */
+  /** Encode a constant-fill RGB image as genuine PNG bytes (javax.imageio).
+    * Pixels land via ONE bulk setRGB (an int[] row-major fill) instead of
+    * w×h per-pixel calls — each setRGB(x,y,c) pays a ColorModel conversion
+    * and bounds checks; the bulk form converts the whole array in one
+    * call. Identical pixel data, identical PNG bytes.
+    */
   def encodePng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (r << 16) | (g << 8) | b
-    var y = 0
-    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val px = new Array[Int](w * h)
+    java.util.Arrays.fill(px, rgb)
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -111,13 +129,12 @@ object MultimodalOps {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "undecodable image bytes")
     val w = img.getWidth; val h = img.getHeight
+    // one bulk getRGB (single ColorModel pass over an int[]) instead of
+    // w×h per-pixel calls — same sRGB values, same mean
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var sum = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
-      y += 1
-    }
+    var i = 0
+    while (i < px.length) { sum += (px(i) >> 16) & 0xff; i += 1 }
     (w, h, sum.toDouble / (w.toLong * h))
   }
 
@@ -139,6 +156,15 @@ object MultimodalOps {
   def resizeImage(bytes: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
     val src = ImageIO.read(new ByteArrayInputStream(bytes))
     require(src != null, "undecodable image bytes")
+    resizeDecoded(src, maxW, maxH)
+  }
+
+  /** [[resizeImage]] over an ALREADY-decoded image — callers that also
+    * need the source dimensions decode once and reuse the BufferedImage
+    * instead of paying a second full PNG decode of the same bytes
+    * ([[imageResizeDims]] did exactly that before r15).
+    */
+  def resizeDecoded(src: java.awt.image.BufferedImage, maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
     val scale = math.min(1.0, math.min(maxW.toDouble / src.getWidth, maxH.toDouble / src.getHeight))
     val w = math.max(1, (src.getWidth * scale).toInt)
     val h = math.max(1, (src.getHeight * scale).toInt)
@@ -223,13 +249,21 @@ object MultimodalOps {
     */
   def frameFeatures(spark: SparkSession, sfDir: String, nFrames: Int = 4): DataFrame = {
     import spark.implicits._
-    rawMedia(spark, sfDir)
+    // WAV-only generator pass (r15): mime is a pure function of doc_id
+    // (% 3 = 1 → audio), so the audio filter belongs BEFORE [[rawMedia]]'s
+    // codec map — the pre-r15 form encoded every PNG row and then dropped
+    // it (guide §2.3: don't compute what you throw away). Same rows out.
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[Long]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.filter(_._2 == "audio/wav").flatMap { case (id, mime, bytes) =>
+        it.flatMap { id =>
+          val bytes = encodeWav(wavFrames(id), id)
           sampleAudioFrames(bytes, nFrames).zipWithIndex.map { case (frame, i) =>
-            (id, mime, i.toLong, frame.length.toLong,
-              md.digest(frame).map("%02x".format(_)).mkString)
+            (id, "audio/wav", i.toLong, frame.length.toLong,
+              toHex(md.digest(frame)))
           }
         }
       }
@@ -304,10 +338,16 @@ object MultimodalOps {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, _, bytes) =>
-          val (sw, sh, _) = decodeImage(bytes)
-          val (resized, _, _) = resizeImage(bytes, 12, 12)
+          // ONE source decode: dims come straight off the decoded image
+          // and the SAME BufferedImage feeds the resize (pre-r15 this
+          // path decoded the source PNG twice — once for dims, once
+          // inside resizeImage). The resized bytes are still re-decoded
+          // through the real codec: that round-trip IS the contract.
+          val src = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(src != null, "undecodable image bytes")
+          val (resized, _, _) = resizeDecoded(src, 12, 12)
           val (ow, oh, rMean) = decodeImage(resized)
-          (id, sw.toLong, sh.toLong, ow.toLong, oh.toLong, rMean)
+          (id, src.getWidth.toLong, src.getHeight.toLong, ow.toLong, oh.toLong, rMean)
         }
       }
       .toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "r_mean")
@@ -329,9 +369,25 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a digest without per-byte String.format (which costs
+    * a format-spec parse + boxing per byte — measurable at a hash per row).
+    */
+  private[operators] def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = hexDigits(b >> 4)
+      out(2 * i + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   private def md5hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).map("%02x".format(_)).mkString
+    toHex(java.security.MessageDigest.getInstance("MD5").digest(bytes))
 
   /** V+: the DECLARED frame-sample stage for the codec-less modality —
     * video rows flow through [[byteWindows]] (4 evenly-spaced byte slices
@@ -496,9 +552,14 @@ object MultimodalOps {
     * encoded image is reproducible engine-side from (g, x, y) alone.
     */
   def ahashPixel(md: java.security.MessageDigest, g: Long, x: Int, y: Int): Int = {
-    val hex = md.digest(s"px:$g:$x:$y".getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    (java.lang.Long.parseLong(hex, 16) % 128L).toInt
+    // The first 8 hex chars of the md5 parsed base-16 ARE the first 4
+    // digest bytes read big-endian unsigned — formatting them to a string
+    // and parsing it back (the pre-r15 form) built 4 formatted strings
+    // per PIXEL for pure overhead. Same value, arithmetic only.
+    val d = md.digest(s"px:$g:$x:$y".getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % 128L).toInt
   }
 
   /** Encode the deterministic 16×16 aHash fixture image as REAL PNG bytes:
@@ -510,17 +571,20 @@ object MultimodalOps {
   def encodeAhashPng(g: Long, p: Int): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // same per-pixel md5 closed form, landed via ONE bulk setRGB
+    val px = new Array[Int](256)
     var y = 0
     while (y < 16) {
       var x = 0
       while (x < 16) {
         val block = 8 * (y / 2) + (x / 2)
         val r = ahashPixel(md, g, x, y) + (if (block == p) 96 else 0)
-        img.setRGB(x, y, r << 16)
+        px(16 * y + x) = r << 16
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, 16, 16, px, 0, 16)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -536,11 +600,13 @@ object MultimodalOps {
     require(img != null && img.getWidth == 16 && img.getHeight == 16, "bad aHash fixture image")
     val bs = new Array[Long](64)
     var total = 0L
+    // one bulk getRGB pass (same sRGB values as the per-pixel calls)
+    val px = img.getRGB(0, 0, 16, 16, null, 0, 16)
     var y = 0
     while (y < 16) {
       var x = 0
       while (x < 16) {
-        val r = (img.getRGB(x, y) >> 16) & 0xff
+        val r = (px(16 * y + x) >> 16) & 0xff
         bs(8 * (y / 2) + (x / 2)) += r
         total += r
         x += 1
@@ -618,19 +684,45 @@ object MultimodalOps {
 
   def imageColorNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val imgs = decodeFeatures(spark, sfDir)
-      .filter(_.mime == "image/png")
-      .map(f => (f.doc_id, f.r_mean.toLong)) // constant fill → exact integer mean
+    // PNG-only codec pass (r15): the pre-r15 form ran [[decodeFeatures]]
+    // — encode+decode of EVERY media row, WAVs included — and filtered to
+    // PNG only after the codecs, throwing half the codec work away; the
+    // mime is a pure function of doc_id, so the filter belongs BEFORE the
+    // generator (predicate pushdown past an opaque map, done by hand —
+    // guide §2.3: don't compute what you drop).
+    val imgs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h) = pngDims(id)
+          val png = encodePng(w, h, pngRed(id),
+            ((id * 13) % 256).toInt, ((id * 31) % 256).toInt)
+          val (_, _, rMean) = decodeImage(png)
+          (id, rMean.toLong) // constant fill → exact integer mean
+        }
+      }
       .toDF("doc_id", "r_int")
-      .withColumn("bucket", floor(col("r_int") / 8))
-    imgs.as("a").join(imgs.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.r_int") - col("b.r_int")) <= 4)
+    // In-bucket pair generation off ONE decode pass (the
+    // [[imageAhashNearDup]] restructure, r10): the pre-r15 self-join of
+    // the derived frame re-executed the whole encode→decode subtree on
+    // BOTH sides. sort_array orders structs by doc_id (first field), so
+    // emitted pairs satisfy doc1 < doc2 exactly like the join form; the
+    // |Δr| ≤ 4 residual moves from join predicate to post-explode filter
+    // — same rows, zero codec duplication.
+    imgs
+      .groupBy(floor(col("r_int") / 8).as("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("r_int")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(xs, (x, i) -> " +
+          "transform(slice(xs, i + 2, size(xs)), y -> struct(x AS l, y AS r))))")).as("p"))
+      .filter(abs(col("p.l.r_int") - col("p.r.r_int")) <= 4)
       .select(
-        col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.r_int").as("r1"), col("b.r_int").as("r2"),
-        (col("a.r_int") - col("b.r_int")).as("dr"))
+        col("p.l.doc_id").as("doc1"), col("p.r.doc_id").as("doc2"),
+        col("p.l.r_int").as("r1"), col("p.r.r_int").as("r2"),
+        (col("p.l.r_int") - col("p.r.r_int")).as("dr"))
       .orderBy(col("doc1"), col("doc2"))
   }
 }
