@@ -550,21 +550,33 @@ object TextOps {
     * quotient of exact counts.
     */
   def dupSpanFraction(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE corpus scan (r15): the pre-r15 form built the gram table twice —
+    // once under the df aggregate, once as the join probe — so the corpus
+    // was tokenized and 8-gram-hashed two full times (2 FileScans in the
+    // committed before-plan). Restructured join-free: collapse position
+    // rows to distinct (g, doc) pairs with a position count, read each
+    // gram's document frequency off a count window over g, and fold back
+    // per doc. Three narrow exchanges of (8-byte hash, id, count) rows
+    // replace a corpus re-scan and the join — the guide §2.3/2.4 trade
+    // (shuffle a lightweight proxy instead of recomputing the heavy
+    // derivation), and the exchanges still never carry gram text.
     val grams = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 8), i -> array_join(slice(t, i + 1, 8), ' '))")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("g"))
-    val dup = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
-      .select(col("g"), lit(1).as("hit"))
-    grams.join(dup, Seq("g"), "left")
+    grams
+      .groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      // rows are distinct (g, doc) pairs, so a plain count over the g
+      // partition IS countDistinct(doc_id) per gram
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+        sum(col("c")).as("n_grams"),
+        sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_grams").cast("double")).as("dup_fraction"))
       .orderBy(col("doc_id"))
