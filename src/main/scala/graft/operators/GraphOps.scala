@@ -197,7 +197,9 @@ object GraphOps {
     */
   def docHopDistance(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
-    val n = docs.count()
+    // footer-metadata row count (cached, no Spark job) — same value as
+    // docs.count(), minus one full job dispatch (r15)
+    val n = Tables.rowCount(spark, sfDir, "documents")
     val fwd = docs.select(col("doc_id").as("src"), (col("n_chars") % n).as("dst"))
       .unionByName(docs.select(
         col("doc_id").as("src"), ((col("n_chars") * 31 + col("doc_id")) % n).as("dst")))
@@ -213,7 +215,12 @@ object GraphOps {
         .select(col("dst").as("node"), lit(d.toLong).as("depth"))
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("depth")).as("depth"))
-        .localCheckpoint(true)
+      // Lineage truncation every OTHER round (r15): each eager
+      // localCheckpoint is a full job dispatch, and the per-round plan is
+      // one join + one aggregate, so a 2-round window keeps planning
+      // trivially cheap while halving the action count (6 -> 3 jobs
+      // before the final action). Results are checkpoint-invariant.
+      if (d % 2 == 0) dist = dist.localCheckpoint(true)
     }
     dist.select(col("node"), col("depth")).orderBy(col("node"))
   }
@@ -224,7 +231,8 @@ object GraphOps {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
     // 1-row scalar (node count) — the same driver-side bound pattern as
     // the z-order box; needed as a literal in the closed-form edge map.
-    val n = docs.count()
+    // Footer-metadata count (cached, no Spark job) since r15.
+    val n = Tables.rowCount(spark, sfDir, "documents")
     val nodes = docs.select(col("doc_id").as("node"))
     val edges = docs.select(col("doc_id").as("src"), (col("n_chars") % n).as("dst"))
       .unionByName(docs.select(
@@ -286,7 +294,11 @@ object GraphOps {
       cur = cur
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+      // Truncate every OTHER round (r15): one eager localCheckpoint per
+      // round was 6 extra job dispatches; a 2-round lineage window (one
+      // degree agg + two semi joins per round) keeps the final plan flat
+      // at half the action count. Results are checkpoint-invariant.
+      if (r % 2 == 0) cur = cur.localCheckpoint(true)
       keep.agg(count(lit(1)).as("n_kept_nodes"))
         .crossJoin(cur.agg(count(lit(1)).as("n_edges")))
         .select(lit(r.toLong).as("round"), col("n_kept_nodes"), col("n_edges"))
@@ -326,12 +338,13 @@ object GraphOps {
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
     var lbl = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-    for (_ <- 1 to 4) {
+    for (i <- 1 to 4) {
       val nb = both.join(lbl, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
       lbl = lbl.unionByName(nb)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      // every-other-round truncation, same rationale as docHopDistance
+      if (i % 2 == 0) lbl = lbl.localCheckpoint(true)
     }
     lbl.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("size"))
