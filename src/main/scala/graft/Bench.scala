@@ -60,6 +60,16 @@ object Bench {
       // 1 replicates cluster behavior (splits come from maxPartitionBytes,
       // so a 100 TB table still fans out); measured 33 s → 27 s total.
       .config("spark.sql.files.minPartitionNum", "1")
+      // The Janino compiled-class cache defaults to 100 entries; this
+      // session executes 320 queries × several codegen units × 3 passes,
+      // so the cache thrashes and passes 2-3 RE-COMPILE every plan — the
+      // best-of-3 protocol explicitly intends pass 1 to absorb
+      // compilation (see the scaladoc above). Sized to hold the whole
+      // suite's generated classes. This caches BYTECODE keyed on
+      // generated source, never data or results; a production session
+      // running a repeated query mix wants the same headroom (driver-side
+      // memory, a few KB per entry).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // 150 actions in one session accumulate status-store state whose
       // bookkeeping slows late job submission (measured 61 s → 37 s total);
       // cap retention — this is a metrics buffer, not execution state.
