@@ -241,8 +241,9 @@ object Relational {
     val b = 4
     // n up front from the parquet footers (metadata-only count) — cheaper
     // than counting after the shuffle, and the ntile arithmetic needs it
-    // before assignment anyway.
-    val n = Tables.lineitem(spark, sfDir).count()
+    // before assignment anyway. Actually footer-read since r15 (the old
+    // .count() still ran a scan job for the same number).
+    val n = Tables.rowCount(spark, sfDir, "lineitem")
     val q = n / b; val r = n % b
     val sorted = Tables.lineitem(spark, sfDir)
       .select(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
@@ -990,7 +991,8 @@ object Relational {
     val cents = expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
     val tgt = Tables.part(spark, sfDir).select(col("p_partkey").as("k"), cents.as("cents"))
     // 1-row scalar (contiguous id-domain size) for the insert-key offset
-    val n = tgt.count()
+    // — footer-metadata count of the unfiltered table, no job (r15)
+    val n = Tables.rowCount(spark, sfDir, "part")
     val upd = tgt.filter(col("k") % 7 === 0).select(col("k"), (col("cents") + 500).as("cents"))
     val ins = tgt.filter(col("k") < 100)
       .select((col("k") + n).as("k"), (lit(1000L) + (col("k") + n) % 997).as("cents"))

@@ -653,8 +653,9 @@ object TextOps {
     // Build phase: one pass over the (projected) incoming batch. The item
     // count only sizes the filter, so the cheap upper bound |documents|/5
     // avoids a separate count job; fpp 1% keeps the filter KB-scale here
-    // and ~1.2 MB per million keys in production.
-    val nEstimate = math.max(64L, docs.count() / 5)
+    // and ~1.2 MB per million keys in production. Footer-metadata count
+    // (no Spark job) since r15 — same value as docs.count().
+    val nEstimate = math.max(64L, Tables.rowCount(spark, sfDir, "documents") / 5)
     val bloom = incoming.stat.bloomFilter("fp_x", nEstimate, 0.01)
     val bytesOut = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bytesOut)
@@ -1430,7 +1431,7 @@ object TextOps {
     * Output: pairs co-occurring in ≥2 docs, top-100 under a total order.
     */
   def tokenCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
-    val nDocs = Tables.documents(spark, sfDir).count() // metadata-only
+    val nDocs = Tables.rowCount(spark, sfDir, "documents") // footer metadata, no job (r15)
     val tk = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -1466,7 +1467,7 @@ object TextOps {
     * same banding LSH uses.
     */
   def postingListsArray(spark: SparkSession, sfDir: String): DataFrame = {
-    val nDocs = Tables.documents(spark, sfDir).count() // metadata-only
+    val nDocs = Tables.rowCount(spark, sfDir, "documents") // footer metadata, no job (r15)
     val tk = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens).as("tok"))
       .filter(length(col("tok")) > 0)
