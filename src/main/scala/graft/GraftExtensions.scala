@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotF32)
     ext.injectFunction(GraftFunctions.bloomMightContain)
     ext.injectFunction(GraftFunctions.hilbertD)
+    ext.injectFunction(GraftFunctions.rplshSigs)
+    ext.injectFunction(GraftFunctions.rplshDots)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.CoresetStrategy)
@@ -39,13 +41,26 @@ object GraftFunctions {
     HilbertIndex.info,
     (children: Seq[Expression]) => HilbertIndex(children(0), children(1)): Expression)
 
+  private[graft] val rplshSigs = (
+    FunctionIdentifier("rplsh_sigs"),
+    graft.functions.RplshSigs.info,
+    (children: Seq[Expression]) =>
+      graft.functions.RplshSigs(children(0), children(1), children(2)): Expression)
+
+  private[graft] val rplshDots = (
+    FunctionIdentifier("rplsh_dots"),
+    graft.functions.RplshDots.info,
+    (children: Seq[Expression]) =>
+      graft.functions.RplshDots(children(0), children(1)): Expression)
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(dotF32, bloomMightContain, hilbertD).foreach { case (id, info, builder) =>
-      if (!registry.functionExists(id)) {
-        registry.registerFunction(id, info, builder)
-      }
+    Seq(dotF32, bloomMightContain, hilbertD, rplshSigs, rplshDots).foreach {
+      case (id, info, builder) =>
+        if (!registry.functionExists(id)) {
+          registry.registerFunction(id, info, builder)
+        }
     }
   }
 

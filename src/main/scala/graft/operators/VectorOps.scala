@@ -402,12 +402,18 @@ object VectorOps {
       val h = scala.util.hashing.MurmurHash3.productHash(("rplsh", l, j, d))
       (h.toDouble / Int.MaxValue).toFloat
     }
-    def hpLit(l: Int, j: Int) = typedLit((0 until dims).map(d => comp(l, j, d)))
-    def sig(l: Int) = (0 until B).map { j =>
-      when(call_function("dot_f32", col("embedding"), hpLit(l, j)) > 0, lit(1 << j))
-        .otherwise(lit(0))
-    }.reduce(_ + _)
-    val sigs = array((0 until L).map(sig): _*)
+    // All L×B planes as ONE literal, ordered (l·B + j) — consumed by the
+    // native rplsh_sigs / rplsh_dots kernels (graft.functions.RplshPlanes).
+    // The pre-r15 form inlined 54 `when(dot_f32(emb, <64-float lit>) > 0,
+    // 1<<j)` expressions; fused into one Generate the generated method
+    // blew Janino's 64 KB limit, so EVERY bench pass paid a doomed
+    // multi-second compile and then ran interpreted. The kernels compute
+    // the identical double-accumulated dots (bit-identical signatures,
+    // margins, probes — oracle + grid specs re-verified) from one
+    // reference object, and whole-stage codegen compiles again.
+    val planesLit = typedLit(
+      for (l <- 0 until L; j <- 0 until B) yield (0 until dims).map(d => comp(l, j, d)))
+    val sigs = call_function("rplsh_sigs", col("embedding"), planesLit, lit(B))
     def signed(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
         posexplode(sigs).as(Seq("tbl", "sig")))
@@ -418,9 +424,9 @@ object VectorOps {
     val q =
       if (probeBits == 0) signed(emb.filter(col("vec_id") < nQueries), "q_id", "q_emb")
       else {
+        val allDots = call_function("rplsh_dots", col("q_emb"), planesLit)
         val perTbl = array((0 until L).map { l =>
-          val dots = array((0 until B).map(j =>
-            call_function("dot_f32", col("q_emb"), hpLit(l, j))): _*)
+          val dots = slice(allDots, l * B + 1, B)
           struct(
             (0 until B).map(j =>
               when(element_at(dots, j + 1) > 0, lit(1 << j)).otherwise(lit(0)))
