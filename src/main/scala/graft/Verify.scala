@@ -32,6 +32,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // See Bench: avoid local-mode over-splitting of the small fixtures.
       .config("spark.sql.files.minPartitionNum", "1")
+      // See Bench: the default 100-entry Janino cache thrashes under a
+      // 316-query session; bytecode cache only, never data.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
