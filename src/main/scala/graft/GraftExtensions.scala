@@ -44,14 +44,31 @@ object GraftFunctions {
   private[graft] val rplshSigs = (
     FunctionIdentifier("rplsh_sigs"),
     graft.functions.RplshSigs.info,
-    (children: Seq[Expression]) =>
-      graft.functions.RplshSigs(children(0), children(1), children(2)): Expression)
+    (children: Seq[Expression]) => {
+      // These kernels evaluate args 2-3 at PLAN time (the plane matrix is
+      // one literal object); a column reference there would otherwise
+      // surface as an opaque ClassCastException at execution. Guard with a
+      // clear builder-time error instead (r16, ADVICE) — the same caveat
+      // DotProductF32 documents.
+      require(children.length == 3,
+        "rplsh_sigs(embedding, planes, b) takes exactly 3 arguments")
+      require(children(1).foldable,
+        "rplsh_sigs: argument 2 (planes) must be a foldable array<array<float>> literal")
+      require(children(2).foldable,
+        "rplsh_sigs: argument 3 (b, bits per signature) must be a foldable INT literal")
+      graft.functions.RplshSigs(children(0), children(1), children(2)): Expression
+    })
 
   private[graft] val rplshDots = (
     FunctionIdentifier("rplsh_dots"),
     graft.functions.RplshDots.info,
-    (children: Seq[Expression]) =>
-      graft.functions.RplshDots(children(0), children(1)): Expression)
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "rplsh_dots(embedding, planes) takes exactly 2 arguments")
+      require(children(1).foldable,
+        "rplsh_dots: argument 2 (planes) must be a foldable array<array<float>> literal")
+      graft.functions.RplshDots(children(0), children(1)): Expression
+    })
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

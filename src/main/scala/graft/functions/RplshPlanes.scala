@@ -45,6 +45,11 @@ object RplshPlanes {
 
   /** dot_f32-identical fold; NaN when any element is null or lengths
     * mismatch (callers map NaN to the inline form's null-case behavior).
+    * Note a legit NaN accumulation (NaN floats in a valid embedding) is
+    * indistinguishable from the null case HERE — fine for [[RplshSigs]],
+    * where both compare `> 0` as false (the inline `when` did the same),
+    * but [[RplshDots]] must keep legit NaN as NaN and therefore uses
+    * [[dotOrNull]] instead.
     */
   private[functions] def dotOrNaN(emb: ArrayData, plane: Array[Float]): Double = {
     if (emb.numElements() != plane.length) return Double.NaN
@@ -56,6 +61,24 @@ object RplshPlanes {
       i += 1
     }
     s
+  }
+
+  /** dot_f32-identical fold with dot_f32's EXACT null semantics: boxed
+    * null on a null element or length mismatch, the accumulated double
+    * (NaN included — a legit NaN float stays NaN, it is a value, not a
+    * null) otherwise. Used by [[RplshDots]], whose elements surface
+    * directly and must not conflate null-dot with NaN-dot (r16, ADVICE).
+    */
+  private[functions] def dotOrNull(emb: ArrayData, plane: Array[Float]): java.lang.Double = {
+    if (emb.numElements() != plane.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < plane.length) {
+      if (emb.isNullAt(i)) return null
+      s += emb.getFloat(i).toDouble * plane(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 }
 
@@ -105,27 +128,33 @@ object RplshSigs {
 }
 
 /** `rplsh_dots(embedding, planes)` → array<double> of all |planes| dots in
-  * plane order (null element where the inline `dot_f32` would be null).
-  * Null if the embedding itself is null, like any dot chain over it.
+  * plane order, with the inline form's EXACT null semantics (r16 fix): a
+  * NULL EMBEDDING yields an array of all-null elements — each inline
+  * `dot_f32(null, plane)` was null, and the pre-r15 probe path emitted its
+  * sig-0 probes off those null margins rather than dropping the row — and
+  * a null element / length mismatch yields a null element, while a LEGIT
+  * NaN dot (NaN floats in a valid embedding) stays NaN (a value, ordered
+  * by the margin sort like any double), never conflated with null.
   */
 case class RplshDots(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def prettyName: String = "rplsh_dots"
+  // Never null after the r16 null-embedding fix, but kept pessimistically
+  // nullable so downstream plan/schema nullability is unchanged.
   override def nullable: Boolean = true
 
   @transient private lazy val planes = RplshPlanes.planesOf(right)
 
   override def eval(input: InternalRow): Any = {
     val embRaw = left.eval(input)
-    if (embRaw == null) return null
+    if (embRaw == null) return new GenericArrayData(new Array[Any](planes.length))
     val emb = embRaw.asInstanceOf[ArrayData]
     val out = new Array[Any](planes.length)
     var p = 0
     while (p < planes.length) {
-      val d = RplshPlanes.dotOrNaN(emb, planes(p))
-      out(p) = if (d.isNaN) null else java.lang.Double.valueOf(d)
+      out(p) = RplshPlanes.dotOrNull(emb, planes(p))
       p += 1
     }
     new GenericArrayData(out)

@@ -35,6 +35,14 @@ object Tables {
     * AQE's statistics probe plays, but available before the first stage
     * runs. At 100 TB the footers live beside the data; a catalog would
     * serve the same number from table statistics.
+    *
+    * Listing RECURSES into subdirectories (Hive-partitioned layouts count
+    * correctly), skipping hidden/metadata entries exactly like Spark's own
+    * file index (`_`/`.` prefixes), and FAILS LOUDLY when no parquet file
+    * is found — r15 fed this value into correctness-bearing arithmetic
+    * (graph edge targets, insert-key offsets), so a silent 0 from an
+    * unexpected layout must never masquerade as an empty table (r16,
+    * ADVICE).
     */
   def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
     val pathStr = s"$sfDir/$name.parquet"
@@ -42,10 +50,20 @@ object Tables {
       val conf = spark.sessionState.newHadoopConf()
       val path = new org.apache.hadoop.fs.Path(pathStr)
       val fs = path.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(path).isDirectory)
-          fs.listStatus(path).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        else Array(fs.getFileStatus(path))
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath)
+            .filterNot { s =>
+              val n = s.getPath.getName
+              n.startsWith("_") || n.startsWith(".")
+            }
+            .toSeq.flatMap(walk)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      val files = walk(fs.getFileStatus(path))
+      require(files.nonEmpty,
+        s"rowCount($pathStr): no *.parquet data files found — refusing to report 0 " +
+          "for an unreadable or unexpectedly-laid-out table")
       files.map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
