@@ -271,11 +271,15 @@ object EvalOps {
       (1L, 1000000L), (2L, 630930L), (3L, 500000L), (4L, 430677L),
       (5L, 386853L), (6L, 356207L), (7L, 333333L), (8L, 315465L),
       (9L, 301030L), (10L, 289065L)).toDF("rnk", "wt")
+    // Per-doc DISTINCT terms dedup MAP-SIDE (r16): global distinct over
+    // (doc_id, term) pairs is per-doc distinct because doc_id is in the
+    // pair, so `array_distinct` before the explode replaces a corpus-wide
+    // distinct exchange with a per-row array op (guide §2.4); the 9-term
+    // broadcast join then filters the stream inside the same scan pass.
     val docTerms = Tables.documents(spark, sfDir)
       .filter(col("lang") === "en")
       .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("term"))
-      .distinct()
+        explode(expr("array_distinct(filter(split(text, ' '), x -> length(x) > 0))")).as("term"))
     val rel = docTerms.join(broadcast(queries), col("term") === col("q_term"))
       .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("rel"))
     val dcg = ranked

@@ -43,18 +43,33 @@ object MiningOps {
     * denominator are exact BIGINT products, then one division.
     */
   def assocRulesBrands(spark: SparkSession, sfDir: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, sfDir)
+    // r16: ONE per-order aggregate replaces distinct + three re-derived
+    // branches. collect_set dedups on its own, so the pre-r16
+    // distinct-then-collect_set chain paid two fact-scale exchanges
+    // ((orderkey, brand), then orderkey) where one suffices — and the
+    // item counts and basket total re-derived the joined/distinct basket
+    // table once more EACH (as broadcast-side jobs). All three consumers
+    // now read the same per-order set table: item count = explode the
+    // sets and count (same "# orders containing brand" — the sets are
+    // per-order distinct), basket total = row count of the set table
+    // (= count_distinct(l_orderkey)), pairs = the same combination
+    // expansion as before. Guide §2.4 (share one exchange) + §1.2 step 1.
+    // The VERDICT-suggested frequent-item prefilter is a deliberate
+    // no-op here: p_brand has 25 values, every one far above the support
+    // floor at every SF, so the prefilter would add a pass and prune
+    // nothing (see OPTIMIZATION_r16.md).
+    val basketSets = Tables.lineitem(spark, sfDir)
       .join(broadcast(Tables.part(spark, sfDir)),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand"))
-      .distinct()
-    val itemCnt = baskets.groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("c"))
-    val totals = baskets.agg(
-      count_distinct(col("l_orderkey")).as("n_orders"))
-    val pairs = baskets
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+    val itemCnt = basketSets
+      .select(explode(col("brands")).as("p_brand"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("c"))
+    val totals = basketSets.agg(count(lit(1)).as("n_orders"))
+    val pairs = basketSets
       .select(explode(expr(
         """flatten(transform(brands, (a, i) ->
           |  transform(slice(brands, i + 2, size(brands)), b ->

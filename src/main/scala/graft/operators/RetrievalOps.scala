@@ -30,15 +30,19 @@ object RetrievalOps {
     TextAnalysisOps.queryTerms(spark)
 
   /** English docs → (doc_id, term) with per-doc DISTINCT terms — the
-    * set-semantics token view both Jaccard sides use. One corpus scan,
-    * map-side explode, distinct folded into the downstream aggregates.
+    * set-semantics token view both Jaccard sides use. Deduplicated
+    * MAP-SIDE with `array_distinct` before the explode (r16): global
+    * distinct over (doc_id, term) pairs IS per-doc distinct because
+    * doc_id is part of the pair, so the pre-r16 corpus-wide `.distinct()`
+    * exchange of every exploded token row bought nothing a per-row
+    * array op doesn't (guide §2.4 — remove shuffles outright). One
+    * corpus scan, zero exchanges.
     */
   private def docTermSets(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .filter(col("lang") === "en")
       .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("term"))
-      .distinct()
+        explode(expr("array_distinct(filter(split(text, ' '), x -> length(x) > 0))")).as("term"))
 
   /** V+: HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION — the standard way
     * production RAG merges candidate lists from two systems that score
@@ -61,18 +65,27 @@ object RetrievalOps {
     val bm = TextAnalysisOps.bm25Topk(spark, sfDir)
       .select(col("qid"), col("doc_id"), col("rank").as("bm25_rank"))
 
-    val terms = docTermSets(spark, sfDir)
-    val nSet = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("n_set"))
+    // The Jaccard side in ONE corpus pass (r16): |doc set| is a per-row
+    // array op (size ∘ array_distinct) carried THROUGH the explode as a
+    // grouping column, so the pre-r16 plan's second corpus aggregate
+    // (n_set) and its join back on doc_id disappear — the only exchange
+    // left is the tiny (qid, doc) intersection groupBy (guide §2.4).
+    // n_set is functionally dependent on doc_id, so grouping by both is
+    // the same grouping.
     val q = queryTerms(spark)
     val nQ = q.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
-    val inter = terms
+    val inter = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"),
+        expr("array_distinct(filter(split(text, ' '), x -> length(x) > 0))").as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_set"),
+        explode(col("ts")).as("term"))
       .join(broadcast(q), col("term") === col("q_term"))
-      .groupBy(col("qid"), col("doc_id"))
+      .groupBy(col("qid"), col("doc_id"), col("n_set"))
       .agg(count(lit(1)).as("n_inter"))
     val wJ = Window.partitionBy(col("qid"))
       .orderBy(col("jac_micro").desc, col("doc_id"))
     val jc = inter
-      .join(nSet, Seq("doc_id"))
       .join(broadcast(nQ), Seq("qid"))
       // identical expression text to the oracle: (1e6 · |∩|) / |∪|
       .withColumn("jac_micro", expr(
@@ -130,9 +143,13 @@ object RetrievalOps {
       .select(col("qid"), col("doc_id"), col("score_micro").as("rel_micro"))
       .localCheckpoint(true)
 
-    // candidate-pair Jaccard, within-query only: ≤ C(k,2) rows per qid
+    // candidate-pair Jaccard, within-query only: ≤ C(k,2) rows per qid.
+    // cand is ≤ k·|Q| rows (and already checkpointed), so BROADCAST it
+    // into the corpus-side term stream: with docTermSets now map-side
+    // (no distinct exchange, r16) the candidate filter runs inside the
+    // scan pass and ctok never shuffles corpus-scale rows.
     val ctok = docTermSets(spark, sfDir)
-      .join(cand.select(col("qid"), col("doc_id")), Seq("doc_id"))
+      .join(broadcast(cand.select(col("qid"), col("doc_id"))), Seq("doc_id"))
       .select(col("qid"), col("doc_id"), col("term"))
       .localCheckpoint(true)
     val csz = ctok.groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("n_set"))

@@ -522,10 +522,12 @@ object TextAnalysisOps {
     * ops — both engines evaluate the identical expression text — then
     * quantized to BIGINT micro-units BEFORE the per-doc sum, so the
     * query-document score is an exact integer no summation order can
-    * perturb. Scale posture: tf and df are token-keyed partial-agg'd
-    * aggregates off ONE corpus scan each; the query side is a broadcast
-    * literal; the only fact-scale exchange is the tf groupBy — the
-    * classic "search engine as a join" plan, never a corpus × query scan.
+    * perturb. Scale posture: the exploded token stream is semi-filtered
+    * against the broadcast query-term set BEFORE the tf aggregate, so
+    * the only exchange carries (doc, query-term) rows — postings of the
+    * workload's terms, never the corpus vocabulary; df comes off the
+    * same filtered aggregate. The classic "search engine as a join"
+    * plan, never a corpus × query scan.
     */
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
     val queries = queryTerms(spark)
@@ -537,8 +539,17 @@ object TextAnalysisOps {
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    // Only the workload terms ever reach the scorer, so semi-filter the
+    // exploded token stream against the broadcast query-term set BEFORE
+    // the tf aggregate (guide §2.3 — aggregate only what you keep): the
+    // pre-r16 form aggregated tf over EVERY (doc, term) pair and df over
+    // EVERY term just to keep the 9 workload terms downstream. df is
+    // unchanged by the filter — a query term's df is the count of docs
+    // containing it, i.e. the count of its (filtered) tf rows.
     val tf = docToks
       .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(queries.select(col("q_term")).distinct()),
+        col("term") === col("q_term"), "left_semi")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

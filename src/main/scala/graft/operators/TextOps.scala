@@ -370,22 +370,37 @@ object TextOps {
   /** V+: CROSS-SOURCE OVERLAP MATRIX — for every source pair, how many
     * distinct 3-gram shingles they share: the "which of my sources
     * duplicate each other" report that decides source-level dedup order
-    * and mixture weights before any doc-level pass. Shape at scale:
-    * shingles collapse to DISTINCT (source, xxhash64) pairs FIRST — the
-    * exchange carries 8-byte hashes keyed by hash, bounded by distinct
-    * shingles × sources — then a hash-keyed self-join with source1 <
-    * source2 and a count per pair; output is ǀsourcesǀ²/2 rows at any
-    * corpus size. Never doc-pairwise, never raw text on an exchange.
+    * and mixture weights before any doc-level pass. Shape at scale (r16
+    * rewrite): `source` rides the SAME ROW as the text, so shingle-hash
+    * rows carry it directly — the pre-r16 plan exploded shingles keyed by
+    * doc_id and then JOINED the corpus back to itself just to recover the
+    * source column (a corpus-scale shuffle + second scan), then
+    * self-joined the distinct (source, hash) pairs (two more derivations:
+    * Spark 4.1 does not ReuseExchange a self-joined derived subplan).
+    * Now: hash shingles in-row, dedup per doc map-side (array_distinct
+    * over 8-byte hashes), aggregate each hash's source SET (bounded by
+    * ǀsourcesǀ — tiny) in ONE exchange that also subsumes the old
+    * distinct, and emit pairs from each set map-side (the
+    * token_cooccurrence discipline). One corpus scan, one hash-keyed
+    * exchange, output ǀsourcesǀ²/2 rows at any corpus size. Never
+    * doc-pairwise, never raw text on an exchange.
     */
   def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val srcSh = shingleRows(docs.withColumn("doc_id", col("doc_id")))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), xxhash64(col("sh")).as("h"))
-      .distinct()
-    srcSh.as("a")
-      .join(srcSh.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+    val srcSh = Tables.documents(spark, sfDir)
+      .select(col("source"), tokens.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        """array_distinct(transform(sequence(0, size(t) - 3),
+          |  i -> xxhash64(concat(t[i], ' ', t[i+1], ' ', t[i+2]))))""".stripMargin)).as("h"))
+    srcSh
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    struct(a AS source1, b AS source2))))""".stripMargin)).as("p"))
+      .select(col("p.source1"), col("p.source2"))
+      .groupBy(col("source1"), col("source2"))
       .agg(count(lit(1)).as("n_shared_shingles"))
       .orderBy(col("source1"), col("source2"))
   }
@@ -528,6 +543,15 @@ object TextOps {
       .withColumnRenamed("doc_id", "eval_doc")
     val trainSide = grams.filter(col("doc_id") % 10 =!= 7)
       .withColumnRenamed("doc_id", "train_doc")
+    // r16 NEGATIVE RESULT, kept as the pre-r16 form: splitting the two
+    // countDistincts (a LEFT SEMI + plain count for n_shared_grams so the
+    // first metric never sees the eval×train fanout, a pre-deduped pair
+    // count for n_train_docs) removes the Expand ×2 over the fanout but
+    // measured SLOWER both SFs (1.69 → 2.02 s at sf0.1, 8.09 → 9.18 s at
+    // sf1, paired): the Expand feeds a map-side partial DEDUP, so the 2×
+    // row duplication never reaches an exchange, while the split form
+    // pays an extra staged-file scan, an extra exchange chain and a final
+    // per-doc join. The 2-distinct aggregate over the fanout stays.
     evalSide.join(trainSide, "g")
       .groupBy(col("eval_doc"))
       .agg(
@@ -542,43 +566,59 @@ object TextOps {
     * threshold on): a doc position is duplicated when its 8-gram also
     * occurs in ANOTHER document. Distinct from [[contaminationCheck]]
     * (train↔eval overlap) — this is corpus↔corpus, per position. Plan
-    * shape: one (doc, pos, 8-byte gram hash) table; the gram
-    * document-frequency aggregate partial-aggregates to |distinct grams|
-    * rows; positions left-join the df≥2 grams and count matches per doc.
-    * Every exchange carries 8-byte hashes, never gram text (the
-    * [[contaminationCheck]] discipline); the fraction is a class-2 raw
-    * quotient of exact counts.
+    * shape: one (doc, pos, 8-byte gram hash) table collapsed to distinct
+    * (g, doc) pairs with a position count; per-doc totals and the df = 1
+    * complement (see inline) fold back per doc with every aggregate
+    * partial-aggregated. Every exchange carries 8-byte hashes, never
+    * gram text (the [[contaminationCheck]] discipline); the fraction is
+    * a class-2 raw quotient of exact counts.
     */
   def dupSpanFraction(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // ONE corpus scan (r15): the pre-r15 form built the gram table twice —
     // once under the df aggregate, once as the join probe — so the corpus
     // was tokenized and 8-gram-hashed two full times (2 FileScans in the
-    // committed before-plan). Restructured join-free: collapse position
-    // rows to distinct (g, doc) pairs with a position count, read each
-    // gram's document frequency off a count window over g, and fold back
-    // per doc. Three narrow exchanges of (8-byte hash, id, count) rows
-    // replace a corpus re-scan and the join — the guide §2.3/2.4 trade
-    // (shuffle a lightweight proxy instead of recomputing the heavy
-    // derivation), and the exchanges still never carry gram text.
+    // committed before-plan). Collapse position rows to distinct (g, doc)
+    // pairs with a position count; the exchanges carry (8-byte hash, id,
+    // count) rows, never gram text — the guide §2.3/2.4 trade (shuffle a
+    // lightweight proxy instead of recomputing the heavy derivation).
     val grams = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 8), i -> array_join(slice(t, i + 1, 8), ' '))")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("g"))
-    grams
+    // r16 skew hardening (guide §2.5, VERDICT item 7): the r15 form read
+    // df off `count(*) over (partition by g)` — a window has NO partial
+    // aggregation, so one pathologically hot 8-gram (boilerplate repeated
+    // across millions of docs) would land every one of its (g, doc) rows
+    // in a single window partition. Replaced with the df = 1 COMPLEMENT,
+    // which needs only fully partial-aggregated groupBys:
+    //   n_dup = n_grams − Σ_{g: df(g)=1} c(g, doc)
+    // because a doc position is non-duplicated exactly when its gram
+    // occurs in no other document. Rows into the per-g aggregate are
+    // distinct (g, doc) pairs, so count(*) per g IS countDistinct(doc);
+    // for a df = 1 gram, min(doc_id) is THE owning doc and sum(c) its
+    // position count. Every aggregate partial-aggregates map-side (a hot
+    // g collapses to ≤ one row per map partition before its exchange),
+    // and the only join is doc-keyed between two per-doc tables. Values
+    // identical — oracle hash re-verified.
+    val pairRows = grams
       .groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
-      // rows are distinct (g, doc) pairs, so a plain count over the g
-      // partition IS countDistinct(doc_id) per gram
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val perDoc = pairRows
       .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_grams"),
-        sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup"))
-      .select(col("doc_id"), col("n_grams"), col("n_dup"),
-        (col("n_dup").cast("double") / col("n_grams").cast("double")).as("dup_fraction"))
+      .agg(sum(col("c")).as("n_grams"))
+    val uniqueSums = pairRows
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"), sum(col("c")).as("sc"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("n_unique"))
+    perDoc.join(uniqueSums, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_unique"), lit(0L))).as("n_dup"),
+        ((col("n_grams") - coalesce(col("n_unique"), lit(0L))).cast("double")
+          / col("n_grams").cast("double")).as("dup_fraction"))
       .orderBy(col("doc_id"))
   }
 
@@ -897,6 +937,23 @@ object TextOps {
     */
   def minhashPrEval(spark: SparkSession, sfDir: String): DataFrame = {
     val cand = minhashCandidates(spark, sfDir).select(col("doc1"), col("doc2"))
+    // r16: truth is evaluated ONCE — cand is DISTINCT (doc1, doc2) pairs
+    // (minhashCandidates ends in .distinct() and is staged), so a LEFT
+    // OUTER marker join + count(hit) computes n_truth and n_hit off one
+    // truth evaluation, where the pre-r16 form ran the whole truth
+    // subtree once per aggregate branch (§2.4 — don't compute it twice).
+    //
+    // NEGATIVE RESULT on the derivation itself, kept as the r15 form: a
+    // map-side array_distinct derivation (dropping the corpus-wide
+    // distinct exchange, as docTermSets r16 does) measured 2.2 → 11.1 s
+    // at sf0.1 / 12.1 → 122 s at sf1 — without a shuffle boundary below
+    // the self-join, Spark 4.1's plan-time size estimate (the tiny
+    // documents file) BROADCASTS the entire exploded shingle table and
+    // AQE cannot correct it. Forcing SMJ (hint("merge")) recovered only
+    // part of it (5.5 s / 46 s — the per-row array materialization and
+    // the lost shared dedup exchange still lose to .distinct()'s
+    // map-side partial dedup + AQE-statistied join). The distinct-based
+    // derivation stays.
     val sh = shingleRows(Tables.documents(spark, sfDir)).distinct()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val truth = sh.as("a")
@@ -907,10 +964,11 @@ object TextOps {
       .join(cnt.select(col("doc_id").as("doc2"), col("n_sh").as("n2")), Seq("doc2"))
       .filter(col("n_inter") * 3 >= col("n1") + col("n2"))
       .select(col("doc1"), col("doc2"))
-    val hit = truth.join(cand, Seq("doc1", "doc2"), "left_semi")
+    val truthHit = truth
+      .join(cand.withColumn("hit", lit(1)), Seq("doc1", "doc2"), "left_outer")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
     cand.agg(count(lit(1)).as("n_cand"))
-      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .crossJoin(broadcast(truthHit))
       .select(
         col("n_cand"), col("n_truth"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision"),
