@@ -245,11 +245,21 @@ object TextAnalysisOps {
     val toks = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val entries = toks.select(explode(array((0 until CmsDepth).map(r =>
+    // r16 (guide §1.2 step 2 — per-task work): the sketch rows hash per
+    // DISTINCT token and SUM the exact counts instead of hashing per
+    // token OCCURRENCE — sketch[r][b] = Σ_{tok→b} count(tok) is the same
+    // number as counting occurrence rows, so the d=4 seeded md5 chains
+    // (the declared cross-engine hash, not swappable) run |vocab|×4
+    // times, not |corpus tokens|×4. The (tok → count) aggregate is the
+    // IDENTICAL subtree the heavy/top-20 branch groups on, so its
+    // exchange is reused at runtime and the sketch build adds no second
+    // corpus pass.
+    val tokCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val entries = tokCounts.select(col("n_exact"), explode(array((0 until CmsDepth).map(r =>
         struct(lit(r).as("r"), expr(cmsBucketSql(r)).as("b"))): _*)).as("e"))
-      .select(col("e.r").as("r"), col("e.b").as("b"))
-    val sketch = entries.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
-    val heavy = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .select(col("n_exact"), col("e.r").as("r"), col("e.b").as("b"))
+    val sketch = entries.groupBy(col("r"), col("b")).agg(sum(col("n_exact")).as("c"))
+    val heavy = tokCounts
       .orderBy(col("n_exact").desc, col("tok")).limit(20)
     val probes = heavy.select(col("tok"), col("n_exact"),
         explode(array((0 until CmsDepth).map(r =>

@@ -1002,6 +1002,17 @@ object TextOps {
     // probes: same whitespace tokenization as [[shingleRows]] (split on
     // ' ', no empty-token filter), so an undropped probe would shingle
     // identically to its source
+    // r16 (guide §1.2 step 2): the salted-md5 token-drop coin is the
+    // expensive part of the probe derivation (one md5 PER TOKEN of the
+    // 1 % slice), but three of pr's four consumers (the semi-join doc
+    // list, the planted-pair key table, the planted summary) use ONLY
+    // id columns — pure arithmetic on doc_id. Split those onto prIds so
+    // the md5 chain runs exactly once (under psh), not four times.
+    val prIds = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("src_id"),
+        expr("(doc_id DIV 100) % 3").as("band"),
+        (col("doc_id") + lit(off)).as("probe_id"))
     val pr = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 100 === 7)
       .select(col("doc_id").as("src_id"),
@@ -1030,7 +1041,7 @@ object TextOps {
     // corpus shingles only for docs the eval touches: LSH-implicated
     // candidates plus the planted sources (semi-join pushdown)
     val needed = cand.select(col("cat_id").as("doc_id"))
-      .unionByName(pr.select(col("src_id").as("doc_id")))
+      .unionByName(prIds.select(col("src_id").as("doc_id")))
       .distinct()
     val shd = shingleRows(
       Tables.documents(spark, sfDir).join(needed, Seq("doc_id"), "left_semi"))
@@ -1050,11 +1061,11 @@ object TextOps {
     // the planted pair's exact intersection: probe shingles joined to its
     // OWN source's shingles, keyed (src_id, sh) — one pair per probe
     val interP = psh
-      .join(pr.select(col("probe_id"), col("src_id")), Seq("probe_id"))
+      .join(prIds.select(col("probe_id"), col("src_id")), Seq("probe_id"))
       .join(shd.select(col("doc_id").as("src_id"), col("sh")), Seq("src_id", "sh"))
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("n_inter"))
-    val planted = pr.select(col("probe_id"), col("src_id"), col("band"))
+    val planted = prIds.select(col("probe_id"), col("src_id"), col("band"))
       .join(cnt.select(col("doc_id").as("src_id"), col("n_sh").as("n_c")), Seq("src_id"))
       .join(pcnt, Seq("probe_id"), "left")
       .join(interP, Seq("probe_id"), "left")
@@ -1070,7 +1081,7 @@ object TextOps {
       count(lit(1)).as("n_planted"),
       sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"))
     val cAgg = candV
-      .join(pr.select(col("probe_id"), col("band")), Seq("probe_id"))
+      .join(prIds.select(col("probe_id"), col("band")), Seq("probe_id"))
       .withColumn("is_true", lit(3L) * col("n_inter") >= col("n_p") + col("n_c"))
       .groupBy(col("band")).agg(
         count(lit(1)).as("n_cand"),
