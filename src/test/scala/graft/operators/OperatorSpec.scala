@@ -1249,4 +1249,52 @@ class OperatorSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("natural" -> natural, "shipdate" -> shipdate))
     assert(got("shipdate") <= got("natural"))
   }
+
+  test("dup_span_fraction equals the brute-force per-position dup count (r16 df=1 complement)") {
+    // Pins the r16 identity n_dup = n_grams − Σ_{df(g)=1} c(g, doc): the
+    // brute force marks each 8-gram POSITION duplicated iff its gram
+    // occurs in ≥ 2 distinct docs, with the same whitespace tokenization
+    // (split on ' ', empties kept) and the size ≥ 8 gate as the operator.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val gramsByDoc = docs.collect { case (id, t) if t.size >= 8 =>
+      id -> (0 to t.size - 8).map(i => t.slice(i, i + 8).mkString(" "))
+    }
+    val docsPerGram = gramsByDoc
+      .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    val expected = gramsByDoc.map { case (id, gs) =>
+      id -> ((gs.size.toLong, gs.count(g => docsPerGram(g) >= 2).toLong))
+    }.toMap
+    val got = TextOps.dupSpanFraction(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // and the surfaced fraction is exactly the one division of those counts
+    TextOps.dupSpanFraction(spark, sf0001).collect().foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+  }
+
+  test("source_overlap_matrix equals the brute-force shared-shingle-set counts (r16 set expansion)") {
+    // Pins the r16 per-hash source-set pair expansion against plain Scala
+    // set intersections of 3-token shingles per source (same tokenizer,
+    // empties kept, size ≥ 3 gate; hashing is injective here — any
+    // xxhash64 collision would fail this test).
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ", -1).toSeq)
+    val shBySource = docs.collect { case (s, t) if t.size >= 3 =>
+      s -> (0 to t.size - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).reduce(_ ++ _) }
+    val sources = shBySource.keys.toSeq.sorted
+    val expected = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      n = (shBySource(sources(i)) & shBySource(sources(j))).size.toLong
+      if n > 0
+    } yield (sources(i), sources(j)) -> n).toMap
+    val got = TextOps.sourceOverlapMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
 }
